@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params, pose_forward
+from trajectory_optimization_tpu.models.traj import (
+    TrajProblem,
+    init_traj_params,
+    traj_forward,
+    waypoint_stride,
+)
+from trajectory_optimization_tpu.utils.data import identity_quaternions, pad_points
+from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+import oracles
+
+INTR = default_intrinsics()
+
+
+def test_pose_loss_matches_oracle(cloud10):
+    pts = cloud10[:5000]
+    q0 = np.array([[0.9, 0.1, -0.2, 0.3]], dtype=np.float32)
+    t0 = np.array([[6.0, 2.0, 0.0]], dtype=np.float32)
+    params = init_pose_params(t0, q0)
+    prob = PoseProblem(img_width=INTR.width, img_height=INTR.height)
+    loss, aux = pose_forward(params, jnp.asarray(pts), INTR.matrix(), prob)
+    want_loss, want_obs = oracles.pose_loss(
+        pts.astype(np.float64), q0[0], t0[0], INTR.matrix_np(np.float64), INTR.width, INTR.height
+    )
+    np.testing.assert_allclose(float(loss), want_loss, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(aux["observations"]), want_obs, atol=1e-4)
+
+
+def test_pose_loss_padding_invariant(cloud10):
+    pts = cloud10[:3000]
+    q0 = np.array([[1.0, 0.0, 0.0, 0.0]], dtype=np.float32)
+    t0 = np.array([[5.0, 5.0, 0.0]], dtype=np.float32)
+    params = init_pose_params(t0, q0)
+    prob = PoseProblem(img_width=INTR.width, img_height=INTR.height)
+    loss_plain, _ = pose_forward(params, jnp.asarray(pts), INTR.matrix(), prob)
+    padded, valid = pad_points(pts, 4096)
+    loss_pad, _ = pose_forward(
+        params, jnp.asarray(padded), INTR.matrix(), prob, valid=jnp.asarray(valid)
+    )
+    np.testing.assert_allclose(float(loss_plain), float(loss_pad), rtol=1e-5)
+
+
+def test_waypoint_stride_matches_reference_formula(path10):
+    # cloud-10 path has dense waypoints => stride > 1 with the 0.5 m default
+    mean_d = np.mean(np.linalg.norm(np.diff(path10, axis=0), axis=1))
+    assert waypoint_stride(path10, 0.5) == int(0.5 / mean_d) + 1
+
+
+def test_traj_loss_matches_oracle(cloud10, path10):
+    pts = cloud10[:4000]
+    quats = identity_quaternions(len(path10))
+    step = waypoint_stride(path10, 0.5)
+    params = init_traj_params(path10, quats)
+    prob = TrajProblem(img_width=INTR.width, img_height=INTR.height, wps_step=step)
+    loss, aux = traj_forward(
+        params, jnp.asarray(pts), INTR.matrix(), jnp.asarray(path10), jnp.asarray(quats), prob
+    )
+    want_loss, want_terms, want_rewards = oracles.traj_loss(
+        pts.astype(np.float64),
+        path10.astype(np.float64),
+        quats.astype(np.float64),
+        path10.astype(np.float64),
+        INTR.matrix_np(np.float64),
+        INTR.width,
+        INTR.height,
+        wps_step=step,
+    )
+    np.testing.assert_allclose(float(aux["loss_vis"]), want_terms["vis"], rtol=1e-3)
+    np.testing.assert_allclose(float(aux["loss_l2"]), want_terms["l2"], atol=1e-5)
+    np.testing.assert_allclose(float(aux["loss_smooth"]), want_terms["smooth"], rtol=1e-3)
+    np.testing.assert_allclose(float(aux["loss_length"]), want_terms["length"], atol=1e-3)
+    np.testing.assert_allclose(float(loss), want_loss, rtol=1e-3)
+    # Per-point rewards: near the 1−eps clip ceiling log-odds are extremely
+    # sensitive to f32 vs f64 rounding (SURVEY.md §7), so allow a tiny tail
+    # of near-saturated points to deviate; the bulk must match tightly.
+    diff = np.abs(np.asarray(aux["rewards"]) - want_rewards)
+    assert (diff < 1e-3).mean() > 0.995, f"bulk mismatch: {(diff >= 1e-3).sum()} points"
+    assert diff.max() < 0.5
+
+
+def test_traj_loss_padding_invariant(cloud10, path10):
+    pts = cloud10[:3000]
+    quats = identity_quaternions(len(path10))
+    params = init_traj_params(path10, quats)
+    prob = TrajProblem(img_width=INTR.width, img_height=INTR.height, wps_step=2)
+    loss_plain, aux_plain = traj_forward(
+        params, jnp.asarray(pts), INTR.matrix(), jnp.asarray(path10), jnp.asarray(quats), prob
+    )
+    padded, valid = pad_points(pts, 4096)
+    loss_pad, aux_pad = traj_forward(
+        params,
+        jnp.asarray(padded),
+        INTR.matrix(),
+        jnp.asarray(path10),
+        jnp.asarray(quats),
+        prob,
+        valid=jnp.asarray(valid),
+    )
+    np.testing.assert_allclose(float(loss_plain), float(loss_pad), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(aux_plain["rewards"]), np.asarray(aux_pad["rewards"])[:3000], atol=1e-5
+    )
+
+
+def test_traj_gradients_finite(cloud10, path10):
+    pts = jnp.asarray(cloud10[:2000])
+    quats = identity_quaternions(len(path10))
+    params = init_traj_params(path10, quats)
+    prob = TrajProblem(img_width=INTR.width, img_height=INTR.height, wps_step=2)
+
+    def loss_fn(p):
+        return traj_forward(
+            p, pts, INTR.matrix(), jnp.asarray(path10), jnp.asarray(quats), prob
+        )
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    for k, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), f"non-finite grad in {k}"
+    assert np.linalg.norm(np.asarray(grads["poses"])) > 0
+
+
+def test_traj_forward_jits_and_is_deterministic(cloud10, path10):
+    pts = jnp.asarray(cloud10[:2000])
+    quats = jnp.asarray(identity_quaternions(len(path10)))
+    params = init_traj_params(path10, quats)
+    prob = TrajProblem(img_width=INTR.width, img_height=INTR.height, wps_step=2)
+    f = jax.jit(traj_forward, static_argnames=("problem",))
+    l1, _ = f(params, pts, INTR.matrix(), jnp.asarray(path10), quats, problem=prob)
+    l2, _ = f(params, pts, INTR.matrix(), jnp.asarray(path10), quats, problem=prob)
+    assert float(l1) == float(l2)

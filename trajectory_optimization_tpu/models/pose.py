@@ -1,0 +1,78 @@
+"""Single-pose visibility optimization model.
+
+TPU-native counterpart of the reference ``ModelPose``
+(`src/model.py:65-127`): a pure function of a parameter pytree
+{'trans': (1,3), 'quat': (1,4)} instead of an nn.Module, so it composes with
+jax.grad / jit / vmap / shard_map. The forward pass is the fused visibility
+kernel; the loss is 1/(Σ observations + eps).
+
+Occlusion gating (the reference's ``hpr=True`` branch, `src/model.py:112-115`)
+takes a precomputed per-point occlusion mask. The reference recomputes exact
+Katz HPR on *detached, world-frame* points every optimization step — a
+constant! — so computing it once at problem setup (ops.hpr) is semantically
+identical and removes a host Qhull round-trip from the hot loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from trajectory_optimization_tpu.ops.geometry import dist_mask, fov_mask, to_camera_frame
+
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseProblem:
+    """Static (hashable) problem description for a single-pose optimization."""
+
+    img_width: float
+    img_height: float
+    min_dist: float = 1.0
+    max_dist: float = 5.0
+    eps: float = 1e-6
+
+
+def init_pose_params(trans0, quat0) -> Params:
+    """Parameter pytree from initial (1,3) translation and (1,4) wxyz quat."""
+    trans0 = jnp.asarray(trans0, dtype=jnp.float32).reshape(1, 3)
+    quat0 = jnp.asarray(quat0, dtype=jnp.float32).reshape(1, 4)
+    return {"trans": trans0, "quat": quat0}
+
+
+def pose_forward(
+    params: Params,
+    points: jnp.ndarray,
+    K: jnp.ndarray,
+    problem: PoseProblem,
+    *,
+    valid: Optional[jnp.ndarray] = None,
+    occlusion_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Loss and observations for one camera pose.
+
+    Args:
+      params: {'trans': (1,3), 'quat': (1,4) wxyz}.
+      points: (N, 3) world points (padded entries allowed).
+      K: (3, 3) intrinsics.
+      valid: optional (N,) 0/1 mask of real (non-padding) points.
+      occlusion_mask: optional (N,) visibility gate from HPR.
+
+    Returns:
+      (loss, aux) with aux['observations'] the (N,) per-point scores —
+      what the reference publishes as the rewards-cloud intensity channel
+      (`src/pose_optimization.py:109-112`).
+    """
+    cam = to_camera_frame(points, params["quat"][0], params["trans"][0])
+    dm = dist_mask(cam, problem.min_dist, problem.max_dist)
+    fm = fov_mask(cam, K, problem.img_width, problem.img_height, eps=problem.eps)
+    mask = dm * fm
+    if occlusion_mask is not None:
+        mask = occlusion_mask * mask
+    if valid is not None:
+        mask = mask * valid
+    loss = 1.0 / (jnp.sum(mask) + problem.eps)
+    return loss, {"observations": mask}

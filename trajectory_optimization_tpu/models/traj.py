@@ -1,0 +1,163 @@
+"""Trajectory visibility optimization model.
+
+TPU-native counterpart of the reference ``ModelTraj`` (`src/model.py:158-260`).
+The reference evaluates visibility waypoint-by-waypoint in a sequential Python
+loop (its own TODO asks for batching, `src/model.py:210`); here the selected
+waypoints are a leading batch axis of one fused evaluation — two batched
+matmuls + elementwise — and the log-odds fusion is a sum over that axis. A
+(W_sel, N) intermediate never needs to live past the fused computation; for
+huge clouds wrap ``traj_forward`` in ``jax.checkpoint`` or shard the point
+axis (see ``parallel``).
+
+Semantics matched to the reference, in order (`src/model.py:200-260`):
+  1. waypoint subsampling by stride ⌊vis_wps_dist / mean Δwp of the *initial*
+     path⌋ + 1 (static — poses0 never changes during optimization);
+  2. per-waypoint observation probability = dist·fov mask, min-max normalized
+     to (0,1) over the cloud, clipped to [0.5, 1−eps];
+  3. log-odds accumulation over waypoints; rewards = σ(Σ log-odds);
+  4. loss = 1/(mean rewards + eps) + ‖p₀ − p₀⁰‖ (anchor on the FIRST waypoint
+     only) + w_s/(mean angle + eps) + w_l·|len − len⁰|.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from trajectory_optimization_tpu.ops.geometry import dist_mask, fov_mask, to_camera_frame
+from trajectory_optimization_tpu.ops.numerics import safe_norm
+from trajectory_optimization_tpu.ops.trajectory import mean_segment_angle, polyline_length
+
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrajProblem:
+    """Static (hashable) problem description for trajectory optimization."""
+
+    img_width: float
+    img_height: float
+    min_dist: float = 1.0
+    max_dist: float = 5.0
+    smoothness_weight: float = 14.0
+    length_weight: float = 0.02
+    eps: float = 1e-6
+    wps_step: int = 1  # evaluate visibility at every wps_step-th waypoint
+
+
+def waypoint_stride(poses0: np.ndarray, vis_wps_dist: float = 0.5) -> int:
+    """Stride between visibility waypoints, from the initial path's mean
+    inter-waypoint distance (reference `src/model.py:213-215`). Static: the
+    reference recomputes it every forward from frozen poses0, so hoisting it
+    to setup time is exact.
+    """
+    poses0 = np.asarray(poses0)
+    mean_d = float(np.mean(np.linalg.norm(poses0[1:] - poses0[:-1], axis=-1)))
+    return int(vis_wps_dist / mean_d) + 1
+
+
+def init_traj_params(poses0, quats0) -> Params:
+    """Parameter pytree from initial (W,3) positions + (W,4) wxyz quats."""
+    return {
+        "poses": jnp.asarray(poses0, dtype=jnp.float32),
+        "quats": jnp.asarray(quats0, dtype=jnp.float32),
+    }
+
+
+def _masked_minmax(p: jnp.ndarray, valid: Optional[jnp.ndarray]):
+    """Per-waypoint min/max of (W, N) scores over real points only."""
+    if valid is None:
+        return jnp.min(p, axis=-1, keepdims=True), jnp.max(p, axis=-1, keepdims=True)
+    big = jnp.asarray(jnp.finfo(p.dtype).max, p.dtype)
+    pmin = jnp.min(jnp.where(valid > 0, p, big), axis=-1, keepdims=True)
+    pmax = jnp.max(jnp.where(valid > 0, p, -big), axis=-1, keepdims=True)
+    return pmin, pmax
+
+
+def observation_logodds(
+    p: jnp.ndarray,
+    eps: float,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(W, N) raw visibility scores → (W, N) per-waypoint log-odds.
+
+    Min-max normalize each waypoint's scores over the cloud, clip to
+    [0.5, 1−eps], convert to log-odds (reference `src/model.py:225-230`).
+    Padded points land on the clip floor 0.5 ⇒ log-odds 0 ⇒ no contribution.
+    """
+    pmin, pmax = _masked_minmax(p, valid)
+    # reference: p -= p.min(); p /= p.max()  ⇒  (p − min)/(max − min).
+    # Floor the span at 1e-8: a waypoint that sees nothing has an underflowed
+    # score span, and the division backward needs 1/span² to stay inside f32
+    # range (span ≥ 1e-8 ⇒ 1/span² ≤ 1e16). With the floor, a blind
+    # waypoint's normalized scores collapse below the 0.5 clip ⇒ log-odds 0 ⇒
+    # it contributes nothing — the correct limit. Healthy waypoints have
+    # span = O(1) and are bit-identical to the reference formula.
+    span = jnp.maximum(pmax - pmin, 1e-8)
+    p = (p - pmin) / span
+    p = jnp.clip(p, 0.5, 1.0 - eps)
+    return jnp.log(p / (1.0 - p))
+
+
+def traj_forward(
+    params: Params,
+    points: jnp.ndarray,
+    K: jnp.ndarray,
+    poses0: jnp.ndarray,
+    quats0: jnp.ndarray,
+    problem: TrajProblem,
+    *,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Composite trajectory loss + per-point rewards.
+
+    Args:
+      params: {'poses': (W,3), 'quats': (W,4) wxyz}.
+      points: (N, 3) world points (padded entries allowed).
+      K: (3, 3) intrinsics.
+      poses0/quats0: frozen initial trajectory (anchor/length targets).
+      valid: optional (N,) 0/1 mask of real points.
+
+    Returns:
+      (loss, aux); aux = {'rewards': (N,), 'loss_vis', 'loss_l2',
+      'loss_smooth', 'loss_length', 'mean_reward'}.
+    """
+    poses, quats = params["poses"], params["quats"]
+    sel = slice(None, None, problem.wps_step)
+
+    # --- visibility at the selected waypoints: one batched evaluation ------
+    cam = to_camera_frame(points, quats[sel], poses[sel])  # (W_sel, N, 3)
+    p = dist_mask(cam, problem.min_dist, problem.max_dist) * fov_mask(
+        cam, K, problem.img_width, problem.img_height, eps=problem.eps
+    )  # (W_sel, N)
+
+    lo = observation_logodds(p, problem.eps, valid)
+    lo_sum = jnp.sum(lo, axis=0)  # (N,) — order-independent log-odds fusion
+    rewards = 1.0 / (1.0 + jnp.exp(-lo_sum))  # σ(Σ log-odds), `src/model.py:237`
+
+    # --- loss terms (reference `src/model.py:244-260`) ---------------------
+    if valid is None:
+        mean_reward = jnp.mean(rewards)
+    else:
+        mean_reward = jnp.sum(rewards * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    loss_vis = 1.0 / (mean_reward + problem.eps)
+    loss_l2 = safe_norm(poses[0] - poses0[0])  # zero subgradient at init (torch parity)
+    loss_smooth = problem.smoothness_weight / (
+        mean_segment_angle(poses, problem.eps) + problem.eps
+    )
+    loss_length = problem.length_weight * jnp.abs(
+        polyline_length(poses) - polyline_length(poses0)
+    )
+    loss = loss_vis + loss_l2 + loss_length + loss_smooth
+    aux = {
+        "rewards": rewards,
+        "mean_reward": mean_reward,
+        "loss_vis": loss_vis,
+        "loss_l2": loss_l2,
+        "loss_smooth": loss_smooth,
+        "loss_length": loss_length,
+    }
+    return loss, aux
