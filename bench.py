@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark: trajectory-optimization Adam steps/s on one TPU chip.
+
+Headline metric (printed as ONE JSON line on stdout): optimization steps/s on
+the reference benchmark workload — cloud 10, 40,452 points x 27 waypoints —
+the exact problem the reference times at ~125 ms/step (~8 steps/s) on a
+desktop CUDA GPU (reference src/trajectory_optimization.py:108, BASELINE.md).
+vs_baseline = our steps/s ÷ 8.
+
+Extras on stderr: the BASELINE.json north-star workload (1M points x 50
+waypoints, all poses jointly) and the single-pose model step rate.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _steps_per_sec(step_fn, state, n_steps, n_warmup=3):
+    import jax
+
+    for _ in range(n_warmup):
+        state = step_fn(state)
+    jax.block_until_ready(state[0]["poses"] if isinstance(state[0], dict) else state[0])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = step_fn(state)
+    jax.block_until_ready(state[0]["poses"] if isinstance(state[0], dict) else state[0])
+    dt = time.perf_counter() - t0
+    return n_steps / dt, state
+
+
+def bench_traj(pts_np, poses_np, n_steps=200, lr_pose=0.1, lr_quat=0.02):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from trajectory_optimization_tpu.models.traj import (
+        TrajProblem,
+        init_traj_params,
+        traj_forward,
+        waypoint_stride,
+    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
+    from trajectory_optimization_tpu.utils.data import identity_quaternions
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    quats_np = identity_quaternions(len(poses_np))
+    problem = TrajProblem(
+        img_width=intr.width,
+        img_height=intr.height,
+        wps_step=waypoint_stride(poses_np, 0.5),
+    )
+    P = jnp.asarray(pts_np)
+    K = intr.matrix()
+    p0, q0 = jnp.asarray(poses_np), jnp.asarray(quats_np)
+    cfg = OptimizerConfig(lr_pose=lr_pose, lr_quat=lr_quat)
+    tx = make_optimizer(cfg)
+
+    def loss_fn(params):
+        return traj_forward(params, P, K, p0, q0, problem)
+
+    @jax.jit
+    def step(state):
+        params, opt_state = state
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    params = init_traj_params(poses_np, quats_np)
+    state = (params, tx.init(params))
+    rate, _ = _steps_per_sec(step, state, n_steps)
+    return rate
+
+
+def bench_pose(pts_np, n_steps=500):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params, pose_forward
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    problem = PoseProblem(img_width=intr.width, img_height=intr.height)
+    P = jnp.asarray(pts_np)
+    K = intr.matrix()
+    cfg = OptimizerConfig(lr_pose=0.02, lr_quat=0.02)
+    tx = make_optimizer(cfg, pose_key="trans", quat_key="quat")
+
+    def loss_fn(params):
+        return pose_forward(params, P, K, problem)
+
+    @jax.jit
+    def step(state):
+        params, opt_state = state
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    params = init_pose_params(
+        np.array([[6.0, 2.0, 0.0]], np.float32), np.array([[1.0, 0.0, 0.0, 0.0]], np.float32)
+    )
+    state = (params, tx.init(params))
+
+    def step_named(state):
+        return step(state)
+
+    import jax as _jax
+
+    for _ in range(3):
+        state = step(state)
+    _jax.block_until_ready(state[0]["trans"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = step(state)
+    _jax.block_until_ready(state[0]["trans"])
+    return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    from trajectory_optimization_tpu.utils.data import load_point_cloud, load_path
+
+    pts = load_point_cloud("data/points/point_cloud_10.npz")
+    path = load_path("data/paths/path_poses_10.npz")
+
+    # headline: the reference workload
+    rate_ref = bench_traj(pts, path)
+    print(
+        f"[bench] reference workload (40452 pts x 27 wps): {rate_ref:.1f} traj steps/s",
+        file=sys.stderr,
+    )
+
+    # north star: 1M points x 50 waypoints
+    rng = np.random.default_rng(0)
+    big_pts = rng.uniform(-20, 20, size=(1_048_576, 3)).astype(np.float32)
+    t = np.linspace(0, 1, 50, dtype=np.float32)
+    big_path = np.stack([30 * t, 10 * np.sin(4 * t), np.zeros_like(t)], axis=1)
+    try:
+        rate_big = bench_traj(big_pts, big_path, n_steps=50)
+        print(
+            f"[bench] north star (1M pts x 50 wps): {rate_big:.1f} traj steps/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — report, don't fail the headline
+        print(f"[bench] north-star workload failed: {e}", file=sys.stderr)
+
+    rate_pose = bench_pose(pts)
+    print(f"[bench] pose model (40452 pts): {rate_pose:.1f} steps/s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "traj_opt_steps_per_sec_ref_workload",
+                "value": round(rate_ref, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(rate_ref / 8.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment's sitecustomize registers the TPU plugin at interpreter
+# startup and overrides jax_platforms; force it back to CPU before any
+# backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajectory_optimization_tpu.models.traj import TrajProblem, init_traj_params, traj_forward
+from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+from trajectory_optimization_tpu.parallel.mesh import make_mesh
+from trajectory_optimization_tpu.parallel.sharded import (
+    make_sharded_train_step,
+    shard_points,
+    shardmap_visibility,
+)
+from trajectory_optimization_tpu.utils.data import identity_quaternions, pad_points
+from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+INTR = default_intrinsics()
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    return make_mesh(8)
+
+
+def test_shardmap_visibility_matches_single_device(mesh, cloud10, path10):
+    padded, valid = pad_points(cloud10[:9000], 16384)
+    quats = identity_quaternions(len(path10))
+    prob = TrajProblem(img_width=INTR.width, img_height=INTR.height, wps_step=2)
+    K = INTR.matrix()
+    P, V = shard_points(mesh, padded, valid)
+    rew_sharded = shardmap_visibility(
+        mesh, P, V, jnp.asarray(quats), jnp.asarray(path10), K, prob
+    )
+    _, aux = traj_forward(
+        init_traj_params(path10, quats),
+        jnp.asarray(padded),
+        K,
+        jnp.asarray(path10),
+        jnp.asarray(quats),
+        prob,
+        valid=jnp.asarray(valid),
+    )
+    np.testing.assert_allclose(
+        np.asarray(rew_sharded), np.asarray(aux["rewards"]), atol=1e-6
+    )
+
+
+def test_sharded_train_step_matches_single_device(mesh, cloud10, path10):
+    padded, valid = pad_points(cloud10[:9000], 16384)
+    quats = identity_quaternions(len(path10))
+    prob = TrajProblem(img_width=INTR.width, img_height=INTR.height, wps_step=2)
+    K = INTR.matrix()
+    cfg = OptimizerConfig(lr_pose=0.1, lr_quat=0.02)
+
+    # sharded: 3 steps
+    init_fn, step_fn = make_sharded_train_step(mesh, prob, cfg)
+    P, V = shard_points(mesh, padded, valid)
+    params_s = init_traj_params(path10, quats)
+    opt_s = init_fn(params_s)
+    for _ in range(3):
+        params_s, opt_s, loss_s, _ = step_fn(
+            params_s, opt_s, P, V, K, jnp.asarray(path10), jnp.asarray(quats)
+        )
+
+    # single-device: same 3 steps
+    import optax
+
+    from trajectory_optimization_tpu.opt.engine import make_optimizer
+
+    tx = make_optimizer(cfg)
+
+    def loss_fn(p):
+        return traj_forward(
+            p, jnp.asarray(padded), K, jnp.asarray(path10), jnp.asarray(quats), prob,
+            valid=jnp.asarray(valid),
+        )
+
+    params_1 = init_traj_params(path10, quats)
+    opt_1 = tx.init(params_1)
+    for _ in range(3):
+        (loss_1, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_1)
+        updates, opt_1 = tx.update(grads, opt_1, params_1)
+        params_1 = optax.apply_updates(params_1, updates)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params_s["poses"]), np.asarray(params_1["poses"]), atol=1e-5
+    )
+
+
+def test_dryrun_multichip_contract():
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_entry_contract():
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    loss, aux = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
+    assert "rewards" in aux

@@ -1,0 +1,15 @@
+from trajectory_optimization_tpu.parallel.mesh import make_mesh, points_sharding, replicated
+from trajectory_optimization_tpu.parallel.sharded import (
+    make_sharded_train_step,
+    shard_points,
+    shardmap_visibility,
+)
+
+__all__ = [
+    "make_mesh",
+    "points_sharding",
+    "replicated",
+    "make_sharded_train_step",
+    "shard_points",
+    "shardmap_visibility",
+]
