@@ -17,18 +17,32 @@ import time
 import numpy as np
 
 
-def _steps_per_sec(step_fn, state, n_steps, n_warmup=3):
+def _first_leaf(state):
     import jax
 
+    return jax.tree_util.tree_leaves(state)[0]
+
+
+def _steps_per_sec(step_fn, state, n_steps, n_warmup=3):
+    """Time n_steps with a REAL device sync: fetch bytes to host.
+
+    On the tunneled TPU in this environment, jax.block_until_ready can ack
+    before execution finishes; a host fetch of data that depends on the final
+    state cannot. The fetch round-trip is measured separately and subtracted.
+    """
     for _ in range(n_warmup):
         state = step_fn(state)
-    jax.block_until_ready(state[0]["poses"] if isinstance(state[0], dict) else state[0])
+    np.asarray(_first_leaf(state))  # true sync
+    t0 = time.perf_counter()
+    np.asarray(_first_leaf(state))
+    rtt = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state = step_fn(state)
-    jax.block_until_ready(state[0]["poses"] if isinstance(state[0], dict) else state[0])
-    dt = time.perf_counter() - t0
-    return n_steps / dt, state
+    np.asarray(_first_leaf(state))  # forces completion of all n steps
+    dt = time.perf_counter() - t0 - rtt
+    return n_steps / max(dt, 1e-9), state
 
 
 def bench_traj(pts_np, poses_np, n_steps=200, lr_pose=0.1, lr_quat=0.02):
@@ -107,20 +121,8 @@ def bench_pose(pts_np, n_steps=500):
         np.array([[6.0, 2.0, 0.0]], np.float32), np.array([[1.0, 0.0, 0.0, 0.0]], np.float32)
     )
     state = (params, tx.init(params))
-
-    def step_named(state):
-        return step(state)
-
-    import jax as _jax
-
-    for _ in range(3):
-        state = step(state)
-    _jax.block_until_ready(state[0]["trans"])
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state = step(state)
-    _jax.block_until_ready(state[0]["trans"])
-    return n_steps / (time.perf_counter() - t0)
+    rate, _ = _steps_per_sec(step, state, n_steps)
+    return rate
 
 
 def main():

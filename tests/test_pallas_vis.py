@@ -1,0 +1,113 @@
+"""Parity tests for the fused Pallas visibility kernel (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajectory_optimization_tpu.models.traj import TrajProblem, init_traj_params, traj_forward
+from trajectory_optimization_tpu.ops.pallas_vis import fused_lo_sum
+from trajectory_optimization_tpu.ops.scores import waypoint_scores
+from trajectory_optimization_tpu.models.traj import observation_logodds
+from trajectory_optimization_tpu.utils.data import identity_quaternions
+from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+INTR = default_intrinsics()
+
+
+def _problem(**kw):
+    return TrajProblem(img_width=INTR.width, img_height=INTR.height, **kw)
+
+
+def _xla_lo_sum(points, quats, trans, valid=None, eps=1e-6):
+    p = waypoint_scores(points, quats, trans, INTR.matrix(), INTR.width, INTR.height, eps=eps)
+    return jnp.sum(observation_logodds(p, eps, valid), axis=0)
+
+
+@pytest.fixture(scope="module")
+def setup(cloud10, path10):
+    pts = jnp.asarray(cloud10[:20000])
+    quats = jnp.asarray(identity_quaternions(len(path10)))
+    # rotate some waypoints a bit so scores differ per waypoint
+    q = np.asarray(quats).copy()
+    q[::3] = [0.9, 0.1, -0.3, 0.2]
+    return pts, jnp.asarray(q), jnp.asarray(path10)
+
+
+def test_forward_matches_xla(setup):
+    pts, quats, poses = setup
+    lo_pallas = fused_lo_sum(pts, quats, poses, INTR.matrix(), INTR.width, INTR.height)
+    lo_xla = _xla_lo_sum(pts, quats, poses)
+    np.testing.assert_allclose(np.asarray(lo_pallas), np.asarray(lo_xla), rtol=1e-4, atol=2e-4)
+
+
+def test_forward_matches_xla_with_valid_mask(setup):
+    pts, quats, poses = setup
+    n = pts.shape[0]
+    valid = jnp.asarray((np.arange(n) < n - 5000).astype(np.float32))
+    lo_pallas = fused_lo_sum(
+        pts, quats, poses, INTR.matrix(), INTR.width, INTR.height, valid=valid
+    )
+    lo_xla = _xla_lo_sum(pts, quats, poses, valid=valid)
+    np.testing.assert_allclose(np.asarray(lo_pallas), np.asarray(lo_xla), rtol=1e-4, atol=2e-4)
+
+
+def test_gradients_match_xla(setup):
+    pts, quats, poses = setup
+    g = jnp.asarray(np.random.default_rng(0).normal(size=(pts.shape[0],)).astype(np.float32))
+
+    def f_pallas(quats, poses):
+        lo = fused_lo_sum(pts, quats, poses, INTR.matrix(), INTR.width, INTR.height)
+        return jnp.sum(lo * g)
+
+    def f_xla(quats, poses):
+        return jnp.sum(_xla_lo_sum(pts, quats, poses) * g)
+
+    gq_p, gt_p = jax.grad(f_pallas, argnums=(0, 1))(quats, poses)
+    gq_x, gt_x = jax.grad(f_xla, argnums=(0, 1))(quats, poses)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_x), rtol=2e-3, atol=2e-3)
+
+
+def test_traj_forward_backend_parity(cloud10, path10):
+    pts = jnp.asarray(cloud10[:12000])
+    quats = identity_quaternions(len(path10))
+    params = init_traj_params(path10, quats)
+    K = INTR.matrix()
+    args = (jnp.asarray(path10), jnp.asarray(quats))
+
+    loss_x, aux_x = traj_forward(params, pts, K, *args, _problem(wps_step=2, backend="xla"))
+    loss_p, aux_p = traj_forward(params, pts, K, *args, _problem(wps_step=2, backend="pallas"))
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(aux_p["rewards"]), np.asarray(aux_x["rewards"]), atol=1e-4
+    )
+
+
+def test_traj_grad_backend_parity(cloud10, path10):
+    pts = jnp.asarray(cloud10[:12000])
+    quats = identity_quaternions(len(path10))
+    params = init_traj_params(path10, quats)
+    K = INTR.matrix()
+    p0, q0 = jnp.asarray(path10), jnp.asarray(quats)
+
+    def loss(params, backend):
+        return traj_forward(params, pts, K, p0, q0, _problem(wps_step=2, backend=backend))[0]
+
+    gx = jax.grad(lambda p: loss(p, "xla"))(params)
+    gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+    np.testing.assert_allclose(
+        np.asarray(gp["poses"]), np.asarray(gx["poses"]), rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp["quats"]), np.asarray(gx["quats"]), rtol=2e-3, atol=1e-4
+    )
+
+
+def test_nondivisible_cloud_sizes(setup):
+    pts, quats, poses = setup
+    for n in (1000, 4096, 19999):
+        sub = pts[:n]
+        lo_pallas = fused_lo_sum(sub, quats, poses, INTR.matrix(), INTR.width, INTR.height)
+        lo_xla = _xla_lo_sum(sub, quats, poses)
+        assert lo_pallas.shape == (n,)
+        np.testing.assert_allclose(np.asarray(lo_pallas), np.asarray(lo_xla), rtol=1e-4, atol=2e-4)

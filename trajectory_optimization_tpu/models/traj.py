@@ -23,11 +23,12 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trajectory_optimization_tpu.ops.geometry import dist_mask, fov_mask, to_camera_frame
 from trajectory_optimization_tpu.ops.numerics import safe_norm
+from trajectory_optimization_tpu.ops.scores import waypoint_scores
 from trajectory_optimization_tpu.ops.trajectory import mean_segment_angle, polyline_length
 
 
@@ -46,6 +47,8 @@ class TrajProblem:
     length_weight: float = 0.02
     eps: float = 1e-6
     wps_step: int = 1  # evaluate visibility at every wps_step-th waypoint
+    # 'auto' → fused Pallas kernel on TPU, XLA elsewhere; 'pallas'/'xla' force
+    backend: str = "auto"
 
 
 def waypoint_stride(poses0: np.ndarray, vis_wps_dist: float = 0.5) -> int:
@@ -128,14 +131,49 @@ def traj_forward(
     poses, quats = params["poses"], params["quats"]
     sel = slice(None, None, problem.wps_step)
 
-    # --- visibility at the selected waypoints: one batched evaluation ------
-    cam = to_camera_frame(points, quats[sel], poses[sel])  # (W_sel, N, 3)
-    p = dist_mask(cam, problem.min_dist, problem.max_dist) * fov_mask(
-        cam, K, problem.img_width, problem.img_height, eps=problem.eps
-    )  # (W_sel, N)
+    backend = problem.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
-    lo = observation_logodds(p, problem.eps, valid)
-    lo_sum = jnp.sum(lo, axis=0)  # (N,) — order-independent log-odds fusion
+    if backend == "pallas":
+        # fused Pallas kernel: no (W, N) intermediate ever touches HBM, and
+        # the backward is a single hand-derived pass (ops.pallas_vis).
+        from trajectory_optimization_tpu.ops.pallas_vis import fused_lo_sum
+
+        lo_sum = fused_lo_sum(
+            points,
+            quats[sel],
+            poses[sel],
+            K,
+            problem.img_width,
+            problem.img_height,
+            min_dist=problem.min_dist,
+            max_dist=problem.max_dist,
+            eps=problem.eps,
+            valid=valid,
+        )
+    else:
+        # XLA path. jax.checkpoint: the (W, N) score/log-odds intermediates
+        # would otherwise be saved as autodiff residuals (~10 × W·N·4 bytes of
+        # HBM traffic on the backward pass); rematerializing them costs one
+        # cheap fused forward recompute.
+        @jax.checkpoint
+        def lo_sum_fn(quats_sel, poses_sel):
+            p = waypoint_scores(
+                points,
+                quats_sel,
+                poses_sel,
+                K,
+                problem.img_width,
+                problem.img_height,
+                min_dist=problem.min_dist,
+                max_dist=problem.max_dist,
+                eps=problem.eps,
+            )  # (W_sel, N)
+            lo = observation_logodds(p, problem.eps, valid)
+            return jnp.sum(lo, axis=0)  # (N,) — order-independent log-odds fusion
+
+        lo_sum = lo_sum_fn(quats[sel], poses[sel])
     rewards = 1.0 / (1.0 + jnp.exp(-lo_sum))  # σ(Σ log-odds), `src/model.py:237`
 
     # --- loss terms (reference `src/model.py:244-260`) ---------------------

@@ -1,0 +1,421 @@
+"""Fused Pallas TPU kernel for the trajectory visibility log-odds.
+
+The hot loop of the whole framework: for W waypoints and N points compute
+
+    s(w,i)   = dist_mask · fov_mask                    (ops.scores formulas)
+    m_w, M_w = min_i / max_i s(w,i)   over valid points
+    pn(w,i)  = clip((s − m_w)/max(M_w − m_w, 1e-8), 0.5, 1−eps)
+    lo_sum_i = Σ_w log(pn/(1−pn))
+
+XLA's autodiff version (models.traj) is correct but spends ~3× the necessary
+arithmetic: the AD backward re-derives every elementwise op and the remat
+policy re-runs the forward. This kernel:
+
+  * forward pass 1 — per-tile masked min/max of s → (n_tiles, W) partials
+    reduced in JAX;
+  * forward pass 2 — recomputes s and accumulates the log-odds into a single
+    (N,) output; nothing of size (W, N) ever exists in HBM;
+  * backward — ONE fused pass recomputing s per tile and directly reducing
+    the parameter cotangents to 12 per-waypoint sums (Σ dc_c, Σ dc_c·p_j),
+    including the exact reduce-min/max VJP pathway (cotangent split equally
+    over ties, matching jax.grad of jnp.min/max — verified).
+
+Data layout: point coordinates as three (M, 128) planes (N = M·128), so every
+vector op runs on full 8×128 VPU registers; per-waypoint camera parameters
+and the intrinsics live in SMEM.
+
+Gradients flow to the waypoint poses/quaternions only (the reference never
+differentiates w.r.t. the cloud; zero cotangents are returned for the rest).
+
+Numerical parity with models.traj's XLA path is tested in interpret mode on
+CPU and compiled on TPU (tests/test_pallas_vis.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trajectory_optimization_tpu.ops import quat as quat_ops
+
+LANES = 128
+TILE_ROWS = 256  # points per grid step = TILE_ROWS * LANES = 32768
+_BIG = 3.0e38
+SPAN_FLOOR = 1e-8
+BWD_SLOTS = 40  # scalar outputs per waypoint in the backward kernel
+
+
+def _is_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# shared per-tile score computation (runs inside all three kernels)
+# ---------------------------------------------------------------------------
+
+
+def _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts):
+    """Visibility scores for one waypoint over one (TILE_ROWS, 128) tile.
+
+    Returns (s, extras); extras carries intermediates for the backward.
+    Formulas are ops.scores.waypoint_scores exactly. wp_ref rows hold
+    [R00..R22, t0, t1, t2, pad]; kp_ref holds [fx, fy, cx0, cy0].
+    """
+    c0, inv_var, img_w, img_h, eps = consts
+    fx, fy, cx0, cy0 = kp_ref[0, 0], kp_ref[0, 1], kp_ref[0, 2], kp_ref[0, 3]
+    r00, r01, r02 = wp_ref[w, 0], wp_ref[w, 1], wp_ref[w, 2]
+    r10, r11, r12 = wp_ref[w, 3], wp_ref[w, 4], wp_ref[w, 5]
+    r20, r21, r22 = wp_ref[w, 6], wp_ref[w, 7], wp_ref[w, 8]
+    t0, t1, t2 = wp_ref[w, 9], wp_ref[w, 10], wp_ref[w, 11]
+
+    dx = px - t0
+    dy = py - t1
+    dz = pz - t2
+    cx = dx * r00 + dy * r10 + dz * r20
+    cy = dx * r01 + dy * r11 + dz * r21
+    cz = dx * r02 + dy * r12 + dz * r22
+
+    ex, ey, ez = cx - c0, cy - c0, cz - c0
+    d2 = ex * ex + ey * ey + ez * ez
+
+    u = fx * cx + cx0 * cz
+    v = fy * cy + cy0 * cz
+    zd = cz + eps
+    zd = jnp.where(zd >= 0, jnp.maximum(zd, 1e-12), jnp.minimum(zd, -1e-12))
+    inv_zd = 1.0 / zd
+    xu_raw = (u * inv_zd - img_w * 0.5) / img_w
+    xv_raw = (v * inv_zd - img_h * 0.5) / img_h
+    xu = jnp.clip(xu_raw, -20.0, 20.0)
+    xv = jnp.clip(xv_raw, -20.0, 20.0)
+
+    sig = jax.nn.sigmoid(cz)
+    s = sig * jnp.exp(-0.5 * (d2 * inv_var + xu * xu + xv * xv))
+    extras = (ex, ey, ez, u, v, inv_zd, xu, xv, xu_raw, xv_raw, sig, fx, fy, cx0, cy0)
+    return s, extras
+
+
+def _tile_dcam(total_cot, s, extras, consts):
+    """Chain a score cotangent to camera-frame plane cotangents (dcx,dcy,dcz)."""
+    c0, inv_var, img_w, img_h, eps = consts
+    (ex, ey, ez, u, v, inv_zd, xu, xv, xu_raw, xv_raw, sig, fx, fy, cx0, cy0) = extras
+    g_u = jnp.where(jnp.abs(xu_raw) < 20.0, 1.0, 0.0)
+    g_v = jnp.where(jnp.abs(xv_raw) < 20.0, 1.0, 0.0)
+    cs = total_cot * s
+    inv_w, inv_h = 1.0 / img_w, 1.0 / img_h
+    dcx = cs * (-(ex * inv_var) - xu * g_u * (fx * inv_zd * inv_w))
+    dcy = cs * (-(ey * inv_var) - xv * g_v * (fy * inv_zd * inv_h))
+    dcz = cs * (
+        -(ez * inv_var)
+        + (1.0 - sig)
+        - xu * g_u * (cx0 * inv_zd - u * inv_zd * inv_zd) * inv_w
+        - xv * g_v * (cy0 * inv_zd - v * inv_zd * inv_zd) * inv_h
+    )
+    return dcx, dcy, dcz
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _slot_rows(n_slots):
+    """Rows (multiple of 8) needed to hold n_slots scalars at 128/lane-row."""
+    rows = -(-n_slots // LANES)
+    return -(-rows // 8) * 8
+
+
+def _scatter_scalar(acc, idx, val):
+    """Place scalar `val` at flat slot `idx` of a (rows, 128) accumulator.
+
+    Mosaic cannot store scalars to VMEM; instead we blend the scalar into a
+    vector register with a constant one-hot mask (idx is a Python int, so the
+    mask folds at compile time) and store the whole register once per tile.
+    """
+    ri = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    mask = jnp.logical_and(ri == idx // LANES, ci == idx % LANES)
+    return jnp.where(mask, val, acc)
+
+
+def _minmax_kernel(wp_ref, kp_ref, px_ref, py_ref, pz_ref, valid_ref, min_ref, max_ref, *, W, consts):
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
+    valid = valid_ref[...] > 0
+    rows = _slot_rows(W)
+    mn = jnp.zeros((rows, LANES), jnp.float32)
+    mx = jnp.zeros((rows, LANES), jnp.float32)
+    for w in range(W):
+        s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
+        mn = _scatter_scalar(mn, w, jnp.min(jnp.where(valid, s, _BIG)))
+        mx = _scatter_scalar(mx, w, jnp.max(jnp.where(valid, s, -_BIG)))
+    min_ref[0] = mn
+    max_ref[0] = mx
+
+
+def _losum_kernel(wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, out_ref, *, W, consts, eps):
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
+    acc = jnp.zeros_like(px)
+    for w in range(W):
+        s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
+        m = norm_ref[w, 0]
+        inv_d = norm_ref[w, 1]
+        pn = jnp.clip((s - m) * inv_d, 0.5, 1.0 - eps)
+        acc = acc + jnp.log(pn / (1.0 - pn))
+    out_ref[...] = acc
+
+
+def _bwd_kernel(
+    wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, valid_ref, g_ref, out_ref, *, W, consts, eps
+):
+    """Per-tile partial sums for the parameter gradients.
+
+    out_ref is a (1, rows, 128) scalar-slot block; waypoint w owns flat slots
+    [w·40, (w+1)·40):
+      +0:12   direct channel:  Σdc_c, Σdc_c·px, Σdc_c·py, Σdc_c·pz  (c = x,y,z)
+      +12:24  min-tie channel: same 12 with cotangent = 1[s==m]·valid
+      +24:36  max-tie channel: same 12 with cotangent = 1[s==M]·valid
+      +36     Σ c_pn·∂pn/∂m  (cotangent reaching m_w)
+      +37     Σ c_pn·∂pn/∂M
+      +38     count of min ties,  +39 count of max ties
+    """
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
+    valid = valid_ref[...] > 0
+    g = g_ref[...]
+    acc_out = jnp.zeros((_slot_rows(W * BWD_SLOTS), LANES), jnp.float32)
+    for w in range(W):
+        s, extras = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
+        m = norm_ref[w, 0]
+        inv_d = norm_ref[w, 1]
+        gate = norm_ref[w, 2]  # 1 if (M−m) > SPAN_FLOOR else 0 (span-floor branch)
+        mx = norm_ref[w, 3]  # M_w, for tie detection
+
+        sm = s - m
+        pn_raw = sm * inv_d
+        active = jnp.logical_and(pn_raw > 0.5, pn_raw < 1.0 - eps)
+        pn = jnp.clip(pn_raw, 0.5, 1.0 - eps)
+        c_pn = jnp.where(active, g / (pn * (1.0 - pn)), 0.0)
+
+        # cotangents reaching the reduction results m_w / M_w
+        dm_term = c_pn * (-inv_d + sm * inv_d * inv_d * gate)
+        dM_term = c_pn * (-(sm * inv_d * inv_d) * gate)
+
+        eqmin = jnp.where(jnp.logical_and(valid, s == m), 1.0, 0.0)
+        eqmax = jnp.where(jnp.logical_and(valid, s == mx), 1.0, 0.0)
+
+        base = w * BWD_SLOTS
+        for ch, cot in ((0, c_pn * inv_d), (12, eqmin), (24, eqmax)):
+            dcx, dcy, dcz = _tile_dcam(cot, s, extras, consts)
+            for cc, dcc in ((0, dcx), (1, dcy), (2, dcz)):
+                acc_out = _scatter_scalar(acc_out, base + ch + cc * 4 + 0, jnp.sum(dcc))
+                acc_out = _scatter_scalar(acc_out, base + ch + cc * 4 + 1, jnp.sum(dcc * px))
+                acc_out = _scatter_scalar(acc_out, base + ch + cc * 4 + 2, jnp.sum(dcc * py))
+                acc_out = _scatter_scalar(acc_out, base + ch + cc * 4 + 3, jnp.sum(dcc * pz))
+        acc_out = _scatter_scalar(acc_out, base + 36, jnp.sum(dm_term))
+        acc_out = _scatter_scalar(acc_out, base + 37, jnp.sum(dM_term))
+        acc_out = _scatter_scalar(acc_out, base + 38, jnp.sum(eqmin))
+        acc_out = _scatter_scalar(acc_out, base + 39, jnp.sum(eqmax))
+    out_ref[0] = acc_out
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+
+def _plane_spec():
+    return pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _smem_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_lo_sum_planes(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
+    lo, _ = _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps)
+    return lo
+
+
+def _consts(img_wh, dist_lims, eps):
+    c0 = (dist_lims[0] + dist_lims[1]) / 2.0
+    inv_var = 1.0 / ((dist_lims[1] - dist_lims[0]) / 2.0) ** 2
+    return (c0, inv_var, float(img_wh[0]), float(img_wh[1]), float(eps))
+
+
+def _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
+    W = wp.shape[0]
+    M = planes.shape[1]
+    n_tiles = M // TILE_ROWS
+    consts = _consts(img_wh, dist_lims, eps)
+    interp = _is_cpu()
+
+    px, py, pz = planes[0], planes[1], planes[2]
+
+    rows = _slot_rows(W)
+    mm_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mm_shape = jax.ShapeDtypeStruct((n_tiles, rows, LANES), jnp.float32)
+    mins, maxs = pl.pallas_call(
+        functools.partial(_minmax_kernel, W=W, consts=consts),
+        grid=(n_tiles,),
+        in_specs=[
+            _smem_spec(wp.shape),
+            _smem_spec(kp.shape),
+            _plane_spec(),
+            _plane_spec(),
+            _plane_spec(),
+            _plane_spec(),
+        ],
+        out_specs=(mm_spec, mm_spec),
+        out_shape=(mm_shape, mm_shape),
+        interpret=interp,
+    )(wp, kp, px, py, pz, valid_plane)
+
+    mins = mins.reshape(n_tiles, rows * LANES)[:, :W]
+    maxs = maxs.reshape(n_tiles, rows * LANES)[:, :W]
+    m = jnp.min(mins, axis=0)  # (W,)
+    mx = jnp.max(maxs, axis=0)
+    span_raw = mx - m
+    gate = (span_raw > SPAN_FLOOR).astype(jnp.float32)
+    inv_d = 1.0 / jnp.maximum(span_raw, SPAN_FLOOR)
+    norm = jnp.stack([m, inv_d, gate, mx], axis=1)  # (W, 4)
+
+    lo = pl.pallas_call(
+        functools.partial(_losum_kernel, W=W, consts=consts, eps=eps),
+        grid=(n_tiles,),
+        in_specs=[
+            _smem_spec(wp.shape),
+            _smem_spec(kp.shape),
+            _smem_spec(norm.shape),
+            _plane_spec(),
+            _plane_spec(),
+            _plane_spec(),
+        ],
+        out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, LANES), jnp.float32),
+        interpret=interp,
+    )(wp, kp, norm, px, py, pz)
+
+    return lo, (wp, kp, planes, valid_plane, norm)
+
+
+def _fused_fwd(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
+    return _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps)
+
+
+def _fused_bwd(img_wh, dist_lims, eps, res, g):
+    wp, kp, planes, valid_plane, norm = res
+    W = wp.shape[0]
+    M = planes.shape[1]
+    n_tiles = M // TILE_ROWS
+    consts = _consts(img_wh, dist_lims, eps)
+    px, py, pz = planes[0], planes[1], planes[2]
+    g_plane = g.reshape(M, LANES)
+
+    rows = _slot_rows(W * BWD_SLOTS)
+    partials = pl.pallas_call(
+        functools.partial(_bwd_kernel, W=W, consts=consts, eps=eps),
+        grid=(n_tiles,),
+        in_specs=[
+            _smem_spec(wp.shape),
+            _smem_spec(kp.shape),
+            _smem_spec(norm.shape),
+            _plane_spec(),
+            _plane_spec(),
+            _plane_spec(),
+            _plane_spec(),
+            _plane_spec(),
+        ],
+        out_specs=pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows, LANES), jnp.float32),
+        interpret=_is_cpu(),
+    )(wp, kp, norm, px, py, pz, valid_plane, g_plane)
+
+    acc = jnp.sum(
+        partials.reshape(n_tiles, rows * LANES)[:, : W * BWD_SLOTS], axis=0
+    ).reshape(W, BWD_SLOTS)
+    direct = acc[:, 0:12]
+    min_ch = acc[:, 12:24]
+    max_ch = acc[:, 24:36]
+    c_m = acc[:, 36]
+    c_M = acc[:, 37]
+    cnt_min = jnp.maximum(acc[:, 38], 1.0)
+    cnt_max = jnp.maximum(acc[:, 39], 1.0)
+
+    # total per-w camera-plane sums: direct + tie-split min/max pathways
+    sums = (
+        direct
+        + min_ch * (c_m / cnt_min)[:, None]
+        + max_ch * (c_M / cnt_max)[:, None]
+    ).reshape(W, 3, 4)  # [c, (Σdc, Σdc·px, Σdc·py, Σdc·pz)]
+
+    t = wp[:, 9:12]  # (W, 3)
+    # cam_c = Σ_j (p_j − t_j) R_jc  ⇒  dR_jc = Σᵢ dc_c(pⱼ − tⱼ),  dt_j = −Σ_c R_jc Σᵢ dc_c
+    dR = sums[:, :, 1:4].transpose(0, 2, 1) - t[:, :, None] * sums[:, :, 0][:, None, :]
+    R = wp[:, 0:9].reshape(W, 3, 3)
+    dt = -jnp.einsum("wjc,wc->wj", R, sums[:, :, 0], precision="highest")
+
+    dwp = jnp.concatenate(
+        [dR.reshape(W, 9), dt, jnp.zeros((W, wp.shape[1] - 12), wp.dtype)], axis=1
+    )
+    return dwp, jnp.zeros_like(kp), jnp.zeros_like(planes), jnp.zeros_like(valid_plane)
+
+
+_fused_lo_sum_planes.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_lo_sum(
+    points: jnp.ndarray,
+    quats: jnp.ndarray,
+    trans: jnp.ndarray,
+    K: jnp.ndarray,
+    img_width: float,
+    img_height: float,
+    *,
+    min_dist: float = 1.0,
+    max_dist: float = 5.0,
+    eps: float = 1e-6,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(N,) accumulated observation log-odds over W waypoints, Pallas-fused.
+
+    Drop-in equivalent of models.traj's score→normalize→clip→log-odds→sum
+    chain; differentiable w.r.t. quats/trans. img/dist limits must be static
+    Python floats (they are baked into the kernel); K may be traced.
+    """
+    N = points.shape[0]
+    W = quats.shape[0]
+    tile = TILE_ROWS * LANES
+    n_pad = (-N) % tile
+    Np = N + n_pad
+
+    pts = jnp.pad(points, ((0, n_pad), (0, 0)), constant_values=1.0e6)
+    if valid is None:
+        v = jnp.concatenate(
+            [jnp.ones((N,), jnp.float32), jnp.zeros((n_pad,), jnp.float32)]
+        )
+    else:
+        v = jnp.pad(valid.astype(jnp.float32), (0, n_pad))
+
+    planes = pts.T.reshape(3, Np // LANES, LANES)
+    valid_plane = v.reshape(Np // LANES, LANES)
+
+    R = quat_ops.to_matrix(quat_ops.normalize(quats))  # differentiable prologue
+    wp = jnp.concatenate(
+        [R.reshape(W, 9), trans, jnp.zeros((W, 4), jnp.float32)], axis=1
+    )
+    kp = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]).reshape(1, 4)
+
+    lo = _fused_lo_sum_planes(
+        wp,
+        kp,
+        planes,
+        valid_plane,
+        (float(img_width), float(img_height)),
+        (float(min_dist), float(max_dist)),
+        float(eps),
+    )
+    return lo.reshape(Np)[:N]

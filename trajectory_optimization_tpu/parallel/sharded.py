@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from trajectory_optimization_tpu.models.traj import TrajProblem, traj_forward
 from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
-from trajectory_optimization_tpu.ops.geometry import dist_mask, fov_mask, to_camera_frame
+from trajectory_optimization_tpu.ops.scores import waypoint_scores
 from trajectory_optimization_tpu.parallel.mesh import points_sharding, replicated
 
 
@@ -110,10 +110,17 @@ def shardmap_visibility(
     quats_sel, poses_sel = quats[sel], poses[sel]
 
     def local(points_l, valid_l):
-        cam = to_camera_frame(points_l, quats_sel, poses_sel)  # (W_sel, n_loc, 3)
-        p = dist_mask(cam, problem.min_dist, problem.max_dist) * fov_mask(
-            cam, K, problem.img_width, problem.img_height, eps=problem.eps
-        )
+        p = waypoint_scores(
+            points_l,
+            quats_sel,
+            poses_sel,
+            K,
+            problem.img_width,
+            problem.img_height,
+            min_dist=problem.min_dist,
+            max_dist=problem.max_dist,
+            eps=problem.eps,
+        )  # (W_sel, n_loc)
         big = jnp.asarray(jnp.finfo(p.dtype).max, p.dtype)
         pmin_l = jnp.min(jnp.where(valid_l > 0, p, big), axis=-1)
         pmax_l = jnp.max(jnp.where(valid_l > 0, p, -big), axis=-1)
