@@ -1,0 +1,131 @@
+import numpy as np
+import pytest
+
+from trajectory_optimization_tpu.bus.codec import (
+    WireCloud,
+    decode,
+    encode,
+    encode_xyz,
+    extract_fields,
+    extract_xyz,
+    merge_rgb,
+    split_rgb,
+    wire_to_cloud_msg,
+)
+from trajectory_optimization_tpu.bus.core import ApproximateTimeSynchronizer, Bus
+from trajectory_optimization_tpu.bus.frames import FrameGraph
+from trajectory_optimization_tpu.bus.messages import CloudMsg, Header, PathMsg, PoseMsg
+
+
+def test_pub_sub_and_latched():
+    bus = Bus()
+    got = []
+    bus.publish("/a", 1)
+    bus.subscribe("/a", got.append)  # latched delivery of last message
+    bus.publish("/a", 2)
+    assert got == [1, 2]
+    assert bus.latest("/a") == 2
+
+
+def test_time_sync_pairs_within_slop():
+    bus = Bus()
+    pairs = []
+    ApproximateTimeSynchronizer(
+        bus, ["/pc", "/pose"], lambda a, b: pairs.append((a, b)), slop=0.5
+    )
+    pc = CloudMsg(Header(stamp=10.0), np.zeros((5, 3)))
+    pose = PoseMsg(Header(stamp=10.2), np.zeros(3), [0, 0, 0, 1])
+    bus.publish("/pc", pc)
+    assert pairs == []  # only one side present
+    bus.publish("/pose", pose)
+    assert len(pairs) == 1 and pairs[0][0] is pc
+
+    # out-of-slop messages never pair
+    bus.publish("/pc", CloudMsg(Header(stamp=20.0), np.zeros((5, 3))))
+    bus.publish("/pose", PoseMsg(Header(stamp=25.0), np.zeros(3), [0, 0, 0, 1]))
+    assert len(pairs) == 1
+
+
+def test_frame_graph_lookup_roundtrip():
+    fg = FrameGraph()
+    # world -> base at (1,0,0); base -> cam rotated 90° about z at (0,1,0)
+    fg.set_transform("world", "base", [1, 0, 0], [0, 0, 0, 1])
+    qz90 = [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)]
+    fg.set_transform("base", "cam", [0, 1, 0], qz90)
+
+    # the cam origin in world coordinates
+    t, q = fg.lookup("world", "cam")
+    np.testing.assert_allclose(t, [1, 1, 0], atol=1e-9)
+
+    # a point at cam origin maps to (1,1,0) in world
+    p = fg.transform_points(np.zeros((1, 3)), "world", "cam")
+    np.testing.assert_allclose(p, [[1, 1, 0]], atol=1e-6)
+
+    # inverse direction composes to identity
+    M = fg.lookup_matrix("cam", "world") @ fg.lookup_matrix("world", "cam")
+    np.testing.assert_allclose(M, np.eye(4), atol=1e-9)
+
+
+def test_frame_graph_errors():
+    fg = FrameGraph()
+    fg.set_transform("a", "b", [0, 0, 0], [0, 0, 0, 1])
+    fg.set_transform("c", "d", [0, 0, 0], [0, 0, 0, 1])
+    with pytest.raises(KeyError):
+        fg.lookup("a", "z")
+    with pytest.raises(KeyError):
+        fg.lookup("a", "d")  # disconnected components
+
+
+def test_codec_xyz_roundtrip():
+    pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    wire = encode_xyz(pts)
+    assert wire.point_step == 12 and wire.width == 100
+    back = extract_xyz(wire)
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_codec_xyzi_roundtrip_and_cloudmsg():
+    pts = np.random.default_rng(1).normal(size=(50, 4)).astype(np.float32)
+    wire = encode_xyz(pts)
+    assert [f.name for f in wire.fields] == ["x", "y", "z", "intensity"]
+    msg = wire_to_cloud_msg(wire)
+    np.testing.assert_allclose(msg.points, pts, atol=1e-6)
+
+
+def test_codec_handles_padding_bytes():
+    # a typical PCL cloud: xyz + 4 pad bytes -> point_step 16
+    dt = np.dtype({"names": ["x", "y", "z"], "formats": [np.float32] * 3,
+                   "offsets": [0, 4, 8], "itemsize": 16})
+    arr = np.zeros(10, dtype=dt)
+    arr["x"] = np.arange(10)
+    wire = WireCloud(Header.make(), 1, 10,
+                     fields=[__import__("trajectory_optimization_tpu.bus.codec", fromlist=["FieldSpec"]).FieldSpec(n, o, 7) for n, o in [("x", 0), ("y", 4), ("z", 8)]],
+                     point_step=16, data=arr.tobytes())
+    out = extract_xyz(wire)
+    np.testing.assert_allclose(out[:, 0], np.arange(10))
+
+
+def test_codec_nan_removal():
+    pts = np.ones((5, 3), np.float32)
+    pts[2, 1] = np.nan
+    wire = encode_xyz(pts)
+    assert not wire.is_dense
+    assert extract_xyz(wire).shape == (4, 3)
+
+
+def test_rgb_pack_unpack_roundtrip():
+    dt = np.dtype([("x", np.float32), ("r", np.uint8), ("g", np.uint8), ("b", np.uint8)])
+    rec = np.zeros(4, dtype=dt)
+    rec["r"] = [255, 1, 2, 3]
+    rec["g"] = [0, 128, 4, 5]
+    rec["b"] = [7, 9, 200, 6]
+    packed = merge_rgb(rec)
+    assert packed.dtype.names == ("x", "rgb")
+    back = split_rgb(packed)
+    for c in "rgb":
+        np.testing.assert_array_equal(back[c], rec[c])
+
+
+def test_path_msg_quaternion_convention():
+    path = PathMsg.straight(np.zeros((3, 3)))
+    np.testing.assert_allclose(path.orientations_wxyz, [[1, 0, 0, 0]] * 3)

@@ -1,0 +1,163 @@
+"""End-to-end node-graph tests: feeders → optimizers → output topics,
+the replay harness standing in for the reference's ROS graph (SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from trajectory_optimization_tpu.bus.core import Bus
+from trajectory_optimization_tpu.bus.messages import (
+    CameraInfoMsg,
+    CloudMsg,
+    Header,
+    PathMsg,
+    PoseMsg,
+)
+from trajectory_optimization_tpu.bus.nodes import (
+    CloudFeederNode,
+    PointsProcessorNode,
+    PoseFeederNode,
+    PoseOptNode,
+    TrajOptNode,
+    VoxelFilterNode,
+)
+from trajectory_optimization_tpu.utils.config import (
+    CloudFeederConfig,
+    PointsProcessorConfig,
+    PoseFeederConfig,
+    PoseOptNodeConfig,
+    TrajOptNodeConfig,
+    VoxelFilterConfig,
+)
+
+
+def test_traj_opt_node_end_to_end(cloud10, path10):
+    bus = Bus()
+    node = TrajOptNode(
+        bus,
+        TrajOptNodeConfig(
+            pc_topic="/pc", path_topic="/path", opt_steps=15,
+            lr_pose=0.1, lr_quat=0.02, publish_rewards_cloud=True,
+        ),
+    )
+    outputs = {}
+    bus.subscribe("/path/optimized", lambda m: outputs.setdefault("path", m))
+    bus.subscribe("/pc/rewards", lambda m: outputs.setdefault("rewards", m))
+
+    bus.publish("/pc", CloudMsg(Header(stamp=1.0, frame_id="map"), cloud10[::4]))
+    bus.publish("/path", PathMsg.straight(path10, frame_id="map", stamp=1.2))
+
+    assert "path" in outputs, "no optimized path published"
+    out = outputs["path"]
+    assert out.positions.shape == path10.shape
+    assert out.header.frame_id == "map"
+    # quaternions normalized, xyzw
+    np.testing.assert_allclose(
+        np.linalg.norm(out.orientations_xyzw, axis=1), 1.0, atol=1e-5
+    )
+    # the optimizer moved the trajectory
+    assert np.abs(out.positions - path10).max() > 1e-4
+    assert node.last_result["mean_reward"] > 0
+
+    rew = outputs["rewards"]
+    assert rew.points.shape == (len(cloud10[::4]), 4)
+    assert rew.intensity.min() >= 0 and rew.intensity.max() <= 1
+
+
+def test_pose_opt_node_publishes_progress(cloud10):
+    bus = Bus()
+    node = PoseOptNode(
+        bus,
+        PoseOptNodeConfig(
+            pc_topic="/pts", pose_topic="/pose", opt_steps=20,
+            lr_pose=0.02, lr_quat=0.02, num_pub_samples=4,
+        ),
+    )
+    odoms, infos = [], []
+    bus.subscribe("/odom", odoms.append)
+    bus.subscribe("/camera/camera_info", infos.append)
+    bus.publish("/pts", CloudMsg(Header(stamp=5.0, frame_id="world"), cloud10[::8]))
+    bus.publish(
+        "/pose",
+        PoseMsg(Header(stamp=5.1, frame_id="world"), [6.0, 2.0, 0.0], [0.1, -0.3, 0.2, 0.9]),
+    )
+    assert len(odoms) >= 4  # published num_pub_samples times during the loop
+    assert node.last_result["n_iters"] == 20
+    assert infos and infos[-1].K[0] > 0
+    # optimized camera pose landed in the frame graph
+    t, q = node.frames.lookup("world", "camera_frame")
+    assert np.isfinite(t).all()
+
+
+def test_points_processor_pipeline(cloud10):
+    bus = Bus()
+    node = PointsProcessorNode(
+        bus,
+        PointsProcessorConfig(
+            pc_topic="/cloud", cam_info_topics=("/cam0/info",),
+            frustum_min_dist=1.0, frustum_max_dist=15.0, hpr_backend="approx",
+            render=False,
+        ),
+    )
+    # camera sits at the pose-demo start, looking along world +z
+    node.frames.set_transform("world", "cam0", [6.0, 2.0, -3.0], [0, 0, 0, 1])
+    outputs = {}
+    bus.subscribe("/cam0/pointcloud", lambda m: outputs.setdefault("culled", m))
+    bus.subscribe("/cam0/pointcloud_visible", lambda m: outputs.setdefault("visible", m))
+
+    bus.publish("/cloud", CloudMsg(Header(stamp=0.0, frame_id="world"), cloud10))
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    bus.publish(
+        "/cam0/info",
+        CameraInfoMsg(
+            Header(stamp=0.0, frame_id="cam0"),
+            int(intr.width), int(intr.height),
+            K=tuple(intr.matrix_np(np.float64).reshape(-1)),
+        ),
+    )
+    assert "culled" in outputs and "visible" in outputs
+    n_culled = len(outputs["culled"].points)
+    n_visible = len(outputs["visible"].points)
+    assert 0 < n_visible <= n_culled < len(cloud10)
+
+
+def test_voxel_filter_node(cloud10):
+    bus = Bus()
+    VoxelFilterNode(
+        bus, VoxelFilterConfig(input_topic="/raw", output_topic="/filtered", leaf_size=0.3)
+    )
+    out = []
+    bus.subscribe("/filtered", out.append)
+    bus.publish("/raw", CloudMsg(Header(stamp=0.0), cloud10))
+    assert out and 0 < len(out[0].points) < len(cloud10)
+
+
+def test_feeders(tmp_path, cloud10):
+    np.savez(tmp_path / "point_cloud_7.npz", pts=cloud10[:100])
+    bus = Bus()
+    clouds, poses = [], []
+    bus.subscribe("/pts", clouds.append)
+    bus.subscribe("/pose", poses.append)
+    CloudFeederNode(
+        bus, CloudFeederConfig(output_topic="/pts", pc_index=7, data_dir=str(tmp_path))
+    ).tick()
+    PoseFeederNode(
+        bus, PoseFeederConfig(output_topic="/pose", x=1.0, y=2.0, z=3.0,
+                              roll=0.0, pitch=0.0, yaw=0.0)
+    ).tick()
+    assert clouds[0].points.shape == (100, 3)
+    np.testing.assert_allclose(poses[0].position, [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(poses[0].orientation_xyzw, [0, 0, 0, 1], atol=1e-7)
+
+
+def test_launch_pose_optimization_graph(tmp_path, cloud10):
+    np.savez(tmp_path / "point_cloud_10.npz", pts=cloud10[::16])
+    from trajectory_optimization_tpu.bus.launch import launch_pose_optimization
+
+    launch = launch_pose_optimization(data_dir=str(tmp_path))
+    launch.nodes["pose_opt"].cfg.opt_steps = 8
+    launch.nodes["pose_opt"].cfg.num_pub_samples = 2
+    results = []
+    launch.bus.subscribe("/odom", results.append)
+    launch.step()
+    assert results, "pose optimizer produced no odometry"

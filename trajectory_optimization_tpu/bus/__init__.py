@@ -1,0 +1,26 @@
+from trajectory_optimization_tpu.bus.messages import (
+    CameraInfoMsg,
+    CloudMsg,
+    Header,
+    ImageMsg,
+    OdometryMsg,
+    PathMsg,
+    PoseMsg,
+    TransformMsg,
+)
+from trajectory_optimization_tpu.bus.core import Bus, ApproximateTimeSynchronizer
+from trajectory_optimization_tpu.bus.frames import FrameGraph
+
+__all__ = [
+    "Bus",
+    "ApproximateTimeSynchronizer",
+    "FrameGraph",
+    "Header",
+    "CloudMsg",
+    "PoseMsg",
+    "PathMsg",
+    "CameraInfoMsg",
+    "OdometryMsg",
+    "ImageMsg",
+    "TransformMsg",
+]

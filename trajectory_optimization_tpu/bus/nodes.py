@@ -1,0 +1,377 @@
+"""Processing nodes: the reference's ROS node layer on the scene bus.
+
+Each node mirrors one reference process (SURVEY.md §2 #16-18, #21-22):
+
+  * :class:`TrajOptNode`   — `src/trajectory_optimization.py`: pair
+    (cloud, path), optimize the trajectory with early stopping, publish the
+    optimized path (+ optional rewards cloud).
+  * :class:`PoseOptNode`   — `src/pose_optimization.py`: pair (cloud, pose),
+    optimize a single camera pose, publishing odometry/TF/camera-info and a
+    rewards cloud ~num_pub_samples times during the loop.
+  * :class:`PointsProcessorNode` — `src/pc_processor.py`: per camera-info,
+    transform the cloud into the camera frame via the frame graph, hard
+    frustum-cull, HPR, publish both subsets and a rendered image.
+  * :class:`CloudFeederNode` / :class:`PoseFeederNode` — `src/pc_publisher.py`
+    / `src/pose_publisher.py`: replay npz clouds / (random) poses.
+  * :class:`VoxelFilterNode` — the PCL VoxelGrid nodelet's role
+    (`launch/voxels_filtering.launch`).
+
+Device work happens inside the nodes through the jitted engine; cloud sizes
+are bucketed (utils.data) so repeated messages hit the compile cache.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from trajectory_optimization_tpu.bus.core import ApproximateTimeSynchronizer, Bus
+from trajectory_optimization_tpu.bus.frames import FrameGraph
+from trajectory_optimization_tpu.bus.messages import (
+    CameraInfoMsg,
+    CloudMsg,
+    Header,
+    ImageMsg,
+    OdometryMsg,
+    PathMsg,
+    PoseMsg,
+    TransformMsg,
+)
+from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params, pose_forward
+from trajectory_optimization_tpu.models.traj import (
+    TrajProblem,
+    init_traj_params,
+    traj_forward,
+    waypoint_stride,
+)
+from trajectory_optimization_tpu.opt.engine import (
+    EarlyStop,
+    OptimizerConfig,
+    OptimizerLoop,
+    optimize,
+)
+from trajectory_optimization_tpu.utils.config import (
+    CloudFeederConfig,
+    PointsProcessorConfig,
+    PoseFeederConfig,
+    PoseOptNodeConfig,
+    TrajOptNodeConfig,
+    VoxelFilterConfig,
+)
+from trajectory_optimization_tpu.utils.data import pad_points
+from trajectory_optimization_tpu.utils.intrinsics import CameraIntrinsics, default_intrinsics
+
+
+class TrajOptNode:
+    """Trajectory optimizer node (`src/trajectory_optimization.py:25-158`)."""
+
+    def __init__(self, bus: Bus, cfg: TrajOptNodeConfig, intrinsics: Optional[CameraIntrinsics] = None):
+        self.bus = bus
+        self.cfg = cfg
+        self.intr = intrinsics or default_intrinsics()
+        self.last_result: Optional[Dict] = None
+        self._sync = ApproximateTimeSynchronizer(
+            bus, [cfg.pc_topic, cfg.path_topic], self.callback, queue_size=10, slop=0.5
+        )
+
+    def callback(self, pc_msg: CloudMsg, path_msg: PathMsg) -> None:
+        cfg = self.cfg
+        points, valid = pad_points(pc_msg.xyz.astype(np.float32))
+        poses0 = path_msg.positions.astype(np.float32)
+        quats0 = path_msg.orientations_wxyz.astype(np.float32)
+
+        problem = TrajProblem(
+            img_width=self.intr.width,
+            img_height=self.intr.height,
+            min_dist=cfg.min_dist,
+            max_dist=cfg.max_dist,
+            smoothness_weight=cfg.smooth_weight,
+            length_weight=cfg.length_weight,
+            wps_step=waypoint_stride(poses0, cfg.vis_wps_dist),
+        )
+        P, V = jnp.asarray(points), jnp.asarray(valid)
+        K = self.intr.matrix()
+        p0, q0 = jnp.asarray(poses0), jnp.asarray(quats0)
+
+        def loss_fn(params):
+            return traj_forward(params, P, K, p0, q0, problem, valid=V)
+
+        params = init_traj_params(poses0, quats0)
+        opt_cfg = OptimizerConfig(lr_pose=cfg.lr_pose, lr_quat=cfg.lr_quat)
+        params, n_iters, loss = optimize(
+            loss_fn,
+            params,
+            opt_cfg,
+            cfg.opt_steps,
+            early_stop=EarlyStop(rewards_th=cfg.rewards_th, smoothness_th=cfg.smoothness_th),
+        )
+        _, aux = loss_fn(params)
+
+        # optimized path out, wxyz → xyzw with normalization
+        # (`src/trajectory_optimization.py:141-145`)
+        poses_out = np.asarray(params["poses"], np.float64)
+        quats = np.asarray(params["quats"], np.float64)
+        quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)
+        quats_xyzw = np.concatenate([quats[:, 1:], quats[:, :1]], axis=1)
+        self.bus.publish(
+            cfg.path_topic + "/optimized",
+            PathMsg(Header.make(path_msg.header.frame_id), poses_out, quats_xyzw),
+        )
+
+        if cfg.publish_rewards_cloud:
+            rewards = np.asarray(aux["rewards"])[: len(pc_msg.xyz)]
+            cloud = np.concatenate(
+                [pc_msg.xyz, rewards[:, None].astype(np.float32)], axis=1
+            )
+            self.bus.publish(
+                cfg.pc_topic + "/rewards",
+                CloudMsg(Header.make(pc_msg.header.frame_id), cloud),
+            )
+
+        self.last_result = {
+            "n_iters": n_iters,
+            "loss": loss,
+            "mean_reward": float(aux["mean_reward"]),
+        }
+
+    def close(self):
+        self._sync.close()
+
+
+class PoseOptNode:
+    """Single-pose optimizer node (`src/pose_optimization.py:31-147`)."""
+
+    def __init__(self, bus: Bus, cfg: PoseOptNodeConfig, intrinsics: Optional[CameraIntrinsics] = None):
+        self.bus = bus
+        self.cfg = cfg
+        self.intr = intrinsics or default_intrinsics()
+        self.frames = FrameGraph()
+        self.last_result: Optional[Dict] = None
+        self._sync = ApproximateTimeSynchronizer(
+            bus, [cfg.pc_topic, cfg.pose_topic], self.callback, queue_size=10, slop=0.5
+        )
+
+    def callback(self, pc_msg: CloudMsg, pose_msg: PoseMsg) -> None:
+        cfg = self.cfg
+        points, valid = pad_points(pc_msg.xyz.astype(np.float32))
+        problem = PoseProblem(
+            img_width=self.intr.width,
+            img_height=self.intr.height,
+            min_dist=cfg.min_dist,
+            max_dist=cfg.max_dist,
+        )
+        P, V, K = jnp.asarray(points), jnp.asarray(valid), self.intr.matrix()
+
+        occlusion = None
+        if cfg.use_hpr:
+            # the reference recomputes HPR on detached world points every step
+            # (`src/model.py:112-115`); constant during the loop ⇒ once here
+            from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx
+
+            occlusion = jnp.pad(
+                hpr_mask_approx(jnp.asarray(pc_msg.xyz.astype(np.float32))),
+                (0, len(points) - len(pc_msg.xyz)),
+            )
+
+        def loss_fn(params):
+            loss, aux = pose_forward(
+                params, P, K, problem, valid=V, occlusion_mask=occlusion
+            )
+            return loss, {**aux, "mean_reward": jnp.mean(aux["observations"]),
+                          "loss_smooth": jnp.float32(1.0)}
+
+        params = init_pose_params(
+            pose_msg.position.astype(np.float32)[None],
+            pose_msg.orientation_wxyz.astype(np.float32)[None],
+        )
+        loop = OptimizerLoop(
+            loss_fn,
+            params,
+            OptimizerConfig(lr_pose=cfg.lr_pose, lr_quat=cfg.lr_quat),
+            pose_key="trans",
+            quat_key="quat",
+        )
+        seg = max(cfg.opt_steps // cfg.num_pub_samples, 1)
+        done = 0
+        while done < cfg.opt_steps:
+            n = min(seg, cfg.opt_steps - done)
+            loss, aux = loop.run(n)
+            done += n
+            self._publish(pc_msg, pose_msg, loop.params, aux)
+        self.last_result = {"loss": float(loss), "n_iters": done}
+
+    def _publish(self, pc_msg, pose_msg, params, aux):
+        # odometry + TF + camera info (`src/pose_optimization.py:99-112`)
+        trans = np.asarray(params["trans"], np.float64).reshape(3)
+        q = np.asarray(params["quat"], np.float64).reshape(4)
+        q = q / np.linalg.norm(q)
+        q_xyzw = np.array([q[1], q[2], q[3], q[0]])
+        frame = pose_msg.header.frame_id
+        self.bus.publish("/odom", OdometryMsg(Header.make(frame), trans, q_xyzw))
+        self.frames.set_transform(frame, "camera_frame", trans, q_xyzw)
+        self.bus.publish(
+            "/tf", TransformMsg(Header.make(frame), "camera_frame", trans, q_xyzw)
+        )
+        self.bus.publish(
+            "/camera/camera_info",
+            CameraInfoMsg(
+                Header.make("camera_frame"),
+                int(self.intr.width),
+                int(self.intr.height),
+                K=tuple(self.intr.matrix_np(np.float64).reshape(-1)),
+                D=tuple(self.intr.distortion),
+            ),
+        )
+        if self.cfg.publish_rewards_cloud:
+            obs = np.asarray(aux["observations"])[: len(pc_msg.xyz)]
+            cloud = np.concatenate([pc_msg.xyz, obs[:, None].astype(np.float32)], axis=1)
+            self.bus.publish(
+                self.cfg.pc_topic + "/rewards",
+                CloudMsg(Header.make(pc_msg.header.frame_id), cloud),
+            )
+
+    def close(self):
+        self._sync.close()
+
+
+class PointsProcessorNode:
+    """Multi-camera visibility processor (`src/pc_processor.py:30-197`)."""
+
+    def __init__(self, bus: Bus, cfg: PointsProcessorConfig, frames: Optional[FrameGraph] = None):
+        self.bus = bus
+        self.cfg = cfg
+        self.frames = frames or FrameGraph()
+        self._cloud: Optional[CloudMsg] = None
+        bus.subscribe(cfg.pc_topic, self._pc_callback)
+        for t in cfg.cam_info_topics:
+            bus.subscribe(t, self._cam_info_callback)
+
+    def _pc_callback(self, msg: CloudMsg):
+        self._cloud = msg
+
+    def _cam_info_callback(self, info: CameraInfoMsg):
+        if self._cloud is None:
+            return
+        self.process(self._cloud, info)
+
+    def process(self, cloud: CloudMsg, info: CameraInfoMsg):
+        from trajectory_optimization_tpu.ops.geometry import compact_masked, frustum_cull
+        from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx, hpr_points_exact
+
+        cam_frame = info.header.frame_id
+        intr = info.intrinsics()
+        # cloud frame → camera frame through the frame graph
+        # (`src/pc_processor.py:161-168`)
+        cam_pts = self.frames.transform_points(
+            cloud.xyz.astype(np.float64), cam_frame, cloud.header.frame_id
+        ).astype(np.float32)
+
+        mask, _, _ = frustum_cull(
+            jnp.asarray(cam_pts),
+            intr.matrix(),
+            intr.width,
+            intr.height,
+            min_dist=self.cfg.frustum_min_dist,
+            max_dist=self.cfg.frustum_max_dist,
+        )
+        culled = compact_masked(cam_pts, mask)
+        out_topic = f"/{cam_frame}/pointcloud"
+        self.bus.publish(out_topic, CloudMsg(Header.make(cam_frame), culled))
+
+        if self.cfg.hpr_backend == "exact":
+            visible, _ = hpr_points_exact(culled)
+        elif self.cfg.hpr_backend == "approx":
+            m = np.asarray(hpr_mask_approx(jnp.asarray(culled))) > 0.5 if len(culled) else np.zeros(0, bool)
+            visible = culled[m]
+        else:
+            visible = culled
+        self.bus.publish(out_topic + "_visible", CloudMsg(Header.make(cam_frame), visible))
+
+        if self.cfg.render and len(visible):
+            from trajectory_optimization_tpu.ops.render import render_point_cloud
+
+            img = render_point_cloud(
+                jnp.asarray(visible),
+                intr.matrix(),
+                int(intr.height),
+                int(intr.width),
+                znear=self.cfg.frustum_min_dist,
+                zfar=self.cfg.frustum_max_dist,
+            )
+            self.bus.publish(
+                out_topic + "_image",
+                ImageMsg(Header.make(cam_frame), np.asarray(img), encoding="rgb32f"),
+            )
+        return visible
+
+
+class CloudFeederNode:
+    """npz cloud replay (`src/pc_publisher.py`). Call tick() at the configured
+    rate (launch.spin does this), or drive manually in tests."""
+
+    def __init__(self, bus: Bus, cfg: CloudFeederConfig, rng: Optional[np.random.Generator] = None):
+        self.bus = bus
+        self.cfg = cfg
+        self.rng = rng or np.random.default_rng()
+
+    def tick(self):
+        from trajectory_optimization_tpu.utils.data import load_point_cloud
+
+        idx = self.cfg.pc_index
+        if idx == -1:
+            idx = int(self.rng.integers(0, 30))
+        path = os.path.join(self.cfg.data_dir, f"point_cloud_{idx}.npz")
+        pts = load_point_cloud(path)
+        self.bus.publish(self.cfg.output_topic, CloudMsg(Header.make(self.cfg.frame_id), pts))
+
+
+class PoseFeederNode:
+    """Random-or-fixed pose feeder (`src/pose_publisher.py`)."""
+
+    def __init__(self, bus: Bus, cfg: PoseFeederConfig, rng: Optional[np.random.Generator] = None):
+        self.bus = bus
+        self.cfg = cfg
+        self.rng = rng or np.random.default_rng()
+
+    def tick(self):
+        from trajectory_optimization_tpu.ops import quat as quat_ops
+
+        c = self.cfg
+        pos = np.array(
+            [
+                c.x if c.x is not None else self.rng.random() * 5 + 15,
+                c.y if c.y is not None else self.rng.random() * 5 + 15,
+                c.z if c.z is not None else self.rng.random() * 2,
+            ]
+        )
+        rpy = [
+            c.roll if c.roll is not None else self.rng.random() * np.pi,
+            c.pitch if c.pitch is not None else self.rng.random() * np.pi,
+            c.yaw if c.yaw is not None else self.rng.random() * np.pi,
+        ]
+        q_wxyz = np.asarray(quat_ops.from_euler(*rpy))
+        q_xyzw = np.concatenate([q_wxyz[1:], q_wxyz[:1]])
+        self.bus.publish(
+            c.output_topic, PoseMsg(Header.make(c.frame_id), pos, q_xyzw)
+        )
+
+
+class VoxelFilterNode:
+    """Voxel-grid downsampling filter (the PCL VoxelGrid nodelet's role,
+    `launch/voxels_filtering.launch:8-21`). Uses the native C++ filter when
+    built, NumPy otherwise."""
+
+    def __init__(self, bus: Bus, cfg: VoxelFilterConfig):
+        self.bus = bus
+        self.cfg = cfg
+        bus.subscribe(cfg.input_topic, self.callback)
+
+    def callback(self, msg: CloudMsg):
+        from trajectory_optimization_tpu.native import voxel_downsample_native
+
+        out = voxel_downsample_native(
+            msg.points, self.cfg.leaf_size, z_limits=self.cfg.z_limits
+        )
+        self.bus.publish(self.cfg.output_topic, CloudMsg(msg.header, out))

@@ -183,6 +183,65 @@ def _optimize_scan(
     return params, history
 
 
+class OptimizerLoop:
+    """Stepwise optimization with persistent state — for callers that
+    interleave device steps with host work (the nodes publish rewards every
+    n/20 iterations, reference `src/pose_optimization.py:140-143`).
+
+    ``run(n)`` advances n steps in one jitted lax.fori_loop (per distinct n,
+    one compile); state persists across calls.
+    """
+
+    def __init__(
+        self,
+        loss_fn: LossFn,
+        params: Dict,
+        cfg: OptimizerConfig,
+        *,
+        pose_key: str = "poses",
+        quat_key: str = "quats",
+    ):
+        self._tx = make_optimizer(cfg, pose_key=pose_key, quat_key=quat_key)
+        self._loss_fn = loss_fn
+        self._state = (params, self._tx.init(params))
+        self._aux = None
+
+        vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+        @partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+        def run_n(state, n):
+            def body(_, carry):
+                params, opt_state, _, _ = carry
+                (loss, aux), grads = vg(params)
+                updates, opt_state = self._tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss, aux
+
+            params, opt_state = state
+            loss0, aux0 = loss_fn(params)
+            params, opt_state, loss, aux = jax.lax.fori_loop(
+                0, n, body, (params, opt_state, loss0, aux0)
+            )
+            return (params, opt_state), loss, aux
+
+        self._run_n = run_n
+
+    @property
+    def params(self) -> Dict:
+        return self._state[0]
+
+    @property
+    def last_aux(self):
+        return self._aux
+
+    def run(self, n: int):
+        """Advance n optimization steps; returns (loss, aux) of the LAST
+        forward evaluation inside the segment."""
+        self._state, loss, aux = self._run_n(self._state, int(n))
+        self._aux = aux
+        return loss, aux
+
+
 def optimize_with_history(
     loss_fn: LossFn,
     params: Dict,
