@@ -1,0 +1,71 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajectory_optimization_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from trajectory_optimization_tpu.utils.config import (
+    TrajOptNodeConfig,
+    apply_overrides,
+)
+from trajectory_optimization_tpu.utils.data import bucket_size, pad_points
+from trajectory_optimization_tpu.utils.profiling import Metrics, StepTimer
+
+
+def test_bucket_size_growth():
+    assert bucket_size(10) == 1024
+    assert bucket_size(1024) == 1024
+    assert bucket_size(1025) >= 1025
+    # o(log N) distinct buckets, each within 25% padding waste
+    sizes = {bucket_size(n) for n in range(1, 200000, 777)}
+    assert len(sizes) < 40
+    for n in (1, 5000, 40452, 199999):
+        b = bucket_size(n)
+        assert b >= n and b <= max(1024, int(n * 1.6))
+
+
+def test_pad_points_masks():
+    pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    padded, valid = pad_points(pts)
+    assert padded.shape[0] == 1024 and valid.sum() == 100
+    np.testing.assert_array_equal(padded[:100], pts)
+    assert (padded[100:] == 1e6).all()
+
+
+def test_config_overrides():
+    cfg = TrajOptNodeConfig()
+    out = apply_overrides(cfg, ["opt_steps=50", "lr_pose=0.3", "publish_rewards_cloud=true"])
+    assert out.opt_steps == 50 and out.lr_pose == 0.3 and out.publish_rewards_cloud
+    assert cfg.opt_steps == 10  # original untouched
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["nonsense=1"])
+    # sectioned overrides apply only to the named section
+    out2 = apply_overrides(cfg, ["traj_opt.opt_steps=99", "pose_opt.opt_steps=7"], section="traj_opt")
+    assert out2.opt_steps == 99
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"poses": jnp.arange(12.0).reshape(4, 3), "quats": jnp.ones((4, 4))}
+    payload_path = save_checkpoint(str(tmp_path / "ckpt"), params, opt_state=None, step=7)
+    like = {"params": params, "opt_state": None, "step": 0, "extra": {}}
+    restored = load_checkpoint(payload_path, like=like)
+    np.testing.assert_allclose(np.asarray(restored["params"]["poses"]), np.asarray(params["poses"]))
+    assert int(np.asarray(restored["step"])) == 7
+
+
+def test_step_timer_and_metrics():
+    t = StepTimer()
+    with t.span("work"):
+        sum(range(1000))
+    t.record("work", 0.002)
+    s = t.summary()["work"]
+    assert s["count"] == 2 and s["mean_ms"] > 0
+    assert "work" in t.report()
+
+    m = Metrics()
+    m.incr("msgs")
+    m.incr("msgs")
+    m.gauge("reward", 0.7)
+    snap = m.snapshot()
+    assert snap["msgs"] == 2 and snap["reward"] == 0.7
