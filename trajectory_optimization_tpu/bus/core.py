@@ -31,10 +31,24 @@ class Subscription:
 
 
 class Bus:
-    """Topic-based pub/sub. Thread-safe; delivery is synchronous by default
-    (deterministic for tests/replay), or decoupled via ``spin_async``."""
+    """Topic-based pub/sub. Thread-safe; delivery is synchronous
+    (deterministic for tests/replay).
 
-    def __init__(self):
+    Failure isolation: with the default ``error_policy='isolate'`` a
+    subscriber exception is recorded (``bus.errors``, plus an event on the
+    ``/__errors__`` topic) and does NOT propagate to the publisher — the
+    in-process analogue of the reference's process-level elasticity, where a
+    crashing ROS node never takes the feeders down and recovers on the next
+    message (SURVEY.md §5 "failure detection"). Use ``error_policy='raise'``
+    in tests to surface bugs immediately."""
+
+    ERROR_TOPIC = "/__errors__"
+
+    def __init__(self, error_policy: str = "isolate"):
+        if error_policy not in ("isolate", "raise"):
+            raise ValueError(f"unknown error_policy {error_policy!r}")
+        self.error_policy = error_policy
+        self.errors: List[dict] = []
         self._subs: Dict[str, List[Subscription]] = collections.defaultdict(list)
         self._latched: Dict[str, object] = {}
         self._lock = threading.RLock()
@@ -59,7 +73,14 @@ class Bus:
             self._history[topic].append(msg)
             subs = list(self._subs.get(topic, ()))
         for sub in subs:
-            sub.callback(msg)
+            try:
+                sub.callback(msg)
+            except Exception as e:  # noqa: BLE001 — isolation boundary
+                if self.error_policy == "raise" or topic == self.ERROR_TOPIC:
+                    raise
+                event = {"topic": topic, "error": repr(e), "callback": repr(sub.callback)}
+                self.errors.append(event)
+                self.publish(self.ERROR_TOPIC, event)
 
     def latest(self, topic: str):
         with self._lock:

@@ -112,3 +112,32 @@ def launch_pointcloud_processor(
         bus, PointsProcessorConfig(cam_info_topics=tuple(cam_info_topics))
     )
     return Launch(bus, {"pc_processor": node}, [])
+
+
+def launch_voxels_filtering(
+    *,
+    input_topic: str = "/local_map",
+    output_topic: str = "/local_map/voxels",
+    leaf_size: float = 0.15,
+    z_limits=None,
+) -> Launch:
+    """`launch/voxels_filtering.launch`: the PCL VoxelGrid stage as a bus
+    node (leaf 0.1–0.2 m with optional z pass-through, matching the nodelet
+    parameters)."""
+    bus = Bus()
+    node = VoxelFilterNode(
+        bus,
+        VoxelFilterConfig(
+            input_topic=input_topic, output_topic=output_topic,
+            leaf_size=leaf_size, z_limits=z_limits,
+        ),
+    )
+    return Launch(bus, {"voxel_filter": node}, [])
+
+
+def launch_play_bag(bag_dir: str, nodes_launch: Launch, *, realtime: bool = False, rate: float = 1.0) -> int:
+    """`launch/play_bag.launch`: replay a recorded bag directory into an
+    existing node graph's bus (the 'multi-node without a robot' workflow)."""
+    from trajectory_optimization_tpu.bus.replay import Player
+
+    return Player(bag_dir).play(nodes_launch.bus, realtime=realtime, rate=rate)

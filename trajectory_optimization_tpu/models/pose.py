@@ -19,7 +19,7 @@ from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 
-from trajectory_optimization_tpu.ops.geometry import dist_mask, fov_mask, to_camera_frame
+from trajectory_optimization_tpu.ops.scores import waypoint_scores
 
 
 Params = Dict[str, jnp.ndarray]
@@ -66,10 +66,17 @@ def pose_forward(
       what the reference publishes as the rewards-cloud intensity channel
       (`src/pose_optimization.py:109-112`).
     """
-    cam = to_camera_frame(points, params["quat"][0], params["trans"][0])
-    dm = dist_mask(cam, problem.min_dist, problem.max_dist)
-    fm = fov_mask(cam, K, problem.img_width, problem.img_height, eps=problem.eps)
-    mask = dm * fm
+    mask = waypoint_scores(
+        points,
+        params["quat"],
+        params["trans"],
+        K,
+        problem.img_width,
+        problem.img_height,
+        min_dist=problem.min_dist,
+        max_dist=problem.max_dist,
+        eps=problem.eps,
+    )[0]  # fused SoA scorer with a single-waypoint batch
     if occlusion_mask is not None:
         mask = occlusion_mask * mask
     if valid is not None:

@@ -137,7 +137,9 @@ def hpr_mask_approx(
 
         def row_block(i, dirs_p=dirs_p):
             db = jax.lax.dynamic_slice(dirs_p, (i * block, 0), (block, 3))
-            proj = (db @ u.T) * rho  # support of flipped points along each dir
+            # full-f32 matmul: support margins are O(0.5%) of ρ'; the TPU's
+            # default bf16 contraction would scramble the argmax
+            proj = jnp.matmul(db, u.T, precision="highest") * rho
             return jnp.argmax(proj, axis=1)
 
         winners = jax.lax.map(row_block, jnp.arange(n_blocks)).reshape(-1)
@@ -183,7 +185,7 @@ def hpr_mask_soft(
     def row_block(i):
         ub = jax.lax.dynamic_slice(u_p, (i * block, 0), (block, 3))
         rb = jax.lax.dynamic_slice(rho_p, (i * block,), (block,))
-        cos = jnp.clip(ub @ u.T, -1.0, 1.0)
+        cos = jnp.clip(jnp.matmul(ub, u.T, precision="highest"), -1.0, 1.0)
         idx = jax.lax.broadcasted_iota(jnp.int32, cos.shape, 1)
         self_col = i * block + jax.lax.broadcasted_iota(jnp.int32, cos.shape, 0)
         beta = sharpness / scale
