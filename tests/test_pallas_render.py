@@ -1,0 +1,55 @@
+"""Pallas splat renderer vs the XLA scatter renderer (interpret mode on CPU;
+pixel-parity on TPU is exercised by the processor node path)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajectory_optimization_tpu.ops.pallas_render import render_point_cloud_pallas
+from trajectory_optimization_tpu.ops.render import render_point_cloud
+
+K = jnp.array([[100.0, 0.0, 64.0], [0.0, 100.0, 48.0], [0.0, 0.0, 1.0]])
+
+
+def _cloud(n=400, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        np.stack(
+            [rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(1.5, 9, n)],
+            axis=1,
+        ).astype(np.float32)
+    )
+
+
+def test_matches_xla_renderer():
+    pts = _cloud()
+    a = np.asarray(render_point_cloud(pts, K, 96, 128, znear=1.0, zfar=10.0))
+    b = np.asarray(render_point_cloud_pallas(pts, K, 96, 128, znear=1.0, zfar=10.0))
+    # identical up to z-ties (same depth, different winner)
+    assert (np.abs(a - b).max(axis=2) > 1e-3).mean() < 1e-3
+
+
+def test_nontile_multiple_image_size():
+    pts = _cloud(seed=1)
+    img = np.asarray(render_point_cloud_pallas(pts, K, 100, 130, znear=1.0, zfar=10.0))
+    assert img.shape == (100, 130, 3)
+    assert (img < 1).any()
+
+
+def test_empty_and_clipped():
+    pts = jnp.array([[0.0, 0.0, 0.2], [0.0, 0.0, 50.0]])  # both outside [znear, zfar]
+    img = np.asarray(render_point_cloud_pallas(pts, K, 64, 128, znear=1.0, zfar=10.0))
+    np.testing.assert_allclose(img, 1.0)
+
+
+def test_custom_colors_and_valid_mask():
+    pts = jnp.array([[0.0, 0.0, 2.0], [0.5, 0.0, 2.0]])
+    colors = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    valid = jnp.array([1.0, 0.0])  # second point masked out
+    img = np.asarray(
+        render_point_cloud_pallas(
+            pts, K, 96, 128, colors=colors, valid=valid, znear=1.0, zfar=10.0
+        )
+    )
+    # red point projects to (u=64, v=48); green (masked) would land at u=89
+    np.testing.assert_allclose(img[48, 64], [1.0, 0.0, 0.0])  # drawn in red
+    np.testing.assert_allclose(img[48, 89], [1.0, 1.0, 1.0])  # masked ⇒ bg

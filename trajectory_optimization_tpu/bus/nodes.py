@@ -290,7 +290,14 @@ class PointsProcessorNode:
         self.bus.publish(out_topic + "_visible", CloudMsg(Header.make(cam_frame), visible))
 
         if self.cfg.render and len(visible):
-            from trajectory_optimization_tpu.ops.render import render_point_cloud
+            import jax
+
+            if jax.default_backend() == "cpu":
+                from trajectory_optimization_tpu.ops.render import render_point_cloud
+            else:  # tile-binned Pallas splatter (~4× the XLA scatter path)
+                from trajectory_optimization_tpu.ops.pallas_render import (
+                    render_point_cloud_pallas as render_point_cloud,
+                )
 
             img = render_point_cloud(
                 jnp.asarray(visible),

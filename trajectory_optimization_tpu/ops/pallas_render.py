@@ -1,0 +1,200 @@
+"""Pallas TPU point-splat renderer: tile-binned z-nearest splatting.
+
+The production TPU counterpart of ops.render (which uses XLA scatters): the
+image is divided into (32, 128)-pixel tiles; points are binned to the tiles
+their disc footprints touch (a footprint spans at most 2×2 tiles), packed
+into a dense (n_tiles, MAX_E, 8) entry tensor with one XLA sort+scatter, and
+a Pallas kernel walks each tile's entries — pipelined into VMEM by the block
+machinery — blending every splat into tile-resident z/rgb buffers with
+vector selects. No scatter ever reaches HBM: each output pixel is written
+exactly once.
+
+Same visual contract as ops.render.render_point_cloud (reference Pulsar
+settings: world radius, 1 point/pixel z-nearest, znear/zfar, white
+background, normalized-xyz colors) and pixel-for-pixel identical to it
+(tests/test_pallas_render.py). Tiles receiving more than MAX_E entries
+drop the overflow (arbitrary subset) — raise ``max_entries_per_tile`` for
+pathologically dense clouds.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 32
+TILE_W = 128
+_FAR = 3.0e38
+
+
+def _is_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _splat_kernel(counts_ref, entries_ref, out_r, out_g, out_b, *, tiles_x: int, bg: float):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+
+    ty = t // tiles_x
+    tx = t % tiles_x
+    rows = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(
+        jnp.float32
+    )
+    cols = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(
+        jnp.float32
+    )
+
+    def entry_body(k, carry):
+        zbuf, rbuf, gbuf, bbuf = carry
+        uu = entries_ref[0, k, 0]
+        vv = entries_ref[0, k, 1]
+        zz = entries_ref[0, k, 2]
+        rr2 = entries_ref[0, k, 3]
+        dr = rows - vv
+        dc = cols - uu
+        closer = jnp.logical_and(dr * dr + dc * dc <= rr2, zz < zbuf)
+        zbuf = jnp.where(closer, zz, zbuf)
+        rbuf = jnp.where(closer, entries_ref[0, k, 4], rbuf)
+        gbuf = jnp.where(closer, entries_ref[0, k, 5], gbuf)
+        bbuf = jnp.where(closer, entries_ref[0, k, 6], bbuf)
+        return zbuf, rbuf, gbuf, bbuf
+
+    shape = (TILE_H, TILE_W)
+    init = (
+        jnp.full(shape, _FAR, jnp.float32),
+        jnp.full(shape, bg, jnp.float32),
+        jnp.full(shape, bg, jnp.float32),
+        jnp.full(shape, bg, jnp.float32),
+    )
+    zbuf, rbuf, gbuf, bbuf = jax.lax.fori_loop(0, count, entry_body, init)
+    out_r[...] = rbuf
+    out_g[...] = gbuf
+    out_b[...] = bbuf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_width", "img_height", "max_radius_px", "max_entries_per_tile"),
+)
+def render_point_cloud_pallas(
+    cam_points: jnp.ndarray,
+    K: jnp.ndarray,
+    img_height: int,
+    img_width: int,
+    *,
+    colors: Optional[jnp.ndarray] = None,
+    point_radius: float = 0.03,
+    znear: float = 1.0,
+    zfar: float = 10.0,
+    bg_color: float = 1.0,
+    max_radius_px: int = 4,
+    valid: Optional[jnp.ndarray] = None,
+    max_entries_per_tile: int = 2048,
+) -> jnp.ndarray:
+    """Render camera-frame points to (H, W, 3) — Pallas tile-splat backend.
+
+    API-compatible with ops.render.render_point_cloud.
+    """
+    H, W = int(img_height), int(img_width)
+    tiles_y = -(-H // TILE_H)
+    tiles_x = -(-W // TILE_W)
+    n_tiles = tiles_y * tiles_x
+    Hp, Wp = tiles_y * TILE_H, tiles_x * TILE_W
+    MAX_E = int(max_entries_per_tile)
+
+    x, y, z = cam_points[:, 0], cam_points[:, 1], cam_points[:, 2]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    if colors is None:
+        lo = jnp.min(cam_points)
+        hi = jnp.max(cam_points)
+        colors = (cam_points - lo) / jnp.maximum(hi - lo, 1e-12)
+
+    zs = jnp.maximum(z, 1e-6)
+    u = fx * x / zs + cx
+    v = fy * y / zs + cy
+    r_px = jnp.maximum(jnp.minimum(point_radius * fx / zs, float(max_radius_px)), 0.5)
+
+    ok = (z > znear) & (z < zfar)
+    ok = ok & (u > -r_px) & (u < W + r_px) & (v > -r_px) & (v < H + r_px)
+    if valid is not None:
+        ok = ok & (valid > 0)
+
+    # bin to the ≤2×2 tiles the footprint can touch (+1 px guard for the
+    # rounded-center discretization shared with ops.render)
+    rb = r_px + 1.0
+    ty0 = jnp.floor((v - rb) / TILE_H).astype(jnp.int32)
+    tx0 = jnp.floor((u - rb) / TILE_W).astype(jnp.int32)
+    tile_ids = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            ty = ty0 + dy
+            tx = tx0 + dx
+            y_lo, y_hi = ty * TILE_H, (ty + 1) * TILE_H
+            x_lo, x_hi = tx * TILE_W, (tx + 1) * TILE_W
+            hit = (
+                ok
+                & (ty >= 0) & (ty < tiles_y) & (tx >= 0) & (tx < tiles_x)
+                & (v + rb >= y_lo) & (v - rb < y_hi)
+                & (u + rb >= x_lo) & (u - rb < x_hi)
+            )
+            tile_ids.append(jnp.where(hit, ty * tiles_x + tx, n_tiles))
+    tile_ids = jnp.concatenate(tile_ids)  # (4N,)
+
+    # splat around the rounded pixel center (ops.render's discretization)
+    entries = jnp.stack(
+        [jnp.round(u), jnp.round(v), z, jnp.square(r_px),
+         colors[:, 0], colors[:, 1], colors[:, 2], jnp.zeros_like(u)],
+        axis=1,
+    )
+    entries4 = jnp.tile(entries, (4, 1))  # matches tile_ids layout
+
+    order = jnp.argsort(tile_ids)
+    sorted_ids = tile_ids[order]
+    sorted_entries = entries4[order]
+    offsets = jnp.searchsorted(sorted_ids, jnp.arange(n_tiles + 1, dtype=jnp.int32)).astype(
+        jnp.int32
+    )
+    counts = jnp.minimum(offsets[1:] - offsets[:-1], MAX_E)
+
+    # pack into a dense (n_tiles, MAX_E, 8) tensor: rank within tile = global
+    # sorted position − tile start; ranks ≥ MAX_E (overflow) are dropped
+    ranks = jnp.arange(sorted_ids.shape[0], dtype=jnp.int32) - offsets[
+        jnp.minimum(sorted_ids, n_tiles - 1)
+    ]
+    dest_tile = jnp.where(
+        jnp.logical_and(sorted_ids < n_tiles, ranks < MAX_E), sorted_ids, n_tiles
+    )
+    dense = jnp.zeros((n_tiles, MAX_E, 8), jnp.float32)
+    dense = dense.at[dest_tile, jnp.minimum(ranks, MAX_E - 1)].set(
+        sorted_entries, mode="drop"
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, MAX_E, 8), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda t, c: (t // tiles_x, t % tiles_x),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(3)
+        ),
+    )
+    out_shape = tuple(jax.ShapeDtypeStruct((Hp, Wp), jnp.float32) for _ in range(3))
+    r_img, g_img, b_img = pl.pallas_call(
+        functools.partial(_splat_kernel, tiles_x=tiles_x, bg=float(bg_color)),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_is_cpu(),
+    )(counts, dense)
+
+    return jnp.stack([r_img[:H, :W], g_img[:H, :W], b_img[:H, :W]], axis=-1)
