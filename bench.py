@@ -125,6 +125,38 @@ def bench_pose(pts_np, n_steps=500):
     return rate
 
 
+def bench_node_throughput(pts_np, poses_np, n_msgs=20):
+    """Messages/s through the full TrajOptNode path: time-sync pairing,
+    padding/bucketing, a 30-step on-device optimization, output publishing."""
+    from trajectory_optimization_tpu.bus.core import Bus
+    from trajectory_optimization_tpu.bus.messages import CloudMsg, Header, PathMsg
+    from trajectory_optimization_tpu.bus.nodes import TrajOptNode
+    from trajectory_optimization_tpu.utils.config import TrajOptNodeConfig
+
+    bus = Bus()
+    TrajOptNode(
+        bus,
+        TrajOptNodeConfig(
+            pc_topic="/pc", path_topic="/path", opt_steps=30,
+            lr_pose=0.1, lr_quat=0.02, rewards_th=float("inf"),
+        ),
+    )
+    out = []
+    bus.subscribe("/path/optimized", out.append)
+
+    def send(stamp):
+        bus.publish("/pc", CloudMsg(Header(stamp=stamp, frame_id="map"), pts_np))
+        bus.publish("/path", PathMsg.straight(poses_np, frame_id="map", stamp=stamp))
+
+    send(0.0)  # warm up (compiles)
+    t0 = time.perf_counter()
+    for i in range(n_msgs):
+        send(float(i + 1) * 10.0)
+    dt = time.perf_counter() - t0
+    assert len(out) == n_msgs + 1, f"published {len(out)} of {n_msgs + 1}"
+    return n_msgs / dt
+
+
 def main():
     from trajectory_optimization_tpu.utils.data import load_point_cloud, load_path
 
@@ -154,6 +186,16 @@ def main():
 
     rate_pose = bench_pose(pts)
     print(f"[bench] pose model (40452 pts): {rate_pose:.1f} steps/s", file=sys.stderr)
+
+    # serving: full node callback (decode, pad, optimize 30 steps, publish)
+    try:
+        rate_node = bench_node_throughput(pts, path)
+        print(
+            f"[bench] TrajOptNode end-to-end (30-step callbacks): {rate_node:.2f} msgs/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] node throughput failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

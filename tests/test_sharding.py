@@ -102,3 +102,22 @@ def test_entry_contract():
     loss, aux = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
     assert "rewards" in aux
+
+
+def test_2d_mesh_wps_and_pts(cloud10, path10):
+    """2D parallelism: waypoint axis × point axis on a (2, 4) mesh."""
+    mesh2 = make_mesh(8, wps=2)
+    assert mesh2.shape == {"wps": 2, "pts": 4}
+    padded, valid = pad_points(cloud10[:9000], 16384)
+    quats = identity_quaternions(len(path10))
+    prob = TrajProblem(img_width=INTR.width, img_height=INTR.height, wps_step=2)
+    cfg = OptimizerConfig(lr_pose=0.1, lr_quat=0.02)
+
+    init_fn, step_fn = make_sharded_train_step(mesh2, prob, cfg)
+    P, V = shard_points(mesh2, padded, valid)
+    params = init_traj_params(path10, quats)
+    opt = init_fn(params)
+    params, opt, loss, _ = step_fn(
+        params, opt, P, V, INTR.matrix(), jnp.asarray(path10), jnp.asarray(quats)
+    )
+    assert np.isfinite(float(loss))

@@ -29,8 +29,20 @@ __version__ = "0.1.0"
 
 from trajectory_optimization_tpu.utils.intrinsics import CameraIntrinsics, default_intrinsics
 
+
+def __getattr__(name):
+    # lazy re-exports so `import trajectory_optimization_tpu` stays light
+    if name in ("TrajectoryOptimizer", "PoseOptimizer", "TrajResult", "PoseResult"):
+        from trajectory_optimization_tpu import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "CameraIntrinsics",
     "default_intrinsics",
+    "TrajectoryOptimizer",
+    "PoseOptimizer",
     "__version__",
 ]

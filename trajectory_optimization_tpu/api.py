@@ -26,7 +26,7 @@ from trajectory_optimization_tpu.models.traj import (
     traj_forward,
     waypoint_stride,
 )
-from trajectory_optimization_tpu.opt.engine import EarlyStop, OptimizerConfig, optimize
+from trajectory_optimization_tpu.opt.engine import EarlyStop, OptimizerConfig
 from trajectory_optimization_tpu.utils.data import identity_quaternions, pad_points
 from trajectory_optimization_tpu.utils.intrinsics import CameraIntrinsics, default_intrinsics
 
@@ -104,15 +104,15 @@ class TrajectoryOptimizer:
         P, V, K = jnp.asarray(padded), jnp.asarray(valid), self.intr.matrix()
         p0, q0 = jnp.asarray(path), jnp.asarray(quats_wxyz)
 
-        def loss_fn(params):
-            return traj_forward(params, P, K, p0, q0, problem, valid=V)
+        # cached runner: one compile per (problem, config, shape bucket)
+        from trajectory_optimization_tpu.opt.runners import traj_runner
 
+        stop = early_stop or EarlyStop(rewards_th=float("inf"), smoothness_th=float("inf"))
+        run = traj_runner(problem, self.opt_cfg, stop, int(n_steps))
         params = warm_start or init_traj_params(path, quats_wxyz)
-        _, aux0 = loss_fn(params)
-        params, n_iters, loss = optimize(
-            loss_fn, params, self.opt_cfg, n_steps, early_stop=early_stop
-        )
-        _, aux = loss_fn(params)
+        _, aux0 = traj_forward(params, P, K, p0, q0, problem, valid=V)
+        params, n_iters, loss, aux = run(params, P, V, K, p0, q0)
+        n_iters, loss = int(n_iters), float(loss)
 
         quats = np.asarray(params["quats"], np.float64)
         quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)
@@ -168,23 +168,14 @@ class PoseOptimizer:
                 hpr_mask_approx(jnp.asarray(points)), (0, len(padded) - len(points))
             )
 
-        def loss_fn(params):
-            loss, aux = pose_forward(
-                params, P, K, problem, valid=V, occlusion_mask=occlusion
-            )
-            return loss, {
-                **aux,
-                "mean_reward": jnp.mean(aux["observations"]),
-                "loss_smooth": jnp.float32(1.0),
-            }
+        from trajectory_optimization_tpu.opt.runners import pose_runner
 
+        init_opt, advance = pose_runner(problem, self.opt_cfg, int(n_steps))
         params = init_pose_params(
             np.asarray(position, np.float32)[None], np.asarray(quat_wxyz, np.float32)[None]
         )
-        params, n_iters, loss = optimize(
-            loss_fn, params, self.opt_cfg, n_steps, pose_key="trans", quat_key="quat"
-        )
-        _, aux = loss_fn(params)
+        params, _, loss, aux = advance(params, init_opt(params), P, V, K, occlusion)
+        n_iters, loss = int(n_steps), float(loss)
         q = np.asarray(params["quat"], np.float64).reshape(4)
         return PoseResult(
             position=np.asarray(params["trans"], np.float64).reshape(3),

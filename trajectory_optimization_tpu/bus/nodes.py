@@ -43,15 +43,9 @@ from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_param
 from trajectory_optimization_tpu.models.traj import (
     TrajProblem,
     init_traj_params,
-    traj_forward,
     waypoint_stride,
 )
-from trajectory_optimization_tpu.opt.engine import (
-    EarlyStop,
-    OptimizerConfig,
-    OptimizerLoop,
-    optimize,
-)
+from trajectory_optimization_tpu.opt.engine import EarlyStop, OptimizerConfig
 from trajectory_optimization_tpu.utils.config import (
     CloudFeederConfig,
     PointsProcessorConfig,
@@ -95,19 +89,19 @@ class TrajOptNode:
         K = self.intr.matrix()
         p0, q0 = jnp.asarray(poses0), jnp.asarray(quats0)
 
-        def loss_fn(params):
-            return traj_forward(params, P, K, p0, q0, problem, valid=V)
+        # cached runner: compiles once per (problem, config, shape bucket),
+        # then every subsequent message reuses the executable
+        from trajectory_optimization_tpu.opt.runners import traj_runner
 
-        params = init_traj_params(poses0, quats0)
-        opt_cfg = OptimizerConfig(lr_pose=cfg.lr_pose, lr_quat=cfg.lr_quat)
-        params, n_iters, loss = optimize(
-            loss_fn,
-            params,
-            opt_cfg,
+        run = traj_runner(
+            problem,
+            OptimizerConfig(lr_pose=cfg.lr_pose, lr_quat=cfg.lr_quat),
+            EarlyStop(rewards_th=cfg.rewards_th, smoothness_th=cfg.smoothness_th),
             cfg.opt_steps,
-            early_stop=EarlyStop(rewards_th=cfg.rewards_th, smoothness_th=cfg.smoothness_th),
         )
-        _, aux = loss_fn(params)
+        params = init_traj_params(poses0, quats0)
+        params, n_iters, loss, aux = run(params, P, V, K, p0, q0)
+        n_iters, loss = int(n_iters), float(loss)
 
         # optimized path out, wxyz → xyzw with normalization
         # (`src/trajectory_optimization.py:141-145`)
@@ -175,31 +169,27 @@ class PoseOptNode:
                 (0, len(points) - len(pc_msg.xyz)),
             )
 
-        def loss_fn(params):
-            loss, aux = pose_forward(
-                params, P, K, problem, valid=V, occlusion_mask=occlusion
-            )
-            return loss, {**aux, "mean_reward": jnp.mean(aux["observations"]),
-                          "loss_smooth": jnp.float32(1.0)}
+        # cached segmented runner (compile once per shape bucket; see runners)
+        from trajectory_optimization_tpu.opt.runners import pose_runner
 
+        seg = max(cfg.opt_steps // cfg.num_pub_samples, 1)
+        opt_cfg = OptimizerConfig(lr_pose=cfg.lr_pose, lr_quat=cfg.lr_quat)
+        init_opt, advance = pose_runner(problem, opt_cfg, seg)
         params = init_pose_params(
             pose_msg.position.astype(np.float32)[None],
             pose_msg.orientation_wxyz.astype(np.float32)[None],
         )
-        loop = OptimizerLoop(
-            loss_fn,
-            params,
-            OptimizerConfig(lr_pose=cfg.lr_pose, lr_quat=cfg.lr_quat),
-            pose_key="trans",
-            quat_key="quat",
-        )
-        seg = max(cfg.opt_steps // cfg.num_pub_samples, 1)
+        opt_state = init_opt(params)
         done = 0
-        while done < cfg.opt_steps:
-            n = min(seg, cfg.opt_steps - done)
-            loss, aux = loop.run(n)
-            done += n
-            self._publish(pc_msg, pose_msg, loop.params, aux)
+        while done + seg <= cfg.opt_steps:
+            params, opt_state, loss, aux = advance(params, opt_state, P, V, K, occlusion)
+            done += seg
+            self._publish(pc_msg, pose_msg, params, aux)
+        if done < cfg.opt_steps:  # exact step-count parity for the remainder
+            _, advance_rem = pose_runner(problem, opt_cfg, cfg.opt_steps - done)
+            params, opt_state, loss, aux = advance_rem(params, opt_state, P, V, K, occlusion)
+            done = cfg.opt_steps
+            self._publish(pc_msg, pose_msg, params, aux)
         self.last_result = {"loss": float(loss), "n_iters": done}
 
     def _publish(self, pc_msg, pose_msg, params, aux):

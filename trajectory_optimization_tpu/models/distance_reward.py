@@ -24,8 +24,6 @@ from trajectory_optimization_tpu.ops.trajectory import (
     menger_curvature,
     polyline_length,
 )
-from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
-
 
 Params = Dict[str, jnp.ndarray]
 

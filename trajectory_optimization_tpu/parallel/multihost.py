@@ -13,7 +13,7 @@ equivalent, and this module only composes documented JAX APIs.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

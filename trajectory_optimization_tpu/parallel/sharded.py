@@ -19,12 +19,12 @@ Two complementary paths:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from trajectory_optimization_tpu.models.traj import TrajProblem, traj_forward
 from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer

@@ -9,7 +9,7 @@ next message's problem from the previous solution.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import numpy as np
