@@ -48,6 +48,17 @@ TILE_ROWS = 256  # points per grid step = TILE_ROWS * LANES = 32768
 _BIG = 3.0e38
 SPAN_FLOOR = 1e-8
 BWD_SLOTS = 40  # scalar outputs per waypoint in the backward kernel
+UNROLL_MAX_W = 64  # unroll the waypoint loop up to here; fori_loop beyond
+
+
+def _loop_w(W, body, carry):
+    """Waypoint loop: fully unrolled for small W (best Mosaic codegen),
+    lax.fori_loop for large W (bounded code size for dense paths)."""
+    if W <= UNROLL_MAX_W:
+        for w in range(W):
+            carry = body(w, carry)
+        return carry
+    return jax.lax.fori_loop(0, W, body, carry)
 
 
 def _is_cpu() -> bool:
@@ -146,26 +157,31 @@ def _minmax_kernel(wp_ref, kp_ref, px_ref, py_ref, pz_ref, valid_ref, min_ref, m
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     valid = valid_ref[...] > 0
     rows = _slot_rows(W)
-    mn = jnp.zeros((rows, LANES), jnp.float32)
-    mx = jnp.zeros((rows, LANES), jnp.float32)
-    for w in range(W):
+
+    def body(w, carry):
+        mn, mx = carry
         s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
         mn = _scatter_scalar(mn, w, jnp.min(jnp.where(valid, s, _BIG)))
         mx = _scatter_scalar(mx, w, jnp.max(jnp.where(valid, s, -_BIG)))
+        return mn, mx
+
+    zeros = jnp.zeros((rows, LANES), jnp.float32)
+    mn, mx = _loop_w(W, body, (zeros, zeros))
     min_ref[0] = mn
     max_ref[0] = mx
 
 
 def _losum_kernel(wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, out_ref, *, W, consts, eps):
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
-    acc = jnp.zeros_like(px)
-    for w in range(W):
+
+    def body(w, acc):
         s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
         m = norm_ref[w, 0]
         inv_d = norm_ref[w, 1]
         pn = jnp.clip((s - m) * inv_d, 0.5, 1.0 - eps)
-        acc = acc + jnp.log(pn / (1.0 - pn))
-    out_ref[...] = acc
+        return acc + jnp.log(pn / (1.0 - pn))
+
+    out_ref[...] = _loop_w(W, body, jnp.zeros_like(px))
 
 
 def _bwd_kernel(
@@ -185,8 +201,8 @@ def _bwd_kernel(
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     valid = valid_ref[...] > 0
     g = g_ref[...]
-    acc_out = jnp.zeros((_slot_rows(W * BWD_SLOTS), LANES), jnp.float32)
-    for w in range(W):
+
+    def w_body(w, acc_out):
         s, extras = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
         m = norm_ref[w, 0]
         inv_d = norm_ref[w, 1]
@@ -218,7 +234,11 @@ def _bwd_kernel(
         acc_out = _scatter_scalar(acc_out, base + 37, jnp.sum(dM_term))
         acc_out = _scatter_scalar(acc_out, base + 38, jnp.sum(eqmin))
         acc_out = _scatter_scalar(acc_out, base + 39, jnp.sum(eqmax))
-    out_ref[0] = acc_out
+        return acc_out
+
+    out_ref[0] = _loop_w(
+        W, w_body, jnp.zeros((_slot_rows(W * BWD_SLOTS), LANES), jnp.float32)
+    )
 
 
 # ---------------------------------------------------------------------------
