@@ -45,6 +45,8 @@ from trajectory_optimization_tpu.ops import quat as quat_ops
 
 LANES = 128
 TILE_ROWS = 256  # points per grid step = TILE_ROWS * LANES = 32768
+TILE_ROWS_CACHE = 64  # smaller forward tiles when caching scores (VMEM budget)
+SCORE_CACHE_MAX_BYTES = 1 << 30  # cache (W, N) scores in HBM up to 1 GB
 _BIG = 3.0e38
 SPAN_FLOOR = 1e-8
 BWD_SLOTS = 40  # scalar outputs per waypoint in the backward kernel
@@ -171,6 +173,41 @@ def _minmax_kernel(wp_ref, kp_ref, px_ref, py_ref, pz_ref, valid_ref, min_ref, m
     max_ref[0] = mx
 
 
+def _minmax_cache_kernel(
+    wp_ref, kp_ref, px_ref, py_ref, pz_ref, valid_ref, min_ref, max_ref, s_ref, *, W, consts
+):
+    """Pass A with score caching: also writes the (W, tile) scores to HBM so
+    pass B is pure bandwidth instead of a full recompute (the forward's
+    transcendentals dominate the 1M-point step)."""
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
+    valid = valid_ref[...] > 0
+    rows = _slot_rows(W)
+
+    def body(w, carry):
+        mn, mx = carry
+        s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
+        s_ref[w] = s
+        mn = _scatter_scalar(mn, w, jnp.min(jnp.where(valid, s, _BIG)))
+        mx = _scatter_scalar(mx, w, jnp.max(jnp.where(valid, s, -_BIG)))
+        return mn, mx
+
+    zeros = jnp.zeros((rows, LANES), jnp.float32)
+    mn, mx = _loop_w(W, body, (zeros, zeros))
+    min_ref[0] = mn
+    max_ref[0] = mx
+
+
+def _losum_cached_kernel(norm_ref, s_ref, out_ref, *, W, eps):
+    """Pass B from cached scores: normalize → clip → log-odds → Σ over w."""
+
+    def body(w, acc):
+        s = s_ref[w]
+        pn = jnp.clip((s - norm_ref[w, 0]) * norm_ref[w, 1], 0.5, 1.0 - eps)
+        return acc + jnp.log(pn / (1.0 - pn))
+
+    out_ref[...] = _loop_w(W, body, jnp.zeros_like(s_ref[0]))
+
+
 def _losum_kernel(wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, out_ref, *, W, consts, eps):
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
 
@@ -246,8 +283,8 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _plane_spec():
-    return pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _plane_spec(tr=TILE_ROWS):
+    return pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
 def _smem_spec(shape):
@@ -269,30 +306,50 @@ def _consts(img_wh, dist_lims, eps):
 def _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
     W = wp.shape[0]
     M = planes.shape[1]
-    n_tiles = M // TILE_ROWS
     consts = _consts(img_wh, dist_lims, eps)
     interp = _is_cpu()
+    cache_scores = W * M * LANES * 4 <= SCORE_CACHE_MAX_BYTES
+    tr = TILE_ROWS_CACHE if cache_scores else TILE_ROWS
+    n_tiles = M // tr
 
     px, py, pz = planes[0], planes[1], planes[2]
 
     rows = _slot_rows(W)
     mm_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     mm_shape = jax.ShapeDtypeStruct((n_tiles, rows, LANES), jnp.float32)
-    mins, maxs = pl.pallas_call(
-        functools.partial(_minmax_kernel, W=W, consts=consts),
-        grid=(n_tiles,),
-        in_specs=[
-            _smem_spec(wp.shape),
-            _smem_spec(kp.shape),
-            _plane_spec(),
-            _plane_spec(),
-            _plane_spec(),
-            _plane_spec(),
-        ],
-        out_specs=(mm_spec, mm_spec),
-        out_shape=(mm_shape, mm_shape),
-        interpret=interp,
-    )(wp, kp, px, py, pz, valid_plane)
+    in_specs = [
+        _smem_spec(wp.shape),
+        _smem_spec(kp.shape),
+        _plane_spec(tr),
+        _plane_spec(tr),
+        _plane_spec(tr),
+        _plane_spec(tr),
+    ]
+    if cache_scores:
+        # pass A also materializes the scores: pass B becomes pure bandwidth
+        s_spec = pl.BlockSpec((W, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        mins, maxs, scores = pl.pallas_call(
+            functools.partial(_minmax_cache_kernel, W=W, consts=consts),
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=(mm_spec, mm_spec, s_spec),
+            out_shape=(
+                mm_shape,
+                mm_shape,
+                jax.ShapeDtypeStruct((W, M, LANES), jnp.float32),
+            ),
+            interpret=interp,
+        )(wp, kp, px, py, pz, valid_plane)
+    else:
+        mins, maxs = pl.pallas_call(
+            functools.partial(_minmax_kernel, W=W, consts=consts),
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=(mm_spec, mm_spec),
+            out_shape=(mm_shape, mm_shape),
+            interpret=interp,
+        )(wp, kp, px, py, pz, valid_plane)
+        scores = None
 
     mins = mins.reshape(n_tiles, rows * LANES)[:, :W]
     maxs = maxs.reshape(n_tiles, rows * LANES)[:, :W]
@@ -303,21 +360,34 @@ def _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
     inv_d = 1.0 / jnp.maximum(span_raw, SPAN_FLOOR)
     norm = jnp.stack([m, inv_d, gate, mx], axis=1)  # (W, 4)
 
-    lo = pl.pallas_call(
-        functools.partial(_losum_kernel, W=W, consts=consts, eps=eps),
-        grid=(n_tiles,),
-        in_specs=[
-            _smem_spec(wp.shape),
-            _smem_spec(kp.shape),
-            _smem_spec(norm.shape),
-            _plane_spec(),
-            _plane_spec(),
-            _plane_spec(),
-        ],
-        out_specs=pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, LANES), jnp.float32),
-        interpret=interp,
-    )(wp, kp, norm, px, py, pz)
+    if cache_scores:
+        lo = pl.pallas_call(
+            functools.partial(_losum_cached_kernel, W=W, eps=eps),
+            grid=(n_tiles,),
+            in_specs=[
+                _smem_spec(norm.shape),
+                pl.BlockSpec((W, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, LANES), jnp.float32),
+            interpret=interp,
+        )(norm, scores)
+    else:
+        lo = pl.pallas_call(
+            functools.partial(_losum_kernel, W=W, consts=consts, eps=eps),
+            grid=(n_tiles,),
+            in_specs=[
+                _smem_spec(wp.shape),
+                _smem_spec(kp.shape),
+                _smem_spec(norm.shape),
+                _plane_spec(tr),
+                _plane_spec(tr),
+                _plane_spec(tr),
+            ],
+            out_specs=pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, LANES), jnp.float32),
+            interpret=interp,
+        )(wp, kp, norm, px, py, pz)
 
     return lo, (wp, kp, planes, valid_plane, norm)
 
