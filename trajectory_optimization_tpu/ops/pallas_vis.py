@@ -208,6 +208,76 @@ def _losum_cached_kernel(norm_ref, s_ref, out_ref, *, W, eps):
     out_ref[...] = _loop_w(W, body, jnp.zeros_like(s_ref[0]))
 
 
+def _bwd_stats_kernel(norm_ref, s_ref, valid_ref, g_ref, out_ref, *, W, eps):
+    """Backward pass B1 (cached-score path): bandwidth-only per-waypoint
+    reductions of the cotangents reaching the min/max results and the tie
+    counts. Slots per w: [Σc_pn·∂pn/∂m, Σc_pn·∂pn/∂M, cnt_min, cnt_max]."""
+    valid = valid_ref[...] > 0
+    g = g_ref[...]
+
+    def body(w, acc):
+        s = s_ref[w]
+        m = norm_ref[w, 0]
+        inv_d = norm_ref[w, 1]
+        gate = norm_ref[w, 2]
+        mx = norm_ref[w, 3]
+        sm = s - m
+        pn_raw = sm * inv_d
+        active = jnp.logical_and(pn_raw > 0.5, pn_raw < 1.0 - eps)
+        pn = jnp.clip(pn_raw, 0.5, 1.0 - eps)
+        c_pn = jnp.where(active, g / (pn * (1.0 - pn)), 0.0)
+        dm_term = c_pn * (-inv_d + sm * inv_d * inv_d * gate)
+        dM_term = c_pn * (-(sm * inv_d * inv_d) * gate)
+        eqmin = jnp.where(jnp.logical_and(valid, s == m), 1.0, 0.0)
+        eqmax = jnp.where(jnp.logical_and(valid, s == mx), 1.0, 0.0)
+        base = w * 4
+        acc = _scatter_scalar(acc, base + 0, jnp.sum(dm_term))
+        acc = _scatter_scalar(acc, base + 1, jnp.sum(dM_term))
+        acc = _scatter_scalar(acc, base + 2, jnp.sum(eqmin))
+        acc = _scatter_scalar(acc, base + 3, jnp.sum(eqmax))
+        return acc
+
+    out_ref[0] = _loop_w(W, body, jnp.zeros((_slot_rows(W * 4), LANES), jnp.float32))
+
+
+def _bwd_apply_kernel(
+    wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, valid_ref, g_ref, out_ref, *, W, consts, eps
+):
+    """Backward pass B2 (cached-score path): ONE dcam chain per waypoint with
+    the combined cotangent c_pn·inv_d + α·eqmin + β·eqmax (α, β precomputed
+    from B1's global sums — exact by linearity). Slots per w: the 12 sums
+    [Σdc_c, Σdc_c·px, Σdc_c·py, Σdc_c·pz] for c = x, y, z."""
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
+    valid = valid_ref[...] > 0
+    g = g_ref[...]
+
+    def body(w, acc):
+        s, extras = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
+        m = norm_ref[w, 0]
+        inv_d = norm_ref[w, 1]
+        mx = norm_ref[w, 3]
+        alpha = norm_ref[w, 4]
+        beta = norm_ref[w, 5]
+        sm = s - m
+        pn_raw = sm * inv_d
+        active = jnp.logical_and(pn_raw > 0.5, pn_raw < 1.0 - eps)
+        pn = jnp.clip(pn_raw, 0.5, 1.0 - eps)
+        c_pn = jnp.where(active, g / (pn * (1.0 - pn)), 0.0)
+        eqmin = jnp.where(jnp.logical_and(valid, s == m), 1.0, 0.0)
+        eqmax = jnp.where(jnp.logical_and(valid, s == mx), 1.0, 0.0)
+        total_cot = c_pn * inv_d + alpha * eqmin + beta * eqmax
+        dcx, dcy, dcz = _tile_dcam(total_cot, s, extras, consts)
+        base = w * 12
+        for cc, dcc in ((0, dcx), (1, dcy), (2, dcz)):
+            acc = _scatter_scalar(acc, base + cc * 4 + 0, jnp.sum(dcc))
+            acc = _scatter_scalar(acc, base + cc * 4 + 1, jnp.sum(dcc * px))
+            acc = _scatter_scalar(acc, base + cc * 4 + 2, jnp.sum(dcc * py))
+            acc = _scatter_scalar(acc, base + cc * 4 + 3, jnp.sum(dcc * pz))
+        return acc
+
+    out_ref[0] = _loop_w(W, body, jnp.zeros((_slot_rows(W * 12), LANES), jnp.float32))
+
+
 def _losum_kernel(wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, out_ref, *, W, consts, eps):
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
 
@@ -389,7 +459,7 @@ def _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
             interpret=interp,
         )(wp, kp, norm, px, py, pz)
 
-    return lo, (wp, kp, planes, valid_plane, norm)
+    return lo, (wp, kp, planes, valid_plane, norm, scores)
 
 
 def _fused_fwd(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
@@ -397,50 +467,100 @@ def _fused_fwd(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
 
 
 def _fused_bwd(img_wh, dist_lims, eps, res, g):
-    wp, kp, planes, valid_plane, norm = res
+    wp, kp, planes, valid_plane, norm, scores = res
     W = wp.shape[0]
     M = planes.shape[1]
-    n_tiles = M // TILE_ROWS
     consts = _consts(img_wh, dist_lims, eps)
     px, py, pz = planes[0], planes[1], planes[2]
     g_plane = g.reshape(M, LANES)
+    interp = _is_cpu()
 
-    rows = _slot_rows(W * BWD_SLOTS)
-    partials = pl.pallas_call(
-        functools.partial(_bwd_kernel, W=W, consts=consts, eps=eps),
-        grid=(n_tiles,),
-        in_specs=[
-            _smem_spec(wp.shape),
-            _smem_spec(kp.shape),
-            _smem_spec(norm.shape),
-            _plane_spec(),
-            _plane_spec(),
-            _plane_spec(),
-            _plane_spec(),
-            _plane_spec(),
-        ],
-        out_specs=pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, rows, LANES), jnp.float32),
-        interpret=_is_cpu(),
-    )(wp, kp, norm, px, py, pz, valid_plane, g_plane)
+    if scores is not None:
+        # two-pass backward: B1 reads the cached scores (bandwidth-only) to
+        # get the min/max-pathway scalars; B2 recomputes extras once with the
+        # combined cotangent — exact by linearity of the dcam chain.
+        tr = TILE_ROWS_CACHE
+        n_tiles = M // tr
+        rows1 = _slot_rows(W * 4)
+        stats = pl.pallas_call(
+            functools.partial(_bwd_stats_kernel, W=W, eps=eps),
+            grid=(n_tiles,),
+            in_specs=[
+                _smem_spec(norm.shape),
+                pl.BlockSpec((W, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                _plane_spec(tr),
+                _plane_spec(tr),
+            ],
+            out_specs=pl.BlockSpec((1, rows1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, rows1, LANES), jnp.float32),
+            interpret=interp,
+        )(norm, scores, valid_plane, g_plane)
+        st = jnp.sum(
+            stats.reshape(n_tiles, rows1 * LANES)[:, : W * 4], axis=0
+        ).reshape(W, 4)
+        alpha = st[:, 0] / jnp.maximum(st[:, 2], 1.0)
+        beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
+        norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)  # (W, 6)
 
-    acc = jnp.sum(
-        partials.reshape(n_tiles, rows * LANES)[:, : W * BWD_SLOTS], axis=0
-    ).reshape(W, BWD_SLOTS)
-    direct = acc[:, 0:12]
-    min_ch = acc[:, 12:24]
-    max_ch = acc[:, 24:36]
-    c_m = acc[:, 36]
-    c_M = acc[:, 37]
-    cnt_min = jnp.maximum(acc[:, 38], 1.0)
-    cnt_max = jnp.maximum(acc[:, 39], 1.0)
+        rows2 = _slot_rows(W * 12)
+        partials = pl.pallas_call(
+            functools.partial(_bwd_apply_kernel, W=W, consts=consts, eps=eps),
+            grid=(n_tiles,),
+            in_specs=[
+                _smem_spec(wp.shape),
+                _smem_spec(kp.shape),
+                _smem_spec(norm2.shape),
+                _plane_spec(tr),
+                _plane_spec(tr),
+                _plane_spec(tr),
+                _plane_spec(tr),
+                _plane_spec(tr),
+            ],
+            out_specs=pl.BlockSpec((1, rows2, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, rows2, LANES), jnp.float32),
+            interpret=interp,
+        )(wp, kp, norm2, px, py, pz, valid_plane, g_plane)
+        sums = jnp.sum(
+            partials.reshape(n_tiles, rows2 * LANES)[:, : W * 12], axis=0
+        ).reshape(W, 3, 4)
+    else:
+        n_tiles = M // TILE_ROWS
+        rows = _slot_rows(W * BWD_SLOTS)
+        partials = pl.pallas_call(
+            functools.partial(_bwd_kernel, W=W, consts=consts, eps=eps),
+            grid=(n_tiles,),
+            in_specs=[
+                _smem_spec(wp.shape),
+                _smem_spec(kp.shape),
+                _smem_spec(norm.shape),
+                _plane_spec(),
+                _plane_spec(),
+                _plane_spec(),
+                _plane_spec(),
+                _plane_spec(),
+            ],
+            out_specs=pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, rows, LANES), jnp.float32),
+            interpret=interp,
+        )(wp, kp, norm, px, py, pz, valid_plane, g_plane)
 
-    # total per-w camera-plane sums: direct + tie-split min/max pathways
-    sums = (
-        direct
-        + min_ch * (c_m / cnt_min)[:, None]
-        + max_ch * (c_M / cnt_max)[:, None]
-    ).reshape(W, 3, 4)  # [c, (Σdc, Σdc·px, Σdc·py, Σdc·pz)]
+        acc = jnp.sum(
+            partials.reshape(n_tiles, rows * LANES)[:, : W * BWD_SLOTS], axis=0
+        ).reshape(W, BWD_SLOTS)
+        direct = acc[:, 0:12]
+        min_ch = acc[:, 12:24]
+        max_ch = acc[:, 24:36]
+        c_m = acc[:, 36]
+        c_M = acc[:, 37]
+        cnt_min = jnp.maximum(acc[:, 38], 1.0)
+        cnt_max = jnp.maximum(acc[:, 39], 1.0)
+
+        # total per-w camera-plane sums: direct + tie-split min/max pathways
+        sums = (
+            direct
+            + min_ch * (c_m / cnt_min)[:, None]
+            + max_ch * (c_M / cnt_max)[:, None]
+        ).reshape(W, 3, 4)  # [c, (Σdc, Σdc·px, Σdc·py, Σdc·pz)]
 
     t = wp[:, 9:12]  # (W, 3)
     # cam_c = Σ_j (p_j − t_j) R_jc  ⇒  dR_jc = Σᵢ dc_c(pⱼ − tⱼ),  dt_j = −Σ_c R_jc Σᵢ dc_c
