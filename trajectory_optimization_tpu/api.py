@@ -13,13 +13,13 @@ functional core with production conveniences the reference lacks:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params, pose_forward
+from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params
 from trajectory_optimization_tpu.models.traj import (
     TrajProblem,
     init_traj_params,

@@ -39,7 +39,7 @@ from trajectory_optimization_tpu.bus.messages import (
     PoseMsg,
     TransformMsg,
 )
-from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params, pose_forward
+from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params
 from trajectory_optimization_tpu.models.traj import (
     TrajProblem,
     init_traj_params,

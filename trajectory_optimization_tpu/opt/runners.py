@@ -11,7 +11,7 @@ every message of the same shape bucket.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
