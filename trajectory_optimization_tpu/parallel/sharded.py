@@ -63,6 +63,14 @@ def make_sharded_train_step(
     rep = replicated(mesh)
     ps = points_sharding(mesh)
 
+    # Force the XLA backend under GSPMD: the fused Pallas kernel has no
+    # partitioning rule, so XLA would all-gather the sharded cloud around it —
+    # correct but defeating the sharding. The XLA path propagates shardings
+    # through every op (a sharded Pallas path is future work).
+    import dataclasses as _dc
+
+    problem = _dc.replace(problem, backend="xla")
+
     def loss_fn(params, points, valid, K, poses0, quats0):
         return traj_forward(params, points, K, poses0, quats0, problem, valid=valid)
 
