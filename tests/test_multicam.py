@@ -59,3 +59,37 @@ def test_combined_coverage_monotone_in_cameras(cloud10):
     assert float(jnp.mean(cov4)) >= float(jnp.mean(cov2)) - 1e-6
     assert per_cam.shape == (4,)
     assert np.asarray(cov4).min() >= 0.5 - 1e-6  # clip floor ⇒ coverage >= 0.5
+
+
+def test_points_processor_batched_rig(cloud10):
+    from trajectory_optimization_tpu.bus.core import Bus
+    from trajectory_optimization_tpu.bus.messages import CameraInfoMsg, CloudMsg, Header
+    from trajectory_optimization_tpu.bus.nodes import PointsProcessorNode
+    from trajectory_optimization_tpu.utils.config import PointsProcessorConfig
+
+    bus = Bus(error_policy="raise")
+    node = PointsProcessorNode(
+        bus,
+        PointsProcessorConfig(pc_topic="/cloud", cam_info_topics=(),
+                              frustum_max_dist=15.0, hpr_backend="approx", render=False),
+    )
+    rig = {
+        "cam0": ([6.0, 2.0, -3.0], [0, 0, 0, 1]),
+        "cam1": ([10.0, 10.0, -3.0], [0, 0, 0, 1]),
+    }
+    infos = []
+    for frame, (t, q) in rig.items():
+        node.frames.set_transform("world", frame, t, q)
+        infos.append(
+            CameraInfoMsg(Header(stamp=0.0, frame_id=frame),
+                          int(INTR.width), int(INTR.height),
+                          K=tuple(INTR.matrix_np(np.float64).reshape(-1)))
+        )
+    cloud = CloudMsg(Header(stamp=0.0, frame_id="world"), cloud10)
+    out = node.process_all(cloud, infos)
+    assert set(out) == {"cam0", "cam1"}
+    for frame, visible in out.items():
+        assert 0 < len(visible) < len(cloud10)
+        # batched culled output matches the serial path's
+        serial = node.process(cloud, infos[[i.header.frame_id for i in infos].index(frame)])
+        assert abs(len(serial) - len(visible)) <= max(3, 0.01 * len(visible))

@@ -280,9 +280,9 @@ class PointsProcessorNode:
         self.bus.publish(out_topic + "_visible", CloudMsg(Header.make(cam_frame), visible))
 
         if self.cfg.render and len(visible):
-            import jax
+            import jax as _jax
 
-            if jax.default_backend() == "cpu":
+            if _jax.default_backend() == "cpu":
                 from trajectory_optimization_tpu.ops.render import render_point_cloud
             else:  # tile-binned Pallas splatter (~4× the XLA scatter path)
                 from trajectory_optimization_tpu.ops.pallas_render import (
@@ -302,6 +302,61 @@ class PointsProcessorNode:
                 ImageMsg(Header.make(cam_frame), np.asarray(img), encoding="rgb32f"),
             )
         return visible
+
+    def process_all(self, cloud: CloudMsg, infos):
+        """Batched multi-camera processing: one fused evaluation for all
+        cameras sharing intrinsics (the reference handles its six cameras
+        serially, `src/pc_processor.py:139-197`; SURVEY.md §2c asks for a
+        vmapped camera axis). Returns {cam_frame: visible_points}.
+        """
+        import numpy as _np
+
+        from trajectory_optimization_tpu.ops import quat as quat_ops
+        from trajectory_optimization_tpu.ops.geometry import compact_masked
+        from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx
+        from trajectory_optimization_tpu.ops.multicam import multicam_frustum_masks
+
+        infos = list(infos)
+        intr = infos[0].intrinsics()
+        # camera poses in the cloud frame, from the frame graph
+        quats, trans = [], []
+        for info in infos:
+            t, q_xyzw = self.frames.lookup(cloud.header.frame_id, info.header.frame_id)
+            trans.append(t)
+            quats.append([q_xyzw[3], q_xyzw[0], q_xyzw[1], q_xyzw[2]])  # wxyz
+        pts = jnp.asarray(cloud.xyz.astype(np.float32))
+        masks = multicam_frustum_masks(
+            pts,
+            jnp.asarray(_np.asarray(quats, _np.float32)),
+            jnp.asarray(_np.asarray(trans, _np.float32)),
+            intr.matrix(),
+            intr.width,
+            intr.height,
+            min_dist=self.cfg.frustum_min_dist,
+            max_dist=self.cfg.frustum_max_dist,
+        )  # (C, N) — one batched pass for the whole rig
+        out = {}
+        for c, info in enumerate(infos):
+            cam_frame = info.header.frame_id
+            cam_pts = self.frames.transform_points(
+                cloud.xyz.astype(_np.float64), cam_frame, cloud.header.frame_id
+            ).astype(_np.float32)
+            culled = compact_masked(cam_pts, masks[c])
+            self.bus.publish(f"/{cam_frame}/pointcloud", CloudMsg(Header.make(cam_frame), culled))
+            if self.cfg.hpr_backend == "exact":
+                from trajectory_optimization_tpu.ops.hpr import hpr_points_exact
+
+                visible, _ = hpr_points_exact(culled)
+            elif self.cfg.hpr_backend == "approx" and len(culled):
+                m = _np.asarray(hpr_mask_approx(jnp.asarray(culled))) > 0.5
+                visible = culled[m]
+            else:
+                visible = culled
+            self.bus.publish(
+                f"/{cam_frame}/pointcloud_visible", CloudMsg(Header.make(cam_frame), visible)
+            )
+            out[cam_frame] = visible
+        return out
 
 
 class CloudFeederNode:

@@ -373,15 +373,13 @@ def _consts(img_wh, dist_lims, eps):
     return (c0, inv_var, float(img_wh[0]), float(img_wh[1]), float(eps))
 
 
-def _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
+def run_pass_a(wp, kp, planes, valid_plane, consts, *, cache_scores, tr):
+    """Pass A over (possibly per-shard) planes → local (W,) min/max and the
+    cached scores (or None). Reusable by the sharded path (parallel/)."""
     W = wp.shape[0]
     M = planes.shape[1]
-    consts = _consts(img_wh, dist_lims, eps)
-    interp = _is_cpu()
-    cache_scores = W * M * LANES * 4 <= SCORE_CACHE_MAX_BYTES
-    tr = TILE_ROWS_CACHE if cache_scores else TILE_ROWS
     n_tiles = M // tr
-
+    interp = _is_cpu()
     px, py, pz = planes[0], planes[1], planes[2]
 
     rows = _slot_rows(W)
@@ -421,17 +419,27 @@ def _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
         )(wp, kp, px, py, pz, valid_plane)
         scores = None
 
-    mins = mins.reshape(n_tiles, rows * LANES)[:, :W]
-    maxs = maxs.reshape(n_tiles, rows * LANES)[:, :W]
-    m = jnp.min(mins, axis=0)  # (W,)
-    mx = jnp.max(maxs, axis=0)
+    mins = jnp.min(mins.reshape(n_tiles, rows * LANES)[:, :W], axis=0)
+    maxs = jnp.max(maxs.reshape(n_tiles, rows * LANES)[:, :W], axis=0)
+    return mins, maxs, scores
+
+
+def make_norm(m, mx):
+    """(W,) global min/max → the (W, 4) normalization table."""
     span_raw = mx - m
     gate = (span_raw > SPAN_FLOOR).astype(jnp.float32)
     inv_d = 1.0 / jnp.maximum(span_raw, SPAN_FLOOR)
-    norm = jnp.stack([m, inv_d, gate, mx], axis=1)  # (W, 4)
+    return jnp.stack([m, inv_d, gate, mx], axis=1)
 
-    if cache_scores:
-        lo = pl.pallas_call(
+
+def run_pass_b(wp, kp, norm, planes, scores, consts, eps, *, tr):
+    """Pass B over (possibly per-shard) data → local (M, LANES) log-odds."""
+    W = wp.shape[0]
+    M = planes.shape[1]
+    n_tiles = M // tr
+    interp = _is_cpu()
+    if scores is not None:
+        return pl.pallas_call(
             functools.partial(_losum_cached_kernel, W=W, eps=eps),
             grid=(n_tiles,),
             in_specs=[
@@ -442,23 +450,98 @@ def _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
             out_shape=jax.ShapeDtypeStruct((M, LANES), jnp.float32),
             interpret=interp,
         )(norm, scores)
-    else:
-        lo = pl.pallas_call(
-            functools.partial(_losum_kernel, W=W, consts=consts, eps=eps),
-            grid=(n_tiles,),
-            in_specs=[
-                _smem_spec(wp.shape),
-                _smem_spec(kp.shape),
-                _smem_spec(norm.shape),
-                _plane_spec(tr),
-                _plane_spec(tr),
-                _plane_spec(tr),
-            ],
-            out_specs=pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((M, LANES), jnp.float32),
-            interpret=interp,
-        )(wp, kp, norm, px, py, pz)
+    return pl.pallas_call(
+        functools.partial(_losum_kernel, W=W, consts=consts, eps=eps),
+        grid=(n_tiles,),
+        in_specs=[
+            _smem_spec(wp.shape),
+            _smem_spec(kp.shape),
+            _smem_spec(norm.shape),
+            _plane_spec(tr),
+            _plane_spec(tr),
+            _plane_spec(tr),
+        ],
+        out_specs=pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, LANES), jnp.float32),
+        interpret=interp,
+    )(wp, kp, norm, planes[0], planes[1], planes[2])
 
+
+def run_bwd_stats(norm, scores, valid_plane, g_plane, eps, *, tr):
+    """Backward B1 over per-shard data → local (W, 4) stat sums."""
+    W = norm.shape[0]
+    M = valid_plane.shape[0]
+    n_tiles = M // tr
+    rows1 = _slot_rows(W * 4)
+    stats = pl.pallas_call(
+        functools.partial(_bwd_stats_kernel, W=W, eps=eps),
+        grid=(n_tiles,),
+        in_specs=[
+            _smem_spec(norm.shape),
+            pl.BlockSpec((W, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            _plane_spec(tr),
+            _plane_spec(tr),
+        ],
+        out_specs=pl.BlockSpec((1, rows1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows1, LANES), jnp.float32),
+        interpret=_is_cpu(),
+    )(norm, scores, valid_plane, g_plane)
+    return jnp.sum(stats.reshape(n_tiles, rows1 * LANES)[:, : W * 4], axis=0).reshape(W, 4)
+
+
+def run_bwd_apply(wp, kp, norm2, planes, valid_plane, g_plane, consts, eps, *, tr):
+    """Backward B2 over per-shard data → local (W, 3, 4) camera-plane sums."""
+    W = wp.shape[0]
+    M = planes.shape[1]
+    n_tiles = M // tr
+    rows2 = _slot_rows(W * 12)
+    partials = pl.pallas_call(
+        functools.partial(_bwd_apply_kernel, W=W, consts=consts, eps=eps),
+        grid=(n_tiles,),
+        in_specs=[
+            _smem_spec(wp.shape),
+            _smem_spec(kp.shape),
+            _smem_spec(norm2.shape),
+            _plane_spec(tr),
+            _plane_spec(tr),
+            _plane_spec(tr),
+            _plane_spec(tr),
+            _plane_spec(tr),
+        ],
+        out_specs=pl.BlockSpec((1, rows2, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows2, LANES), jnp.float32),
+        interpret=_is_cpu(),
+    )(wp, kp, norm2, planes[0], planes[1], planes[2], valid_plane, g_plane)
+    return jnp.sum(
+        partials.reshape(n_tiles, rows2 * LANES)[:, : W * 12], axis=0
+    ).reshape(W, 3, 4)
+
+
+def sums_to_param_grads(wp, sums):
+    """(W, 3, 4) camera-plane sums → (dR flat, dt) packed like wp."""
+    W = wp.shape[0]
+    t = wp[:, 9:12]
+    # cam_c = Σ_j (p_j − t_j) R_jc  ⇒  dR_jc = Σᵢ dc_c(pⱼ − tⱼ),  dt_j = −Σ_c R_jc Σᵢ dc_c
+    dR = sums[:, :, 1:4].transpose(0, 2, 1) - t[:, :, None] * sums[:, :, 0][:, None, :]
+    R = wp[:, 0:9].reshape(W, 3, 3)
+    dt = -jnp.einsum("wjc,wc->wj", R, sums[:, :, 0], precision="highest")
+    return jnp.concatenate(
+        [dR.reshape(W, 9), dt, jnp.zeros((W, wp.shape[1] - 12), wp.dtype)], axis=1
+    )
+
+
+def _fused_fwd_impl(wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
+    W = wp.shape[0]
+    M = planes.shape[1]
+    consts = _consts(img_wh, dist_lims, eps)
+    cache_scores = W * M * LANES * 4 <= SCORE_CACHE_MAX_BYTES
+    tr = TILE_ROWS_CACHE if cache_scores else TILE_ROWS
+
+    m, mx, scores = run_pass_a(
+        wp, kp, planes, valid_plane, consts, cache_scores=cache_scores, tr=tr
+    )
+    norm = make_norm(m, mx)
+    lo = run_pass_b(wp, kp, norm, planes, scores, consts, eps, tr=tr)
     return lo, (wp, kp, planes, valid_plane, norm, scores)
 
 
@@ -480,49 +563,13 @@ def _fused_bwd(img_wh, dist_lims, eps, res, g):
         # get the min/max-pathway scalars; B2 recomputes extras once with the
         # combined cotangent — exact by linearity of the dcam chain.
         tr = TILE_ROWS_CACHE
-        n_tiles = M // tr
-        rows1 = _slot_rows(W * 4)
-        stats = pl.pallas_call(
-            functools.partial(_bwd_stats_kernel, W=W, eps=eps),
-            grid=(n_tiles,),
-            in_specs=[
-                _smem_spec(norm.shape),
-                pl.BlockSpec((W, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-                _plane_spec(tr),
-                _plane_spec(tr),
-            ],
-            out_specs=pl.BlockSpec((1, rows1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, rows1, LANES), jnp.float32),
-            interpret=interp,
-        )(norm, scores, valid_plane, g_plane)
-        st = jnp.sum(
-            stats.reshape(n_tiles, rows1 * LANES)[:, : W * 4], axis=0
-        ).reshape(W, 4)
+        st = run_bwd_stats(norm, scores, valid_plane, g_plane, eps, tr=tr)
         alpha = st[:, 0] / jnp.maximum(st[:, 2], 1.0)
         beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
         norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)  # (W, 6)
-
-        rows2 = _slot_rows(W * 12)
-        partials = pl.pallas_call(
-            functools.partial(_bwd_apply_kernel, W=W, consts=consts, eps=eps),
-            grid=(n_tiles,),
-            in_specs=[
-                _smem_spec(wp.shape),
-                _smem_spec(kp.shape),
-                _smem_spec(norm2.shape),
-                _plane_spec(tr),
-                _plane_spec(tr),
-                _plane_spec(tr),
-                _plane_spec(tr),
-                _plane_spec(tr),
-            ],
-            out_specs=pl.BlockSpec((1, rows2, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, rows2, LANES), jnp.float32),
-            interpret=interp,
-        )(wp, kp, norm2, px, py, pz, valid_plane, g_plane)
-        sums = jnp.sum(
-            partials.reshape(n_tiles, rows2 * LANES)[:, : W * 12], axis=0
-        ).reshape(W, 3, 4)
+        sums = run_bwd_apply(
+            wp, kp, norm2, planes, valid_plane, g_plane, consts, eps, tr=tr
+        )
     else:
         n_tiles = M // TILE_ROWS
         rows = _slot_rows(W * BWD_SLOTS)
@@ -562,15 +609,7 @@ def _fused_bwd(img_wh, dist_lims, eps, res, g):
             + max_ch * (c_M / cnt_max)[:, None]
         ).reshape(W, 3, 4)  # [c, (Σdc, Σdc·px, Σdc·py, Σdc·pz)]
 
-    t = wp[:, 9:12]  # (W, 3)
-    # cam_c = Σ_j (p_j − t_j) R_jc  ⇒  dR_jc = Σᵢ dc_c(pⱼ − tⱼ),  dt_j = −Σ_c R_jc Σᵢ dc_c
-    dR = sums[:, :, 1:4].transpose(0, 2, 1) - t[:, :, None] * sums[:, :, 0][:, None, :]
-    R = wp[:, 0:9].reshape(W, 3, 3)
-    dt = -jnp.einsum("wjc,wc->wj", R, sums[:, :, 0], precision="highest")
-
-    dwp = jnp.concatenate(
-        [dR.reshape(W, 9), dt, jnp.zeros((W, wp.shape[1] - 12), wp.dtype)], axis=1
-    )
+    dwp = sums_to_param_grads(wp, sums)
     return dwp, jnp.zeros_like(kp), jnp.zeros_like(planes), jnp.zeros_like(valid_plane)
 
 

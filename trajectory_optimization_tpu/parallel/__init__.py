@@ -4,6 +4,7 @@ from trajectory_optimization_tpu.parallel.sharded import (
     shard_points,
     shardmap_visibility,
 )
+from trajectory_optimization_tpu.parallel.sharded_pallas import sharded_fused_lo_sum
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,5 @@ __all__ = [
     "make_sharded_train_step",
     "shard_points",
     "shardmap_visibility",
+    "sharded_fused_lo_sum",
 ]

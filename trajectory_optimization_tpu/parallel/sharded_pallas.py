@@ -1,0 +1,172 @@
+"""Sharded fused-Pallas visibility: the multi-chip hot path.
+
+parallel.sharded's GSPMD step must fall back to the XLA backend because the
+fused Pallas kernel carries no partitioning rule. This module shards it
+manually: each device runs the Pallas passes on its slice of the point
+planes via shard_map, and only the tiny cross-shard quantities move over
+ICI — the (W,) score min/max between pass A and pass B, and the (W, ·)
+gradient partial sums in the backward. Point data never leaves its chip.
+
+Structure (mirrors ops.pallas_vis, with the global combines hoisted out of
+the kernels):
+
+  fwd:  [shard: pass A] → global min/max (2·W floats) → [shard: pass B]
+  bwd:  [shard: B1 stats] → global sums (4·W) → [shard: B2 apply]
+        → global sums (12·W) → parameter gradients
+
+Wrapped in one custom_vjp so ``sharded_fused_lo_sum`` drops into jax.grad.
+Validated against the single-device kernel on the virtual CPU mesh
+(tests/test_sharded_pallas.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from trajectory_optimization_tpu.ops import quat as quat_ops
+from trajectory_optimization_tpu.ops.pallas_vis import (
+    LANES,
+    TILE_ROWS_CACHE,
+    _consts,
+    make_norm,
+    run_bwd_apply,
+    run_bwd_stats,
+    run_pass_a,
+    run_pass_b,
+    sums_to_param_grads,
+)
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6, 7))
+def _sharded_lo_planes(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
+    lo, _ = _sharded_fwd(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps)
+    return lo
+
+
+def _sharded_fwd(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
+    def _shmap(fn, in_specs, out_specs):
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # metadata, so shard_map's replication checker cannot verify them
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    consts = _consts(img_wh, dist_lims, eps)
+    tr = TILE_ROWS_CACHE
+
+    def pass_a_local(wp, kp, planes_l, valid_l):
+        return run_pass_a(wp, kp, planes_l, valid_l, consts, cache_scores=True, tr=tr)
+
+    mins, maxs, scores = _shmap(
+        pass_a_local,
+        in_specs=(P(), P(), P(None, "pts"), P("pts")),
+        out_specs=(P("pts"), P("pts"), P(None, "pts")),
+    )(wp, kp, planes, valid_plane)
+    # (D·W,) per-shard partials → global (W,) over the shard axis
+    D = mins.shape[0] // wp.shape[0]
+    m = jnp.min(mins.reshape(D, -1), axis=0)
+    mx = jnp.max(maxs.reshape(D, -1), axis=0)
+    norm = make_norm(m, mx)
+
+    def pass_b_local(wp, kp, norm, planes_l, scores_l):
+        return run_pass_b(wp, kp, norm, planes_l, scores_l, consts, eps, tr=tr)
+
+    lo = _shmap(
+        pass_b_local,
+        in_specs=(P(), P(), P(), P(None, "pts"), P(None, "pts")),
+        out_specs=P("pts"),
+    )(wp, kp, norm, planes, scores)
+    return lo, (wp, kp, planes, valid_plane, norm, scores)
+
+
+def _sharded_bwd(mesh, img_wh, dist_lims, eps, res, g):
+    def _shmap(fn, in_specs, out_specs):
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # metadata, so shard_map's replication checker cannot verify them
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+
+    wp, kp, planes, valid_plane, norm, scores = res
+    consts = _consts(img_wh, dist_lims, eps)
+    tr = TILE_ROWS_CACHE
+    W = wp.shape[0]
+    g_plane = g.reshape(valid_plane.shape)
+
+    def stats_local(norm, scores_l, valid_l, g_l):
+        return run_bwd_stats(norm, scores_l, valid_l, g_l, eps, tr=tr)
+
+    st = _shmap(
+        stats_local,
+        in_specs=(P(), P(None, "pts"), P("pts"), P("pts")),
+        out_specs=P("pts"),
+    )(norm, scores, valid_plane, g_plane)
+    st = jnp.sum(st.reshape(-1, W, 4), axis=0)  # global over shards
+    alpha = st[:, 0] / jnp.maximum(st[:, 2], 1.0)
+    beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
+    norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)
+
+    def apply_local(wp, kp, norm2, planes_l, valid_l, g_l):
+        return run_bwd_apply(wp, kp, norm2, planes_l, valid_l, g_l, consts, eps, tr=tr)
+
+    sums = _shmap(
+        apply_local,
+        in_specs=(P(), P(), P(), P(None, "pts"), P("pts"), P("pts")),
+        out_specs=P("pts"),
+    )(wp, kp, norm2, planes, valid_plane, g_plane)
+    sums = jnp.sum(sums.reshape(-1, W, 3, 4), axis=0)
+
+    dwp = sums_to_param_grads(wp, sums)
+    return dwp, jnp.zeros_like(kp), jnp.zeros_like(planes), jnp.zeros_like(valid_plane)
+
+
+_sharded_lo_planes.defvjp(_sharded_fwd, _sharded_bwd)
+
+
+def sharded_fused_lo_sum(
+    mesh: Mesh,
+    points: jnp.ndarray,
+    quats: jnp.ndarray,
+    trans: jnp.ndarray,
+    K: jnp.ndarray,
+    img_width: float,
+    img_height: float,
+    *,
+    min_dist: float = 1.0,
+    max_dist: float = 5.0,
+    eps: float = 1e-6,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(N,) log-odds over W waypoints with the point axis sharded on
+    mesh axis 'pts'; differentiable w.r.t. quats/trans.
+
+    N must divide tile·D with tile = TILE_ROWS_CACHE·128 per shard — pad with
+    utils.data.pad_points to a suitable bucket first (padding entries carry
+    valid=0).
+    """
+    D = mesh.shape["pts"]  # only the point axis shards; 'wps' replicates here
+    N = points.shape[0]
+    W = quats.shape[0]
+    tile = TILE_ROWS_CACHE * LANES * D
+    if N % tile:
+        raise ValueError(f"N={N} must be a multiple of {tile} (pad the cloud)")
+    if valid is None:
+        valid = jnp.ones((N,), jnp.float32)
+
+    planes = points.T.reshape(3, N // LANES, LANES)
+    valid_plane = valid.astype(jnp.float32).reshape(N // LANES, LANES)
+
+    R = quat_ops.to_matrix(quat_ops.normalize(quats))
+    wp = jnp.concatenate([R.reshape(W, 9), trans, jnp.zeros((W, 4), jnp.float32)], axis=1)
+    kp = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]).reshape(1, 4)
+
+    lo = _sharded_lo_planes(
+        mesh, wp, kp, planes, valid_plane,
+        (float(img_width), float(img_height)),
+        (float(min_dist), float(max_dist)),
+        float(eps),
+    )
+    return lo.reshape(N)
