@@ -23,7 +23,6 @@ from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_param
 from trajectory_optimization_tpu.models.traj import (
     TrajProblem,
     init_traj_params,
-    traj_forward,
     waypoint_stride,
 )
 from trajectory_optimization_tpu.opt.engine import EarlyStop, OptimizerConfig
@@ -110,9 +109,9 @@ class TrajectoryOptimizer:
         stop = early_stop or EarlyStop(rewards_th=float("inf"), smoothness_th=float("inf"))
         run = traj_runner(problem, self.opt_cfg, stop, int(n_steps))
         params = warm_start or init_traj_params(path, quats_wxyz)
-        _, aux0 = traj_forward(params, P, K, p0, q0, problem, valid=V)
         params, n_iters, loss, aux = run(params, P, V, K, p0, q0)
         n_iters, loss = int(n_iters), float(loss)
+        aux0 = {"mean_reward": aux["reward0"], "loss_smooth": aux["smooth0"]}
 
         quats = np.asarray(params["quats"], np.float64)
         quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)

@@ -77,6 +77,8 @@ def traj_runner(
         }
         out = jax.lax.while_loop(cond, body, init)
         final_loss, final_aux = loss_fn(out["params"])
+        final_aux["reward0"] = out["reward0"]  # first-step gains, for free
+        final_aux["smooth0"] = out["smooth0"]
         return out["params"], out["i"], final_loss, final_aux
 
     return run
