@@ -81,3 +81,60 @@ def test_soft_agreement_and_gradients(cam_cloud):
     g = jax.grad(lambda p: jnp.sum(hpr_mask_soft(p)))(jnp.asarray(sub))
     g = np.asarray(g)
     assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_soft_hpr_valid_mask(cam_cloud):
+    import jax.numpy as jnp
+    from trajectory_optimization_tpu.utils.data import pad_points
+
+    sub = cam_cloud[:3000]
+    plain = np.asarray(hpr_mask_soft(jnp.asarray(sub)))
+    padded, valid = pad_points(sub, 4096)
+    masked = np.asarray(hpr_mask_soft(jnp.asarray(padded), valid=jnp.asarray(valid)))
+    # real points unaffected by padding; padded entries report ~0 visibility
+    np.testing.assert_allclose(masked[:3000], plain, atol=3e-3)  # reduction-order drift through the sharp sigmoid
+    assert masked[3000:].max() < 1e-3
+
+
+def test_pose_optimization_through_soft_hpr(cloud10):
+    """Occlusion-aware pose optimization: gradients THROUGH Katz HPR — the
+    reference's TODO (`src/tools.py:61-62`) realized."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem, init_pose_params, pose_forward,
+    )
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    pts = jnp.asarray(cloud10[::16])
+    prob = PoseProblem(img_width=intr.width, img_height=intr.height, soft_hpr=True)
+    params = init_pose_params(
+        np.array([[6.0, 2.0, 0.0]], np.float32), np.array([[0.9, 0.1, -0.2, 0.3]], np.float32)
+    )
+    K = intr.matrix()
+
+    def loss_fn(p):
+        return pose_forward(p, pts, K, prob)
+
+    (l0, aux0), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(np.asarray(grads["trans"])).all()
+    assert np.linalg.norm(np.asarray(grads["trans"])) > 0
+
+    # the occlusion term changes the gradient vs the plain model
+    prob_plain = PoseProblem(img_width=intr.width, img_height=intr.height)
+    g_plain = jax.grad(lambda p: pose_forward(p, pts, K, prob_plain)[0])(params)
+    assert not np.allclose(np.asarray(grads["trans"]), np.asarray(g_plain["trans"]))
+
+    # and a few steps reduce the loss
+    tx = optax.adam(0.02)
+    st = tx.init(params)
+    p = params
+    for _ in range(15):
+        g = jax.grad(lambda q: loss_fn(q)[0])(p)
+        u, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, u)
+    l1, _ = loss_fn(p)
+    assert float(l1) < float(l0)

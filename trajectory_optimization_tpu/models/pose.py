@@ -27,13 +27,22 @@ Params = Dict[str, jnp.ndarray]
 
 @dataclasses.dataclass(frozen=True)
 class PoseProblem:
-    """Static (hashable) problem description for a single-pose optimization."""
+    """Static (hashable) problem description for a single-pose optimization.
+
+    ``soft_hpr=True`` enables differentiable Katz occlusion *inside* the
+    loss, recomputed per step on the camera-frame points — the capability the
+    reference's TODO asked for (`src/tools.py:61-62`; its HPR is a detached
+    CPU Qhull call, and — bug — evaluated in the world frame). O(N²/block)
+    extra matmuls per step; use the precomputed ``occlusion_mask`` for large
+    clouds where a static world-frame gate suffices.
+    """
 
     img_width: float
     img_height: float
     min_dist: float = 1.0
     max_dist: float = 5.0
     eps: float = 1e-6
+    soft_hpr: bool = False
 
 
 def init_pose_params(trans0, quat0) -> Params:
@@ -77,6 +86,13 @@ def pose_forward(
         max_dist=problem.max_dist,
         eps=problem.eps,
     )[0]  # fused SoA scorer with a single-waypoint batch
+    if problem.soft_hpr:
+        # differentiable occlusion in the CAMERA frame, inside the loss
+        from trajectory_optimization_tpu.ops.geometry import to_camera_frame
+        from trajectory_optimization_tpu.ops.hpr import hpr_mask_soft
+
+        cam = to_camera_frame(points, params["quat"][0], params["trans"][0])
+        mask = hpr_mask_soft(cam, valid=valid) * mask
     if occlusion_mask is not None:
         mask = occlusion_mask * mask
     if valid is not None:

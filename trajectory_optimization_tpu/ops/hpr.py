@@ -155,6 +155,7 @@ def hpr_mask_soft(
     block: int = 1024,
     sharpness: float = 200.0,
     tau: float = 0.03,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Differentiable HPR visibility in (0, 1).
 
@@ -171,11 +172,18 @@ def hpr_mask_soft(
     """
     n = points.shape[0]
     norms = jnp.linalg.norm(points, axis=-1)
-    radius = jnp.max(norms) * 10.0 ** r_param
+    if valid is not None:
+        # padded points must neither set the flip radius nor cover anyone
+        norms_v = jnp.where(valid > 0, norms, 0.0)
+    else:
+        norms_v = norms
+    radius = jnp.max(norms_v) * 10.0 ** r_param
     rho = 2.0 * radius - norms
+    if valid is not None:
+        rho = jnp.where(valid > 0, rho, -_BIG_SOFT)
     # normalization constant; stop_gradient — a traced beta multiplying the
     # -BIG self-exclusion sentinel would otherwise poison the backward
-    scale = jax.lax.stop_gradient(jnp.max(norms))
+    scale = jax.lax.stop_gradient(jnp.maximum(jnp.max(norms_v), 1e-6))
     u = points / jnp.maximum(norms, 1e-12)[:, None]
 
     n_pad = (-n) % block
