@@ -388,7 +388,9 @@ class PoseFeederNode:
         self.rng = rng or np.random.default_rng()
 
     def tick(self):
-        from trajectory_optimization_tpu.ops import quat as quat_ops
+        # host-only math: a JAX dispatch here would stamp this message tens of
+        # seconds after the cloud on first use (device init), breaking pairing
+        from trajectory_optimization_tpu.ops.quat import from_euler_np
 
         c = self.cfg
         pos = np.array(
@@ -403,7 +405,7 @@ class PoseFeederNode:
             c.pitch if c.pitch is not None else self.rng.random() * np.pi,
             c.yaw if c.yaw is not None else self.rng.random() * np.pi,
         ]
-        q_wxyz = np.asarray(quat_ops.from_euler(*rpy))
+        q_wxyz = from_euler_np(*rpy)
         q_xyzw = np.concatenate([q_wxyz[1:], q_wxyz[:1]])
         self.bus.publish(
             c.output_topic, PoseMsg(Header.make(c.frame_id), pos, q_xyzw)

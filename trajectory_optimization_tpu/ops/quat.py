@@ -141,6 +141,25 @@ def xyzw_to_wxyz(q: jnp.ndarray) -> jnp.ndarray:
 
 
 # NumPy mirrors for host-side (bus) code ------------------------------------
+# Feeders and codecs must never touch the device: the first JAX dispatch in a
+# process can cost tens of seconds of backend init on a tunneled TPU, which
+# blows the approximate-time pairing window between bus messages.
+
+def from_euler_np(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """NumPy twin of :func:`from_euler` (wxyz)."""
+    r, p, y = roll * 0.5, pitch * 0.5, yaw * 0.5
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    return np.array(
+        [
+            cr * cp * cy + sr * sp * sy,
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+        ]
+    )
+
 
 def normalize_np(q: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     n = np.linalg.norm(q, axis=-1, keepdims=True)
