@@ -187,6 +187,28 @@ def merge_rgb(rec: np.ndarray) -> np.ndarray:
     return out
 
 
+def extract_xyzrgb(cloud: WireCloud, remove_nans: bool = True) -> np.ndarray:
+    """(N, 4) x,y,z + packed-rgb (reference `pointcloud2_to_xyzrgb_array`)."""
+    return extract_fields(cloud, ["x", "y", "z", "rgb"], remove_nans)
+
+
+def extract_xyzirgb(cloud: WireCloud, remove_nans: bool = True) -> np.ndarray:
+    """(N, 5) x,y,z,intensity + packed-rgb (reference
+    `pointcloud2_to_xyzirgb_array`)."""
+    return extract_fields(cloud, ["x", "y", "z", "intensity", "rgb"], remove_nans)
+
+
+def encode_xyzirgb(points: np.ndarray, header: Optional[Header] = None) -> WireCloud:
+    """(N, 7) x,y,z,intensity,r,g,b float rows → WireCloud (reference
+    `xyzirgb_array_to_pointcloud2`'s field set)."""
+    pts = np.asarray(points, np.float32)
+    dt = np.dtype([(n, np.float32) for n in ("x", "y", "z", "intensity", "r", "g", "b")])
+    rec = np.empty(len(pts), dtype=dt)
+    for i, n in enumerate(dt.names):
+        rec[n] = pts[:, i]
+    return encode(rec, header)
+
+
 def cloud_msg_to_wire(msg: CloudMsg) -> WireCloud:
     return encode_xyz(msg.points, msg.header)
 
