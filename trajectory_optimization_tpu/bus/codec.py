@@ -187,15 +187,24 @@ def merge_rgb(rec: np.ndarray) -> np.ndarray:
     return out
 
 
+def _rgb_column(cloud: WireCloud) -> list:
+    """Color columns: the packed 'rgb' float if present, else r,g,b floats."""
+    names = [f.name for f in cloud.fields]
+    return ["rgb"] if "rgb" in names else ["r", "g", "b"]
+
+
 def extract_xyzrgb(cloud: WireCloud, remove_nans: bool = True) -> np.ndarray:
-    """(N, 4) x,y,z + packed-rgb (reference `pointcloud2_to_xyzrgb_array`)."""
-    return extract_fields(cloud, ["x", "y", "z", "rgb"], remove_nans)
+    """x,y,z + color columns (reference `pointcloud2_to_xyzrgb_array`;
+    handles both the packed-'rgb' and separate-r/g/b field layouts)."""
+    return extract_fields(cloud, ["x", "y", "z"] + _rgb_column(cloud), remove_nans)
 
 
 def extract_xyzirgb(cloud: WireCloud, remove_nans: bool = True) -> np.ndarray:
-    """(N, 5) x,y,z,intensity + packed-rgb (reference
+    """x,y,z,intensity + color columns (reference
     `pointcloud2_to_xyzirgb_array`)."""
-    return extract_fields(cloud, ["x", "y", "z", "intensity", "rgb"], remove_nans)
+    return extract_fields(
+        cloud, ["x", "y", "z", "intensity"] + _rgb_column(cloud), remove_nans
+    )
 
 
 def encode_xyzirgb(points: np.ndarray, header: Optional[Header] = None) -> WireCloud:
