@@ -129,3 +129,29 @@ def test_rgb_pack_unpack_roundtrip():
 def test_path_msg_quaternion_convention():
     path = PathMsg.straight(np.zeros((3, 3)))
     np.testing.assert_allclose(path.orientations_wxyz, [[1, 0, 0, 0]] * 3)
+
+
+def test_codec_xyzirgb_aliases_both_layouts():
+    from trajectory_optimization_tpu.bus.codec import (
+        encode_xyzirgb,
+        extract_xyzirgb,
+        extract_xyzrgb,
+        merge_rgb,
+    )
+
+    pts = np.random.default_rng(3).uniform(0, 1, (20, 7)).astype(np.float32)
+    w = encode_xyzirgb(pts)  # separate float r/g/b fields
+    np.testing.assert_allclose(extract_xyzirgb(w), pts, atol=1e-6)
+    assert extract_xyzrgb(w).shape == (20, 6)
+
+    # packed-rgb layout (PCL convention)
+    dt = np.dtype([("x", np.float32), ("y", np.float32), ("z", np.float32),
+                   ("intensity", np.float32),
+                   ("r", np.uint8), ("g", np.uint8), ("b", np.uint8)])
+    rec = np.zeros(5, dtype=dt)
+    rec["x"] = 1.0
+    rec["r"] = 200
+    w2 = encode(merge_rgb(rec))
+    out = extract_xyzirgb(w2)
+    assert out.shape == (5, 5)
+    np.testing.assert_allclose(out[:, 0], 1.0)
