@@ -23,12 +23,14 @@ def _first_leaf(state):
     return jax.tree_util.tree_leaves(state)[0]
 
 
-def _steps_per_sec(step_fn, state, n_steps, n_warmup=3):
-    """Time n_steps with a REAL device sync: fetch bytes to host.
+def _steps_per_sec(step_fn, state, n_steps, n_warmup=3, repeats=3):
+    """Median-of-`repeats` steps/s with a REAL device sync: fetch bytes to host.
 
     On the tunneled TPU in this environment, jax.block_until_ready can ack
     before execution finishes; a host fetch of data that depends on the final
     state cannot. The fetch round-trip is measured separately and subtracted.
+    Run-to-run variance is ±20% (CLAUDE.md), so single-shot numbers are not
+    comparable round-over-round — the median of 3 timed windows is reported.
     """
     for _ in range(n_warmup):
         state = step_fn(state)
@@ -37,12 +39,15 @@ def _steps_per_sec(step_fn, state, n_steps, n_warmup=3):
     np.asarray(_first_leaf(state))
     rtt = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state = step_fn(state)
-    np.asarray(_first_leaf(state))  # forces completion of all n steps
-    dt = time.perf_counter() - t0 - rtt
-    return n_steps / max(dt, 1e-9), state
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state = step_fn(state)
+        np.asarray(_first_leaf(state))  # forces completion of all n steps
+        dt = time.perf_counter() - t0 - rtt
+        rates.append(n_steps / max(dt, 1e-9))
+    return float(np.median(rates)), state
 
 
 def bench_traj(pts_np, poses_np, n_steps=200, lr_pose=0.1, lr_quat=0.02):
@@ -125,6 +130,103 @@ def bench_pose(pts_np, n_steps=500):
     return rate
 
 
+def _time_device_fn(fn, args, fetch, n_iters=20, n_warmup=2):
+    """Median ms/call of a jitted device fn; `fetch(out)` picks a small leaf
+    whose host fetch forces completion (same sync discipline as
+    _steps_per_sec)."""
+    out = None
+    for _ in range(n_warmup):
+        out = fn(*args)
+    np.asarray(fetch(out))
+    t0 = time.perf_counter()
+    np.asarray(fetch(out))
+    rtt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(*args)
+        np.asarray(fetch(out))
+        times.append((time.perf_counter() - t0 - rtt) / n_iters)
+    return float(np.median(times)) * 1e3
+
+
+def bench_pass_breakdown(pts_np, poses_np):
+    """Per-pass ms of the fused cached-score Pallas pipeline on the given
+    workload (VERDICT round-1 item 2: make regressions inside the step
+    visible). Passes: A = scores + min/max + HBM cache write; B = cached-score
+    log-odds; bwd-B1 = min/max-pathway stats (bandwidth); bwd-B2 = gradient
+    apply (recompute + 12 sums). Returns {name: ms}."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajectory_optimization_tpu.models.traj import waypoint_stride
+    from trajectory_optimization_tpu.ops import quat as quat_ops
+    from trajectory_optimization_tpu.ops.pallas_vis import (
+        LANES,
+        TILE_ROWS_CACHE,
+        _consts,
+        make_norm,
+        run_bwd_apply,
+        run_bwd_stats,
+        run_pass_a,
+        run_pass_b,
+    )
+    from trajectory_optimization_tpu.utils.data import identity_quaternions
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    N = pts_np.shape[0]
+    assert N % (TILE_ROWS_CACHE * LANES) == 0, "breakdown wants tile-aligned N"
+    stride = waypoint_stride(poses_np, 0.5)
+    poses = jnp.asarray(poses_np[::stride])
+    quats = jnp.asarray(identity_quaternions(poses.shape[0]))
+    W = poses.shape[0]
+    K = intr.matrix()
+
+    planes = jnp.asarray(pts_np).T.reshape(3, N // LANES, LANES)
+    valid_plane = jnp.ones((N // LANES, LANES), jnp.float32)
+    g_plane = jnp.full((N // LANES, LANES), 1e-3, jnp.float32)
+    R = quat_ops.to_matrix(quat_ops.normalize(quats))
+    wp = jnp.concatenate([R.reshape(W, 9), poses, jnp.zeros((W, 4), jnp.float32)], axis=1)
+    kp = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]).reshape(1, 4)
+    consts = _consts(
+        (float(intr.width), float(intr.height)), (1.0, 5.0), 1e-6
+    )
+    tr = TILE_ROWS_CACHE
+
+    import functools
+
+    a_fn = jax.jit(
+        functools.partial(run_pass_a, consts=consts, cache_scores=True, tr=tr)
+    )
+    mins, maxs, scores = a_fn(wp, kp, planes, valid_plane)
+    norm = make_norm(mins, maxs)
+    b_fn = jax.jit(functools.partial(run_pass_b, consts=consts, eps=1e-6, tr=tr))
+    s1_fn = jax.jit(functools.partial(run_bwd_stats, eps=1e-6, tr=tr))
+    st = s1_fn(norm, scores, valid_plane, g_plane)
+    alpha = st[:, 0] / jnp.maximum(st[:, 2], 1.0)
+    beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
+    norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)
+    s2_fn = jax.jit(functools.partial(run_bwd_apply, consts=consts, eps=1e-6, tr=tr))
+
+    out = {
+        "pass_A_ms": _time_device_fn(
+            a_fn, (wp, kp, planes, valid_plane), lambda o: o[0]
+        ),
+        "pass_B_ms": _time_device_fn(
+            b_fn, (wp, kp, norm, planes, scores), lambda o: o[:1, :1]
+        ),
+        "bwd_B1_ms": _time_device_fn(
+            s1_fn, (norm, scores, valid_plane, g_plane), lambda o: o
+        ),
+        "bwd_B2_ms": _time_device_fn(
+            s2_fn, (wp, kp, norm2, planes, valid_plane, g_plane), lambda o: o
+        ),
+    }
+    return out
+
+
 def bench_node_throughput(pts_np, poses_np, n_msgs=20):
     """Messages/s through the full TrajOptNode path: time-sync pairing,
     padding/bucketing, a 30-step on-device optimization, output publishing."""
@@ -183,6 +285,17 @@ def main():
         )
     except Exception as e:  # noqa: BLE001 — report, don't fail the headline
         print(f"[bench] north-star workload failed: {e}", file=sys.stderr)
+
+    try:
+        breakdown = bench_pass_breakdown(big_pts, big_path)
+        total = sum(breakdown.values())
+        parts = ", ".join(f"{k} {v:.2f}" for k, v in breakdown.items())
+        print(
+            f"[bench] north-star pass breakdown: {parts} (sum {total:.2f} ms)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] pass breakdown failed: {e}", file=sys.stderr)
 
     rate_pose = bench_pose(pts)
     print(f"[bench] pose model (40452 pts): {rate_pose:.1f} steps/s", file=sys.stderr)

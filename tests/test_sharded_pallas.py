@@ -5,11 +5,25 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import optax
+
+from trajectory_optimization_tpu.models.traj import (
+    TrajProblem,
+    init_traj_params,
+    traj_forward,
+)
+from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
 from trajectory_optimization_tpu.ops.pallas_vis import LANES, TILE_ROWS_CACHE, fused_lo_sum
 from trajectory_optimization_tpu.parallel.mesh import make_mesh
-from trajectory_optimization_tpu.parallel.sharded import shard_points
-from trajectory_optimization_tpu.parallel.sharded_pallas import sharded_fused_lo_sum
-from trajectory_optimization_tpu.utils.data import identity_quaternions
+from trajectory_optimization_tpu.parallel.sharded import (
+    make_sharded_train_step,
+    shard_points,
+)
+from trajectory_optimization_tpu.parallel.sharded_pallas import (
+    pad_multiple,
+    sharded_fused_lo_sum,
+)
+from trajectory_optimization_tpu.utils.data import identity_quaternions, pad_points
 from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
 
 INTR = default_intrinsics()
@@ -58,6 +72,81 @@ def test_sharded_gradients_match_single(setup):
     gq_1, gt_1 = jax.grad(f_single, argnums=(0, 1))(quats, poses)
     np.testing.assert_allclose(np.asarray(gt_s), np.asarray(gt_1), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_1), rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_small_shard_tile(cloud10, path10):
+    """Flexible tile rows: one 8-row tile per shard (the dryrun shape)."""
+    mesh = make_mesh(8)
+    n = pad_multiple(mesh)  # 8 · 128 · 8 = 8192
+    pts = jnp.asarray(cloud10[:n].astype(np.float32))
+    quats = jnp.asarray(identity_quaternions(len(path10)))
+    poses = jnp.asarray(path10.astype(np.float32))
+    lo_sharded = sharded_fused_lo_sum(
+        mesh, pts, quats, poses, INTR.matrix(), INTR.width, INTR.height
+    )
+    lo_single = fused_lo_sum(pts, quats, poses, INTR.matrix(), INTR.width, INTR.height)
+    np.testing.assert_allclose(
+        np.asarray(lo_sharded), np.asarray(lo_single), rtol=1e-4, atol=2e-4
+    )
+
+
+def test_sharded_pallas_train_step_matches_single(cloud10, path10):
+    """The production multi-chip step (full criterion + Adam through the
+    sharded fused-Pallas kernel, VERDICT round-1 item 1) matches the
+    single-device fused step over several updates.
+
+    Reference capability: the full ModelTraj.criterion optimization chain
+    (`src/model.py:244-260` + `src/trajectory_optimization.py:110-116`)."""
+    mesh = make_mesh(8)
+    n = pad_multiple(mesh)
+    padded, valid = pad_points(cloud10[:n - 100].astype(np.float32), target=n)
+    poses0 = path10.astype(np.float32)
+    quats0 = identity_quaternions(len(poses0))
+    problem = TrajProblem(
+        img_width=INTR.width, img_height=INTR.height, wps_step=2, backend="pallas"
+    )
+    cfg = OptimizerConfig(lr_pose=0.05, lr_quat=0.01)
+    K = INTR.matrix()
+
+    # sharded step
+    init_fn, step_fn = make_sharded_train_step(mesh, problem, cfg)
+    params_s = init_traj_params(poses0, quats0)
+    opt_state = init_fn(params_s)
+    P, V = shard_points(mesh, padded, valid)
+    losses_s = []
+    for _ in range(3):
+        params_s, opt_state, loss, scalars = step_fn(
+            params_s, opt_state, P, V, K, jnp.asarray(poses0), jnp.asarray(quats0)
+        )
+        losses_s.append(float(loss))
+    assert np.isfinite(losses_s).all()
+    assert set(scalars) >= {"mean_reward", "loss_vis", "loss_smooth"}
+
+    # single-device fused-Pallas step, same updates
+    tx = make_optimizer(cfg)
+    params_1 = init_traj_params(poses0, quats0)
+    opt_state_1 = tx.init(params_1)
+
+    def loss_fn(p):
+        return traj_forward(
+            p, jnp.asarray(padded), K, jnp.asarray(poses0), jnp.asarray(quats0),
+            problem, valid=jnp.asarray(valid),
+        )
+
+    losses_1 = []
+    for _ in range(3):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_1)
+        updates, opt_state_1 = tx.update(grads, opt_state_1, params_1)
+        params_1 = optax.apply_updates(params_1, updates)
+        losses_1.append(float(loss))
+
+    np.testing.assert_allclose(losses_s, losses_1, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(params_s["poses"]), np.asarray(params_1["poses"]), rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(params_s["quats"]), np.asarray(params_1["quats"]), rtol=5e-3, atol=5e-4
+    )
 
 
 def test_sharded_rejects_undivisible(setup):

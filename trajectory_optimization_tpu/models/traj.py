@@ -174,6 +174,25 @@ def traj_forward(
             return jnp.sum(lo, axis=0)  # (N,) — order-independent log-odds fusion
 
         lo_sum = lo_sum_fn(quats[sel], poses[sel])
+    return traj_criterion(lo_sum, params, poses0, problem, valid=valid)
+
+
+def traj_criterion(
+    lo_sum: jnp.ndarray,
+    params: Params,
+    poses0: jnp.ndarray,
+    problem: TrajProblem,
+    *,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Composite loss from the (N,) accumulated log-odds.
+
+    The tail of the reference criterion (`src/model.py:237,244-260`): rewards
+    = σ(Σ log-odds), then visibility + first-waypoint anchor + smoothness +
+    length terms. Split out so both the single-device backends (traj_forward)
+    and the sharded fused-Pallas path (parallel.sharded) share it.
+    """
+    poses = params["poses"]
     rewards = 1.0 / (1.0 + jnp.exp(-lo_sum))  # σ(Σ log-odds), `src/model.py:237`
 
     # --- loss terms (reference `src/model.py:244-260`) ---------------------

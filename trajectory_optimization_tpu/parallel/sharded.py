@@ -26,10 +26,15 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from trajectory_optimization_tpu.models.traj import TrajProblem, traj_forward
+from trajectory_optimization_tpu.models.traj import (
+    TrajProblem,
+    traj_criterion,
+    traj_forward,
+)
 from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
 from trajectory_optimization_tpu.ops.scores import waypoint_scores
 from trajectory_optimization_tpu.parallel.mesh import points_sharding, replicated
+from trajectory_optimization_tpu.parallel.sharded_pallas import sharded_fused_lo_sum
 
 
 def shard_points(mesh: Mesh, points, valid=None):
@@ -41,6 +46,43 @@ def shard_points(mesh: Mesh, points, valid=None):
     if valid is None:
         return points
     return points, jax.device_put(jnp.asarray(valid), ps)
+
+
+def traj_forward_sharded(
+    mesh: Mesh,
+    params,
+    points,
+    K,
+    poses0,
+    quats0,
+    problem: TrajProblem,
+    *,
+    valid=None,
+):
+    """traj_forward with the visibility log-odds computed by the manually
+    sharded fused-Pallas kernel: each device runs the Pallas passes on its
+    point slice, only (W,)-sized quantities cross ICI (parallel.sharded_pallas),
+    and the criterion tail runs on replicated waypoint params.
+
+    Numerically matches traj_forward (tests/test_sharded_pallas.py). N must
+    be a multiple of sharded_pallas.pad_multiple(mesh).
+    """
+    poses, quats = params["poses"], params["quats"]
+    sel = slice(None, None, problem.wps_step)
+    lo_sum = sharded_fused_lo_sum(
+        mesh,
+        points,
+        quats[sel],
+        poses[sel],
+        K,
+        problem.img_width,
+        problem.img_height,
+        min_dist=problem.min_dist,
+        max_dist=problem.max_dist,
+        eps=problem.eps,
+        valid=valid,
+    )
+    return traj_criterion(lo_sum, params, poses0, problem, valid=valid)
 
 
 def make_sharded_train_step(
@@ -56,6 +98,15 @@ def make_sharded_train_step(
     bandwidth trade; the (W, N) visibility intermediate is sharded along
     'pts' by propagation).
 
+    Backends (problem.backend):
+      'pallas' / 'auto' off-CPU — the production multi-chip hot loop: the
+        manually sharded fused-Pallas kernel via :func:`traj_forward_sharded`
+        (point data never leaves its chip; hand-written two-pass backward).
+        Requires N % sharded_pallas.pad_multiple(mesh) == 0.
+      'xla' / 'auto' on CPU — GSPMD propagates shardings through the batched
+        XLA evaluation (no shape constraint; also the fallback for quick
+        experiments).
+
     step_fn(params, opt_state, points, valid, K, poses0, quats0)
       -> (params, opt_state, loss, scalar_aux)
     """
@@ -63,16 +114,22 @@ def make_sharded_train_step(
     rep = replicated(mesh)
     ps = points_sharding(mesh)
 
-    # Force the XLA backend under GSPMD: the fused Pallas kernel has no
-    # partitioning rule, so XLA would all-gather the sharded cloud around it —
-    # correct but defeating the sharding. The XLA path propagates shardings
-    # through every op (a sharded Pallas path is future work).
-    import dataclasses as _dc
+    backend = problem.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
-    problem = _dc.replace(problem, backend="xla")
+    if backend == "pallas":
+        def loss_fn(params, points, valid, K, poses0, quats0):
+            return traj_forward_sharded(
+                mesh, params, points, K, poses0, quats0, problem, valid=valid
+            )
+    else:
+        import dataclasses as _dc
 
-    def loss_fn(params, points, valid, K, poses0, quats0):
-        return traj_forward(params, points, K, poses0, quats0, problem, valid=valid)
+        problem = _dc.replace(problem, backend="xla")
+
+        def loss_fn(params, points, valid, K, poses0, quats0):
+            return traj_forward(params, points, K, poses0, quats0, problem, valid=valid)
 
     def init_fn(params):
         return jax.device_put(tx.init(params), rep)

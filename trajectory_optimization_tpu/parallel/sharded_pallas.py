@@ -41,6 +41,28 @@ from trajectory_optimization_tpu.ops.pallas_vis import (
     sums_to_param_grads,
 )
 
+MIN_TILE_ROWS = 8  # f32 sublane granularity — smallest legal plane tile
+
+
+def _tile_rows_for(m_local: int) -> int:
+    """Largest multiple of 8 ≤ TILE_ROWS_CACHE dividing the per-shard plane
+    rows, so small dryrun shapes work without 64-row padding per shard."""
+    tr = TILE_ROWS_CACHE
+    while tr > MIN_TILE_ROWS and m_local % tr:
+        tr -= MIN_TILE_ROWS
+    if m_local % tr:
+        raise ValueError(
+            f"per-shard plane rows {m_local} not a multiple of {MIN_TILE_ROWS}"
+        )
+    return tr
+
+
+def pad_multiple(mesh: Mesh) -> int:
+    """Point-count multiple required by :func:`sharded_fused_lo_sum` on this
+    mesh (pass as ``multiple=`` to utils.data.pad_points/bucket_size)."""
+    return MIN_TILE_ROWS * LANES * int(mesh.shape["pts"])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6, 7))
 def _sharded_lo_planes(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
     lo, _ = _sharded_fwd(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps)
@@ -55,7 +77,7 @@ def _sharded_fwd(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
             fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
         )
     consts = _consts(img_wh, dist_lims, eps)
-    tr = TILE_ROWS_CACHE
+    tr = _tile_rows_for(planes.shape[1] // mesh.shape["pts"])
 
     def pass_a_local(wp, kp, planes_l, valid_l):
         return run_pass_a(wp, kp, planes_l, valid_l, consts, cache_scores=True, tr=tr)
@@ -92,7 +114,7 @@ def _sharded_bwd(mesh, img_wh, dist_lims, eps, res, g):
 
     wp, kp, planes, valid_plane, norm, scores = res
     consts = _consts(img_wh, dist_lims, eps)
-    tr = TILE_ROWS_CACHE
+    tr = _tile_rows_for(planes.shape[1] // mesh.shape["pts"])
     W = wp.shape[0]
     g_plane = g.reshape(valid_plane.shape)
 
@@ -143,14 +165,15 @@ def sharded_fused_lo_sum(
     """(N,) log-odds over W waypoints with the point axis sharded on
     mesh axis 'pts'; differentiable w.r.t. quats/trans.
 
-    N must divide tile·D with tile = TILE_ROWS_CACHE·128 per shard — pad with
+    N must be a multiple of :func:`pad_multiple`(mesh) = 8·128·D — pad with
     utils.data.pad_points to a suitable bucket first (padding entries carry
-    valid=0).
+    valid=0). Tile rows per grid step adapt to the shard size (up to
+    TILE_ROWS_CACHE).
     """
     D = mesh.shape["pts"]  # only the point axis shards; 'wps' replicates here
     N = points.shape[0]
     W = quats.shape[0]
-    tile = TILE_ROWS_CACHE * LANES * D
+    tile = MIN_TILE_ROWS * LANES * D
     if N % tile:
         raise ValueError(f"N={N} must be a multiple of {tile} (pad the cloud)")
     if valid is None:
