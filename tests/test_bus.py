@@ -46,6 +46,92 @@ def test_time_sync_pairs_within_slop():
     assert len(pairs) == 1
 
 
+def test_time_sync_finds_older_in_window_pair():
+    """Greedy newest-per-topic pairing fails when one topic runs ahead past
+    the slop while an older valid pair sits in the queues; message_filters
+    (and we) must still fire it (VERDICT round-1 item 6)."""
+    bus = Bus()
+    pairs = []
+    ApproximateTimeSynchronizer(
+        bus, ["/pc", "/pose"], lambda a, b: pairs.append((a, b)), slop=0.5
+    )
+    pc_old = CloudMsg(Header(stamp=0.0), np.zeros((5, 3)))
+    pc_new = CloudMsg(Header(stamp=10.0), np.zeros((5, 3)))
+    pose = PoseMsg(Header(stamp=0.3), np.zeros(3), [0, 0, 0, 1])
+    bus.publish("/pc", pc_old)
+    bus.publish("/pc", pc_new)  # cloud topic runs ahead past the slop
+    bus.publish("/pose", pose)
+    assert len(pairs) == 1 and pairs[0][0] is pc_old and pairs[0][1] is pose
+
+
+def test_time_sync_picks_min_span_combination():
+    bus = Bus()
+    pairs = []
+    ApproximateTimeSynchronizer(
+        bus, ["/pc", "/pose"], lambda a, b: pairs.append((a, b)), slop=0.5
+    )
+    pc_a = CloudMsg(Header(stamp=1.0), np.zeros((5, 3)))
+    pc_b = CloudMsg(Header(stamp=1.35), np.zeros((5, 3)))
+    bus.publish("/pc", pc_a)
+    bus.publish("/pc", pc_b)
+    bus.publish("/pose", PoseMsg(Header(stamp=1.3), np.zeros(3), [0, 0, 0, 1]))
+    # both clouds are in-window; the 0.05-span (pc_b) combination wins
+    assert len(pairs) == 1 and pairs[0][0] is pc_b
+
+
+def test_time_sync_never_reuses_a_message():
+    """A fired message (even the max-stamp one) is consumed and cannot
+    participate in a second combination (ADVICE round-1)."""
+    bus = Bus()
+    pairs = []
+    ApproximateTimeSynchronizer(
+        bus, ["/pc", "/pose"], lambda a, b: pairs.append((a, b)), slop=0.5
+    )
+    pc = CloudMsg(Header(stamp=1.0), np.zeros((5, 3)))
+    bus.publish("/pc", pc)
+    bus.publish("/pose", PoseMsg(Header(stamp=1.1), np.zeros(3), [0, 0, 0, 1]))
+    bus.publish("/pose", PoseMsg(Header(stamp=1.2), np.zeros(3), [0, 0, 0, 1]))
+    assert len(pairs) == 1  # the second pose finds no fresh cloud
+
+
+def test_frame_graph_time_indexed_lookup():
+    """Moving-robot replay: cloud and camera stamps differ, so lookups at the
+    two times must return the two poses (VERDICT round-1 item 7; ROS TF
+    keeps a time-stamped buffer, reference `src/pc_processor.py:161-162`)."""
+    fg = FrameGraph()
+    qi = [0, 0, 0, 1]
+    fg.set_transform("map", "base", [0.0, 0, 0], qi, stamp=0.0)
+    fg.set_transform("map", "base", [2.0, 0, 0], qi, stamp=1.0)
+    fg.set_transform("map", "base", [4.0, 0, 0], qi, stamp=2.0)
+
+    # exact stamps
+    t, _ = fg.lookup("map", "base", time=0.0)
+    np.testing.assert_allclose(t, [0, 0, 0], atol=1e-9)
+    t, _ = fg.lookup("map", "base", time=2.0)
+    np.testing.assert_allclose(t, [4, 0, 0], atol=1e-9)
+    # interpolated between stamps
+    t, _ = fg.lookup("map", "base", time=1.5)
+    np.testing.assert_allclose(t, [3, 0, 0], atol=1e-9)
+    # clamped outside the range; latest when time=None
+    t, _ = fg.lookup("map", "base", time=-5.0)
+    np.testing.assert_allclose(t, [0, 0, 0], atol=1e-9)
+    t, _ = fg.lookup("map", "base")
+    np.testing.assert_allclose(t, [4, 0, 0], atol=1e-9)
+
+
+def test_frame_graph_slerp_rotation():
+    fg = FrameGraph()
+    qz90 = [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)]
+    fg.set_transform("map", "base", [0, 0, 0], [0, 0, 0, 1], stamp=0.0)
+    fg.set_transform("map", "base", [0, 0, 0], qz90, stamp=1.0)
+    # halfway: 45° about z — a point on x lands at (cos45, sin45, 0)
+    p = fg.transform_points(np.array([[1.0, 0.0, 0.0]]), "map", "base", time=0.5)
+    np.testing.assert_allclose(p, [[np.cos(np.pi / 4), np.sin(np.pi / 4), 0]], atol=1e-7)
+    # inverse-direction lookup honors the time too
+    t, q = fg.lookup("base", "map", time=0.0)
+    np.testing.assert_allclose(q, [0, 0, 0, 1], atol=1e-9)
+
+
 def test_frame_graph_lookup_roundtrip():
     fg = FrameGraph()
     # world -> base at (1,0,0); base -> cam rotated 90° about z at (0,1,0)
@@ -153,5 +239,8 @@ def test_codec_xyzirgb_aliases_both_layouts():
     rec["r"] = 200
     w2 = encode(merge_rgb(rec))
     out = extract_xyzirgb(w2)
-    assert out.shape == (5, 5)
+    # layout-independent width: packed rgb is unpacked to r,g,b columns
+    assert out.shape == (5, 7)
     np.testing.assert_allclose(out[:, 0], 1.0)
+    np.testing.assert_allclose(out[:, 4], 200.0)  # r survives the pack/unpack
+    assert extract_xyzrgb(w2).shape == (5, 6)

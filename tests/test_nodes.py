@@ -87,6 +87,20 @@ def test_pose_opt_node_publishes_progress(cloud10):
     assert np.isfinite(t).all()
 
 
+def test_pose_opt_node_zero_steps(cloud10):
+    """opt_steps=0 must not raise (ADVICE round-1: loss was unbound when both
+    the segment loop and the remainder branch were skipped)."""
+    bus = Bus(error_policy="raise")
+    node = PoseOptNode(
+        bus, PoseOptNodeConfig(pc_topic="/pts", pose_topic="/pose", opt_steps=0)
+    )
+    bus.publish("/pts", CloudMsg(Header(stamp=1.0, frame_id="world"), cloud10[::64]))
+    bus.publish(
+        "/pose", PoseMsg(Header(stamp=1.1, frame_id="world"), [6.0, 2.0, 0.0], [1, 0, 0, 0])
+    )
+    assert node.last_result["n_iters"] == 0
+
+
 def test_points_processor_pipeline(cloud10):
     bus = Bus()
     node = PointsProcessorNode(

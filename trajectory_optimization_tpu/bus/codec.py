@@ -187,24 +187,31 @@ def merge_rgb(rec: np.ndarray) -> np.ndarray:
     return out
 
 
-def _rgb_column(cloud: WireCloud) -> list:
-    """Color columns: the packed 'rgb' float if present, else r,g,b floats."""
-    names = [f.name for f in cloud.fields]
-    return ["rgb"] if "rgb" in names else ["r", "g", "b"]
+def _extract_with_rgb(cloud: WireCloud, base: list, remove_nans: bool) -> np.ndarray:
+    """base columns + r,g,b — layout-independent width: a packed float32
+    'rgb' field is unpacked into separate r/g/b columns, so callers always
+    get len(base)+3 columns whichever wire layout arrived."""
+    rec = decode(cloud).reshape(-1)
+    if "rgb" in (rec.dtype.names or ()):
+        rec = split_rgb(rec)
+    cols = np.stack([rec[n].astype(np.float64) for n in base + ["r", "g", "b"]], axis=1)
+    if remove_nans:
+        cols = cols[np.isfinite(cols).all(axis=1)]
+    return cols
 
 
 def extract_xyzrgb(cloud: WireCloud, remove_nans: bool = True) -> np.ndarray:
-    """x,y,z + color columns (reference `pointcloud2_to_xyzrgb_array`;
-    handles both the packed-'rgb' and separate-r/g/b field layouts)."""
-    return extract_fields(cloud, ["x", "y", "z"] + _rgb_column(cloud), remove_nans)
+    """(N, 6) x,y,z,r,g,b (reference `pointcloud2_to_xyzrgb_array`; handles
+    both the packed-'rgb' and separate-r/g/b wire layouts — packed rgb is
+    unpacked so the width never depends on the layout)."""
+    return _extract_with_rgb(cloud, ["x", "y", "z"], remove_nans)
 
 
 def extract_xyzirgb(cloud: WireCloud, remove_nans: bool = True) -> np.ndarray:
-    """x,y,z,intensity + color columns (reference
-    `pointcloud2_to_xyzirgb_array`)."""
-    return extract_fields(
-        cloud, ["x", "y", "z", "intensity"] + _rgb_column(cloud), remove_nans
-    )
+    """(N, 7) x,y,z,intensity,r,g,b (reference
+    `pointcloud2_to_xyzirgb_array`; layout-independent width, see
+    :func:`extract_xyzrgb`)."""
+    return _extract_with_rgb(cloud, ["x", "y", "z", "intensity"], remove_nans)
 
 
 def encode_xyzirgb(points: np.ndarray, header: Optional[Header] = None) -> WireCloud:

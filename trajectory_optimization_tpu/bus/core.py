@@ -103,10 +103,17 @@ class Bus:
 class ApproximateTimeSynchronizer:
     """Pair messages from several topics whose stamps agree within ``slop``.
 
-    Reference semantics (message_filters): keep per-topic queues of the last
-    ``queue_size`` messages; whenever a message arrives, look for a
-    combination (one per topic) with max-stamp − min-stamp ≤ slop; fire the
-    callback with the newest such combination and drop used/older entries.
+    Reference semantics (message_filters, `src/pose_optimization.py:58-62`):
+    keep per-topic queues of the last ``queue_size`` messages; whenever a
+    message arrives, search the queues for the combination (one message per
+    topic) minimizing max-stamp − min-stamp, fire the callback if that span is
+    ≤ slop, and consume the fired messages (plus anything older on their
+    topics, so a message never participates in two firings).
+
+    Unlike a greedy newest-per-topic pick, the search finds an older in-window
+    pair even when one topic has run ahead past the slop. The search is the
+    cartesian product of the queues — exponential in the number of topics, but
+    the node graphs here pair 2 (clouds+poses/paths) with queues ≤ 10.
     """
 
     def __init__(
@@ -140,21 +147,29 @@ class ApproximateTimeSynchronizer:
         return h.stamp if isinstance(h, Header) else float(getattr(msg, "stamp", 0.0))
 
     def _add(self, topic, msg):
+        import itertools
+
         fire = None
         with self._lock:
             self._queues[topic].append(msg)
             if all(self._queues[t] for t in self.topics):
-                # newest combination within slop: greedy from latest arrivals
-                candidate = []
-                for t in self.topics:
-                    candidate.append(max(self._queues[t], key=self._stamp))
-                stamps = [self._stamp(m) for m in candidate]
-                if max(stamps) - min(stamps) <= self.slop:
-                    fire = candidate
-                    cutoff = min(stamps)
-                    for t in self.topics:
+                # best combination: minimal stamp span; ties → newest pair
+                best_key, best = None, None
+                for combo in itertools.product(*(self._queues[t] for t in self.topics)):
+                    stamps = [self._stamp(m) for m in combo]
+                    span = max(stamps) - min(stamps)
+                    if span > self.slop:
+                        continue
+                    key = (span, -min(stamps))
+                    if best_key is None or key < best_key:
+                        best_key, best = key, combo
+                if best is not None:
+                    fire = list(best)
+                    # consume fired messages and everything older on their topic
+                    for t, m in zip(self.topics, fire):
                         q = self._queues[t]
-                        while q and self._stamp(q[0]) <= cutoff:
+                        s = self._stamp(m)
+                        while q and self._stamp(q[0]) <= s:
                             q.popleft()
         if fire is not None:
             self.callback(*fire)

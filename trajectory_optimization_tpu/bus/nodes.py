@@ -180,6 +180,7 @@ class PoseOptNode:
             pose_msg.orientation_wxyz.astype(np.float32)[None],
         )
         opt_state = init_opt(params)
+        loss, aux = jnp.asarray(jnp.inf), {"observations": jnp.zeros(len(points))}
         done = 0
         while done + seg <= cfg.opt_steps:
             params, opt_state, loss, aux = advance(params, opt_state, P, V, K, occlusion)

@@ -97,14 +97,34 @@ class VoxelFilterConfig:
 
 
 def _coerce(value: str, target_type) -> Any:
+    import typing
+
+    origin = typing.get_origin(target_type)
+    if origin is typing.Union:  # Optional[X] and friends
+        if value.strip().lower() in ("none", "null", ""):
+            return None
+        args = [a for a in typing.get_args(target_type) if a is not type(None)]
+        if args:
+            return _coerce(value, args[0])
     if target_type is bool:
         return value.lower() in ("1", "true", "yes", "on")
     if target_type is int:
         return int(value)
     if target_type is float:
         return float(value)
-    if target_type in (tuple, Tuple) or str(target_type).startswith(("typing.Tuple", "tuple")):
-        return tuple(v.strip() for v in value.split(","))
+    if origin is tuple or target_type in (tuple, Tuple):
+        # element-typed tuples: 'z_limits=-1,5' on Tuple[float, float] must
+        # yield (-1.0, 5.0), not ('-1', '5')
+        args = typing.get_args(target_type)
+        parts = [v.strip() for v in value.split(",")]
+        if args and Ellipsis not in args:
+            if len(parts) != len(args):
+                raise ValueError(
+                    f"expected {len(args)} comma-separated values, got {value!r}"
+                )
+            return tuple(_coerce(p, a) for p, a in zip(parts, args))
+        elem = args[0] if args else str
+        return tuple(_coerce(p, elem) for p in parts)
     return value
 
 
@@ -126,6 +146,16 @@ def apply_overrides(cfg, overrides: Sequence[str], section: Optional[str] = None
         if key not in fields:
             raise ValueError(f"unknown config key {key!r} for {type(cfg).__name__}")
         f = fields[key]
-        base = f.type if isinstance(f.type, type) else type(getattr(cfg, key) or "")
+        if isinstance(f.type, type):
+            base = f.type
+        else:
+            # `from __future__ import annotations` stringifies field types;
+            # resolve them so tuple/Optional fields coerce element-wise
+            import typing
+
+            try:
+                base = typing.get_type_hints(type(cfg))[key]
+            except Exception:  # unresolvable forward ref — fall back on value
+                base = type(getattr(cfg, key) or "")
         updates[key] = _coerce(value, base)
     return dataclasses.replace(cfg, **updates)
