@@ -156,7 +156,13 @@ def bench_pass_breakdown(pts_np, poses_np):
     workload (VERDICT round-1 item 2: make regressions inside the step
     visible). Passes: A = scores + min/max + HBM cache write; B = cached-score
     log-odds; bwd-B1 = min/max-pathway stats (bandwidth); bwd-B2 = gradient
-    apply (recompute + 12 sums). Returns {name: ms}."""
+    apply (cached-score dcam + 12 sums). Measured as PREFIX deltas of a
+    single jit program per prefix — per-call dispatch over the tunneled TPU
+    costs ~0.8 ms, which would dominate separately-dispatched passes (round-2
+    calibration: separate dispatch summed to 8.5 ms vs the true 4.5 ms step).
+    Returns {name: ms}."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -190,41 +196,91 @@ def bench_pass_breakdown(pts_np, poses_np):
     R = quat_ops.to_matrix(quat_ops.normalize(quats))
     wp = jnp.concatenate([R.reshape(W, 9), poses, jnp.zeros((W, 4), jnp.float32)], axis=1)
     kp = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]).reshape(1, 4)
-    consts = _consts(
-        (float(intr.width), float(intr.height)), (1.0, 5.0), 1e-6
-    )
+    consts = _consts((float(intr.width), float(intr.height)), (1.0, 5.0), 1e-6)
     tr = TILE_ROWS_CACHE
+    eps = 1e-6
 
-    import functools
+    def chain(upto):
+        @jax.jit
+        def f(wp, kp, planes, valid_plane, g_plane):
+            m, mx, scores = run_pass_a(
+                wp, kp, planes, valid_plane, consts, cache_scores=True, tr=tr
+            )
+            norm = make_norm(m, mx)
+            out = m[:1]
+            if upto >= 2:
+                lo = run_pass_b(wp, kp, norm, planes, scores, consts, eps, tr=tr)
+                out = lo[:1, :1]
+            if upto >= 3:
+                st = run_bwd_stats(norm, scores, valid_plane, g_plane, eps, tr=tr)
+                out = st[:1]
+            if upto >= 4:
+                alpha = st[:, 0] / jnp.maximum(st[:, 2], 1.0)
+                beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
+                norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)
+                sums = run_bwd_apply(
+                    wp, kp, norm2, planes, valid_plane, g_plane, scores, consts, eps, tr=tr
+                )
+                out = sums[:1]
+            return out
 
-    a_fn = jax.jit(
-        functools.partial(run_pass_a, consts=consts, cache_scores=True, tr=tr)
-    )
-    mins, maxs, scores = a_fn(wp, kp, planes, valid_plane)
-    norm = make_norm(mins, maxs)
-    b_fn = jax.jit(functools.partial(run_pass_b, consts=consts, eps=1e-6, tr=tr))
-    s1_fn = jax.jit(functools.partial(run_bwd_stats, eps=1e-6, tr=tr))
-    st = s1_fn(norm, scores, valid_plane, g_plane)
-    alpha = st[:, 0] / jnp.maximum(st[:, 2], 1.0)
-    beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
-    norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)
-    s2_fn = jax.jit(functools.partial(run_bwd_apply, consts=consts, eps=1e-6, tr=tr))
+        return f
 
-    out = {
-        "pass_A_ms": _time_device_fn(
-            a_fn, (wp, kp, planes, valid_plane), lambda o: o[0]
-        ),
-        "pass_B_ms": _time_device_fn(
-            b_fn, (wp, kp, norm, planes, scores), lambda o: o[:1, :1]
-        ),
-        "bwd_B1_ms": _time_device_fn(
-            s1_fn, (norm, scores, valid_plane, g_plane), lambda o: o
-        ),
-        "bwd_B2_ms": _time_device_fn(
-            s2_fn, (wp, kp, norm2, planes, valid_plane, g_plane), lambda o: o
-        ),
+    args = (wp, kp, planes, valid_plane, g_plane)
+    ts = [_time_device_fn(chain(k), args, lambda o: o) for k in (1, 2, 3, 4)]
+    return {
+        "pass_A_ms": round(ts[0], 3),
+        "pass_B_ms": round(ts[1] - ts[0], 3),
+        "bwd_B1_ms": round(ts[2] - ts[1], 3),
+        "bwd_B2_ms": round(ts[3] - ts[2], 3),
+        "total_ms": round(ts[3], 3),
     }
-    return out
+
+
+def bench_sharded_step(pts_np, poses_np, n_steps=50):
+    """The production multi-chip train step (sharded fused-Pallas backend,
+    parallel.sharded.make_sharded_train_step) on a mesh over all local
+    devices — one chip here, so this measures the sharded path's overhead vs
+    the single-device step; the 8-device scaling is validated functionally by
+    the driver dryrun."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajectory_optimization_tpu.models.traj import TrajProblem, init_traj_params, waypoint_stride
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+    from trajectory_optimization_tpu.parallel.mesh import make_mesh
+    from trajectory_optimization_tpu.parallel.sharded import make_sharded_train_step, shard_points
+    from trajectory_optimization_tpu.parallel.sharded_pallas import pad_multiple
+    from trajectory_optimization_tpu.utils.data import identity_quaternions, pad_points
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    mesh = make_mesh(len(jax.devices()))
+    mult = pad_multiple(mesh)
+    target = -(-pts_np.shape[0] // mult) * mult
+    padded, valid = pad_points(pts_np.astype(np.float32), target=target)
+    intr = default_intrinsics()
+    quats_np = identity_quaternions(len(poses_np))
+    problem = TrajProblem(
+        img_width=intr.width,
+        img_height=intr.height,
+        wps_step=waypoint_stride(poses_np, 0.5),
+        backend="pallas",
+    )
+    cfg = OptimizerConfig(lr_pose=0.1, lr_quat=0.02)
+    init_fn, step_fn = make_sharded_train_step(mesh, problem, cfg)
+    params = init_traj_params(poses_np, quats_np)
+    opt_state = init_fn(params)
+    P, V = shard_points(mesh, padded, valid)
+    K = intr.matrix()
+    p0, q0 = jnp.asarray(poses_np), jnp.asarray(quats_np)
+
+    def step(state):
+        params, opt_state = state
+        params, opt_state, loss, _ = step_fn(params, opt_state, P, V, K, p0, q0)
+        return params, opt_state
+
+    rate, _ = _steps_per_sec(step, (params, opt_state), n_steps)
+    return rate, mesh.shape["pts"]
 
 
 def bench_node_throughput(pts_np, poses_np, n_msgs=20):
@@ -288,14 +344,20 @@ def main():
 
     try:
         breakdown = bench_pass_breakdown(big_pts, big_path)
-        total = sum(breakdown.values())
         parts = ", ".join(f"{k} {v:.2f}" for k, v in breakdown.items())
+        print(f"[bench] north-star pass breakdown: {parts}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] pass breakdown failed: {e}", file=sys.stderr)
+
+    try:
+        rate_sh, n_dev = bench_sharded_step(big_pts, big_path)
         print(
-            f"[bench] north-star pass breakdown: {parts} (sum {total:.2f} ms)",
+            f"[bench] sharded train step (pallas backend, {n_dev}-device mesh, "
+            f"1M pts x 50 wps): {rate_sh:.1f} steps/s",
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
-        print(f"[bench] pass breakdown failed: {e}", file=sys.stderr)
+        print(f"[bench] sharded step failed: {e}", file=sys.stderr)
 
     rate_pose = bench_pose(pts)
     print(f"[bench] pose model (40452 pts): {rate_pose:.1f} steps/s", file=sys.stderr)

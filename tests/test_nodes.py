@@ -135,6 +135,87 @@ def test_points_processor_pipeline(cloud10):
     assert 0 < n_visible <= n_culled < len(cloud10)
 
 
+def test_points_processor_six_camera_rig_batches(cloud10):
+    """Six CameraInfo topics sharing intrinsics (the reference's rig,
+    `src/pc_processor.py:33-39`): one fused evaluation per cloud, outputs
+    matching the serial per-camera path (VERDICT round-1 item 5)."""
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    cams = [f"cam{i}" for i in range(6)]
+    topics = tuple(f"/{c}/info" for c in cams)
+
+    def build(topics_, hpr="none"):
+        # hpr 'none' for the batched-vs-serial equality check: HPR's hull
+        # membership is legitimately sensitive to the ~1e-5 f32 transform
+        # difference between the batched device path and the serial f64 host
+        # path, so the comparison targets the deterministic cull geometry
+        bus = Bus(error_policy="raise")
+        node = PointsProcessorNode(
+            bus,
+            PointsProcessorConfig(
+                pc_topic="/cloud", cam_info_topics=topics_,
+                hpr_backend=hpr, render=False,
+            ),
+        )
+        for i, c in enumerate(cams):
+            # ring of cameras around the cloud
+            a = 2 * np.pi * i / 6
+            node.frames.set_transform(
+                "world", c, [6 + 3 * np.cos(a), 2 + 3 * np.sin(a), -2.0], [0, 0, 0, 1]
+            )
+        return bus, node
+
+    def info(c):
+        return CameraInfoMsg(
+            Header(stamp=0.0, frame_id=c), int(intr.width), int(intr.height),
+            K=tuple(intr.matrix_np(np.float64).reshape(-1)),
+        )
+
+    # batched rig
+    bus_b, node_b = build(topics)
+    got_b = {}
+    for c in cams:
+        bus_b.subscribe(f"/{c}/pointcloud_visible", lambda m, c=c: got_b.__setitem__(c, m))
+    bus_b.publish("/cloud", CloudMsg(Header(stamp=0.0, frame_id="world"), cloud10[::4]))
+    for c in cams:
+        bus_b.publish(f"/{c}/info", info(c))
+    assert node_b.n_batched == 1 and node_b.n_serial == 0
+    assert set(got_b) == set(cams)
+
+    # serial reference: single-topic nodes, same cameras
+    for c in cams:
+        bus_s, node_s = build((f"/{c}/info",))
+        got_s = {}
+        bus_s.subscribe(f"/{c}/pointcloud_visible", lambda m: got_s.__setitem__(c, m))
+        bus_s.publish("/cloud", CloudMsg(Header(stamp=0.0, frame_id="world"), cloud10[::4]))
+        bus_s.publish(f"/{c}/info", info(c))
+        assert node_s.n_serial == 1
+        a, b = got_b[c].points, got_s[c].points
+        assert len(a) == len(b), f"{c}: batched {len(a)} vs serial {len(b)}"
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+    # the approx-HPR batched path still runs end-to-end
+    bus_h, node_h = build(topics[:3], hpr="approx")
+    seen = []
+    for c in cams[:3]:
+        bus_h.subscribe(f"/{c}/pointcloud_visible", seen.append)
+    bus_h.publish("/cloud", CloudMsg(Header(stamp=0.0, frame_id="world"), cloud10[::16]))
+    for c in cams[:3]:
+        bus_h.publish(f"/{c}/info", info(c))
+    assert node_h.n_batched == 1 and len(seen) == 3
+    assert all(len(m.points) > 0 for m in seen)
+
+    # mixed intrinsics fall back to the serial path
+    bus_m, node_m = build(topics[:2])
+    bus_m.publish("/cloud", CloudMsg(Header(stamp=0.0, frame_id="world"), cloud10[::16]))
+    other = CameraInfoMsg(Header(stamp=0.0, frame_id="cam1"), 640, 480,
+                          K=(100.0, 0, 320, 0, 100, 240, 0, 0, 1))
+    bus_m.publish("/cam0/info", info("cam0"))
+    bus_m.publish("/cam1/info", other)
+    assert node_m.n_batched == 0 and node_m.n_serial == 2
+
+
 def test_voxel_filter_node(cloud10):
     bus = Bus()
     VoxelFilterNode(

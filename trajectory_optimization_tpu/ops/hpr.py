@@ -12,12 +12,13 @@ This module provides three tiers:
    calls). Host-side, non-differentiable — exactly like the reference, which
    only ever calls it on detached tensors.
 
-2. :func:`hpr_mask_approx` — TPU-native fixed-shape approximation: a point is
-   hidden iff some other point dominates it in the flipped geometry,
-   ρ'ⱼ·cosθᵢⱼ > ρ'ᵢ  (ρ' = flipped radius 2R − ‖p‖). The pairwise cosθ matrix
-   is U·Uᵀ — an (N, N) matmul on the MXU, evaluated in row blocks so memory
-   stays O(block·N). Matches Qhull's visible set to ~97% on the sample cloud
-   (tests/test_hpr.py) and is jittable.
+2. :func:`hpr_mask_approx` — TPU-native fixed-shape approximation: every
+   point pursues a witness direction for the hull support function, refined
+   per pass by Agmon–Motzkin relaxation against its current blocker; winners
+   of the support argmax are marked visible (margin-gated against f32 ties).
+   Each pass is an (N, N) matmul on the MXU, evaluated in row blocks so
+   memory stays O(block·N). Recall ≥ 0.99 vs Qhull's visible set on the
+   sample cloud with zero false positives (tests/test_hpr.py); jittable.
 
 3. :func:`hpr_mask_soft` — differentiable relaxation of (2): replaces the
    hard max-dominance test with a log-sum-exp + sigmoid, giving useful
@@ -94,22 +95,29 @@ def hpr_mask_approx(
     r_param: float = 2.0,
     *,
     block: int = 1024,
-    n_passes: int = 7,
-    key: Optional[jax.Array] = None,
+    n_passes: int = 16,
+    relax: float = 1.9,
+    rel_tol: float = 1e-7,
 ) -> jnp.ndarray:
-    """TPU-native HPR visible mask by support-function sampling (jittable).
+    """TPU-native HPR visible mask by adaptive support-function pursuit
+    (jittable).
 
     A flipped point p'ᵢ is a hull vertex (⇔ visible) iff it is the argmax of
-    the support function d ↦ maxⱼ p'ⱼ·d for SOME direction d. We sample
-    directions — the N radial directions uᵢ plus (n_passes−1) jittered
-    copies — and mark every winner visible. Each pass is one (block, N)
-    matmul chain on the MXU.
+    the support function d ↦ maxⱼ p'ⱼ·d for SOME direction d. Each point
+    pursues a witness direction dᵢ, starting radial (uᵢ) and refined by
+    Agmon–Motzkin relaxation: on each pass the current blocker b =
+    argmaxⱼ p'ⱼ·dᵢ defines the violated constraint (p'ᵢ − p'_b)·d > 0, and dᵢ
+    is projected λ=1.9 of the way onto its boundary (the Polyak step for the
+    separation margin — converges linearly for true vertices, unlike fixed
+    jitter sampling). Each pass is one (block, N) matmul chain on the MXU.
 
-    Properties (validated against Qhull on the sample cloud, tests/test_hpr.py):
-      * ZERO false positives — every winner is a true hull vertex;
-      * recall grows with n_passes (~81% at 1 pass, ~93% at the default 7); missed
-        are "barely-visible" vertices with tiny normal cones, so the error
-        direction is conservative (never claims a hidden point visible).
+    Soundness: a direction's argmax winner is by definition a hull vertex, so
+    winners are only marked when they beat the runner-up by a margin
+    > rel_tol·2R — suppressing f32 argmax ties, the one way a rounding error
+    could crown a non-vertex. Validated against Qhull on the sample cloud
+    (tests/test_hpr.py): recall ≥ 0.99 with ZERO false positives at defaults;
+    missed points are "barely-visible" vertices with the tiniest normal
+    cones, so the error direction stays conservative.
 
     Returns (N,) float mask in {0, 1}.
     """
@@ -118,32 +126,41 @@ def hpr_mask_approx(
     radius = jnp.max(norms) * 10.0 ** r_param
     rho = 2.0 * radius - norms  # flipped radii (flip preserves direction)
     u = points / jnp.maximum(norms, 1e-12)[:, None]
+    inv2r = 1.0 / (2.0 * radius)
+    thresh = rel_tol * 2.0 * radius
 
     n_pad = (-n) % block
     n_blocks = (n + n_pad) // block
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    jitters = [0.0, 0.002, 0.005, 0.01, 0.02, 0.04, 0.08][:n_passes]
 
     mask = jnp.zeros((n,), jnp.float32)
-    for p, scale in enumerate(jitters):
-        if scale == 0.0:
-            dirs = u
-        else:
-            noise = jax.random.normal(jax.random.fold_in(key, p), u.shape) * scale
-            d = u + noise
-            dirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        dirs_p = jnp.pad(dirs, ((0, n_pad), (0, 0)))
+    d = u
+    for p in range(n_passes):
+        d_p = jnp.pad(d, ((0, n_pad), (0, 0)))
 
-        def row_block(i, dirs_p=dirs_p):
-            db = jax.lax.dynamic_slice(dirs_p, (i * block, 0), (block, 3))
+        def row_block(i, d_p=d_p):
+            db = jax.lax.dynamic_slice(d_p, (i * block, 0), (block, 3))
             # full-f32 matmul: support margins are O(0.5%) of ρ'; the TPU's
             # default bf16 contraction would scramble the argmax
             proj = jnp.matmul(db, u.T, precision="highest") * rho
-            return jnp.argmax(proj, axis=1)
+            win = jnp.argmax(proj, axis=1)
+            maxv = jnp.max(proj, axis=1)
+            col = jax.lax.broadcasted_iota(jnp.int32, proj.shape, 1)
+            runner_up = jnp.max(jnp.where(col == win[:, None], -_BIG_SOFT, proj), axis=1)
+            return win, maxv, maxv - runner_up
 
-        winners = jax.lax.map(row_block, jnp.arange(n_blocks)).reshape(-1)
-        mask = mask.at[winners].set(1.0)
+        winners, maxv, margin = jax.lax.map(row_block, jnp.arange(n_blocks))
+        # rows beyond n are padding (zero directions) — never mark from them
+        winners = winners.reshape(-1)[:n]
+        maxv = maxv.reshape(-1)[:n]
+        margin = margin.reshape(-1)[:n]
+        mask = mask.at[winners].max((margin > thresh).astype(jnp.float32))
+        if p + 1 < n_passes:
+            s_own = rho * jnp.sum(u * d, axis=-1)
+            deficit = (maxv - s_own) * inv2r  # ≥ 0 while i is blocked
+            gv = (rho[:, None] * u - rho[winners][:, None] * u[winners]) * inv2r
+            g2 = jnp.sum(gv * gv, axis=-1)
+            d = d + (relax * deficit / jnp.maximum(g2, 1e-18))[:, None] * gv
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
     return mask
 
 

@@ -13,16 +13,29 @@ policy re-runs the forward. This kernel:
 
   * forward pass 1 — per-tile masked min/max of s → (n_tiles, W) partials
     reduced in JAX;
-  * forward pass 2 — recomputes s and accumulates the log-odds into a single
-    (N,) output; nothing of size (W, N) ever exists in HBM;
-  * backward — ONE fused pass recomputing s per tile and directly reducing
+  * forward pass 2 — recomputes s (or reads the HBM score cache) and
+    accumulates the log-odds into a single (N,) output; nothing of size
+    (W, N) ever exists in HBM unless the score cache is on;
+  * backward — fused passes recomputing s per tile and directly reducing
     the parameter cotangents to 12 per-waypoint sums (Σ dc_c, Σ dc_c·p_j),
     including the exact reduce-min/max VJP pathway (cotangent split equally
     over ties, matching jax.grad of jnp.min/max — verified).
 
+Grid layout: ``grid = (n_tiles, n_wgroups)`` — the tile index is the slow
+axis, so each (TILE_ROWS, 128) point block stays VMEM-resident while the
+kernel sweeps the waypoint groups (the fast axis). Small W (≤ UNROLL_MAX_W)
+is a single exact group — identical to a 1-D grid; larger W is split into
+WGROUP-waypoint groups, padded with inert dummy waypoints placed 1e9 away
+(their scores underflow to exactly 0, contributing zero log-odds and zero
+gradient — verified in tests). The per-group scalar accumulators keep the
+backward's scatter cost O(WGROUP) per waypoint instead of the O(W) a single
+flat accumulator would cost — removing the old fori_loop O(W²) cliff past
+W = 64 (round-1 VERDICT item 4).
+
 Data layout: point coordinates as three (M, 128) planes (N = M·128), so every
 vector op runs on full 8×128 VPU registers; per-waypoint camera parameters
-and the intrinsics live in SMEM.
+and the intrinsics live in SMEM (full arrays — rows are indexed by the
+traced group offset).
 
 Gradients flow to the waypoint poses/quaternions only (the reference never
 differentiates w.r.t. the cloud; zero cotangents are returned for the rest).
@@ -49,18 +62,44 @@ TILE_ROWS_CACHE = 64  # smaller forward tiles when caching scores (VMEM budget)
 SCORE_CACHE_MAX_BYTES = 1 << 30  # cache (W, N) scores in HBM up to 1 GB
 _BIG = 3.0e38
 SPAN_FLOOR = 1e-8
-BWD_SLOTS = 40  # scalar outputs per waypoint in the backward kernel
-UNROLL_MAX_W = 64  # unroll the waypoint loop up to here; fori_loop beyond
+BWD_SLOTS = 40  # scalar outputs per waypoint in the single-pass backward
+UNROLL_MAX_W = 64  # single waypoint group up to here
+WGROUP = 16  # waypoints per grid group beyond UNROLL_MAX_W
+_DUMMY_T = 1.0e9  # dummy-waypoint camera center: far enough that s ≡ 0
 
 
-def _loop_w(W, body, carry):
-    """Waypoint loop: fully unrolled for small W (best Mosaic codegen),
-    lax.fori_loop for large W (bounded code size for dense paths)."""
+def _group_shape(W: int):
+    """(WG, n_wg, W_pad): one exact group for small W; WGROUP-wide groups
+    (W padded with dummies) beyond the unroll limit."""
     if W <= UNROLL_MAX_W:
-        for w in range(W):
-            carry = body(w, carry)
-        return carry
-    return jax.lax.fori_loop(0, W, body, carry)
+        return W, 1, W
+    n = -(-W // WGROUP)
+    return WGROUP, n, WGROUP * n
+
+
+def _pad_wp(wp: jnp.ndarray, W_pad: int) -> jnp.ndarray:
+    """Pad waypoint rows with inert dummies: identity rotation, camera center
+    1e9 away — every point's distance Gaussian underflows to exactly 0, so a
+    dummy contributes zero scores, zero log-odds, and zero gradients."""
+    W = wp.shape[0]
+    if W == W_pad:
+        return wp
+    dummy = jnp.zeros((W_pad - W, wp.shape[1]), wp.dtype)
+    dummy = dummy.at[:, 0].set(1.0).at[:, 4].set(1.0).at[:, 8].set(1.0)
+    dummy = dummy.at[:, 9:12].set(_DUMMY_T)
+    return jnp.concatenate([wp, dummy], axis=0)
+
+
+def _pad_norm(norm: jnp.ndarray, W_pad: int) -> jnp.ndarray:
+    """Pad the normalization table for dummy waypoints: m = M = 0 with the
+    span-floor inverse — cached dummy scores are 0, so pn_raw = 0 → clipped
+    to 0.5 → log-odds 0 (and gate/alpha/beta = 0 kill the backward)."""
+    W = norm.shape[0]
+    if W == W_pad:
+        return norm
+    pad = jnp.zeros((W_pad - W, norm.shape[1]), norm.dtype)
+    pad = pad.at[:, 1].set(1.0 / SPAN_FLOOR)
+    return jnp.concatenate([norm, pad], axis=0)
 
 
 def _is_cpu() -> bool:
@@ -68,14 +107,14 @@ def _is_cpu() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# shared per-tile score computation (runs inside all three kernels)
+# shared per-tile score computation (runs inside all kernels)
 # ---------------------------------------------------------------------------
 
 
-def _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts):
-    """Visibility scores for one waypoint over one (TILE_ROWS, 128) tile.
-
-    Returns (s, extras); extras carries intermediates for the backward.
+def _tile_extras(px, py, pz, wp_ref, kp_ref, w, consts):
+    """Transform/projection intermediates for one waypoint over one tile —
+    everything except the final exp (so the cached-score backward can skip
+    it). Returns (arg, extras) with s = sigmoid(cz)·exp(arg).
     Formulas are ops.scores.waypoint_scores exactly. wp_ref rows hold
     [R00..R22, t0, t1, t2, pad]; kp_ref holds [fx, fy, cx0, cy0].
     """
@@ -107,9 +146,19 @@ def _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts):
     xv = jnp.clip(xv_raw, -20.0, 20.0)
 
     sig = jax.nn.sigmoid(cz)
-    s = sig * jnp.exp(-0.5 * (d2 * inv_var + xu * xu + xv * xv))
+    arg = -0.5 * (d2 * inv_var + xu * xu + xv * xv)
     extras = (ex, ey, ez, u, v, inv_zd, xu, xv, xu_raw, xv_raw, sig, fx, fy, cx0, cy0)
-    return s, extras
+    return arg, extras
+
+
+def _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts):
+    """Visibility scores for one waypoint over one (TILE_ROWS, 128) tile.
+
+    Returns (s, extras); extras carries intermediates for the backward.
+    """
+    arg, extras = _tile_extras(px, py, pz, wp_ref, kp_ref, w, consts)
+    sig = extras[10]
+    return sig * jnp.exp(arg), extras
 
 
 def _tile_dcam(total_cot, s, extras, consts):
@@ -132,7 +181,7 @@ def _tile_dcam(total_cot, s, extras, consts):
 
 
 # ---------------------------------------------------------------------------
-# kernels
+# kernels — all run on grid (n_tiles, n_wgroups); tile slow, group fast
 # ---------------------------------------------------------------------------
 
 
@@ -155,72 +204,102 @@ def _scatter_scalar(acc, idx, val):
     return jnp.where(mask, val, acc)
 
 
-def _minmax_kernel(wp_ref, kp_ref, px_ref, py_ref, pz_ref, valid_ref, min_ref, max_ref, *, W, consts):
+def _group_base(WG):
+    """Absolute waypoint index of this group's first row (traced)."""
+    return pl.program_id(1) * WG
+
+
+def _minmax_kernel(wp_ref, kp_ref, px_ref, py_ref, pz_ref, valid_ref, min_ref, max_ref, *, WG, consts):
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     valid = valid_ref[...] > 0
-    rows = _slot_rows(W)
+    base = _group_base(WG)
+    rows = _slot_rows(WG)
 
-    def body(w, carry):
-        mn, mx = carry
-        s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
+    mn = jnp.zeros((rows, LANES), jnp.float32)
+    mx = jnp.zeros((rows, LANES), jnp.float32)
+    for w in range(WG):
+        s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, base + w, consts)
         mn = _scatter_scalar(mn, w, jnp.min(jnp.where(valid, s, _BIG)))
         mx = _scatter_scalar(mx, w, jnp.max(jnp.where(valid, s, -_BIG)))
-        return mn, mx
-
-    zeros = jnp.zeros((rows, LANES), jnp.float32)
-    mn, mx = _loop_w(W, body, (zeros, zeros))
-    min_ref[0] = mn
-    max_ref[0] = mx
+    min_ref[0, 0] = mn
+    max_ref[0, 0] = mx
 
 
 def _minmax_cache_kernel(
-    wp_ref, kp_ref, px_ref, py_ref, pz_ref, valid_ref, min_ref, max_ref, s_ref, *, W, consts
+    wp_ref, kp_ref, px_ref, py_ref, pz_ref, valid_ref, min_ref, max_ref, s_ref, *, WG, consts
 ):
     """Pass A with score caching: also writes the (W, tile) scores to HBM so
     pass B is pure bandwidth instead of a full recompute (the forward's
     transcendentals dominate the 1M-point step)."""
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     valid = valid_ref[...] > 0
-    rows = _slot_rows(W)
+    base = _group_base(WG)
+    rows = _slot_rows(WG)
 
-    def body(w, carry):
-        mn, mx = carry
-        s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
+    mn = jnp.zeros((rows, LANES), jnp.float32)
+    mx = jnp.zeros((rows, LANES), jnp.float32)
+    for w in range(WG):
+        s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, base + w, consts)
         s_ref[w] = s
         mn = _scatter_scalar(mn, w, jnp.min(jnp.where(valid, s, _BIG)))
         mx = _scatter_scalar(mx, w, jnp.max(jnp.where(valid, s, -_BIG)))
-        return mn, mx
-
-    zeros = jnp.zeros((rows, LANES), jnp.float32)
-    mn, mx = _loop_w(W, body, (zeros, zeros))
-    min_ref[0] = mn
-    max_ref[0] = mx
+    min_ref[0, 0] = mn
+    max_ref[0, 0] = mx
 
 
-def _losum_cached_kernel(norm_ref, s_ref, out_ref, *, W, eps):
+def _accumulate_out(out_ref, acc):
+    """Initialize the output block on the first waypoint group, add after —
+    the (tile) output block stays VMEM-resident across the group sweep."""
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = acc
+
+    @pl.when(g > 0)
+    def _():
+        out_ref[...] = out_ref[...] + acc
+
+
+def _losum_cached_kernel(norm_ref, s_ref, out_ref, *, WG, eps):
     """Pass B from cached scores: normalize → clip → log-odds → Σ over w."""
-
-    def body(w, acc):
+    base = _group_base(WG)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for w in range(WG):
         s = s_ref[w]
-        pn = jnp.clip((s - norm_ref[w, 0]) * norm_ref[w, 1], 0.5, 1.0 - eps)
-        return acc + jnp.log(pn / (1.0 - pn))
+        pn = jnp.clip((s - norm_ref[base + w, 0]) * norm_ref[base + w, 1], 0.5, 1.0 - eps)
+        acc = acc + jnp.log(pn / (1.0 - pn))
+    _accumulate_out(out_ref, acc)
 
-    out_ref[...] = _loop_w(W, body, jnp.zeros_like(s_ref[0]))
+
+def _losum_kernel(wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, out_ref, *, WG, consts, eps):
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
+    base = _group_base(WG)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for w in range(WG):
+        s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, base + w, consts)
+        m = norm_ref[base + w, 0]
+        inv_d = norm_ref[base + w, 1]
+        pn = jnp.clip((s - m) * inv_d, 0.5, 1.0 - eps)
+        acc = acc + jnp.log(pn / (1.0 - pn))
+    _accumulate_out(out_ref, acc)
 
 
-def _bwd_stats_kernel(norm_ref, s_ref, valid_ref, g_ref, out_ref, *, W, eps):
+def _bwd_stats_kernel(norm_ref, s_ref, valid_ref, g_ref, out_ref, *, WG, eps):
     """Backward pass B1 (cached-score path): bandwidth-only per-waypoint
     reductions of the cotangents reaching the min/max results and the tie
     counts. Slots per w: [Σc_pn·∂pn/∂m, Σc_pn·∂pn/∂M, cnt_min, cnt_max]."""
     valid = valid_ref[...] > 0
     g = g_ref[...]
+    base = _group_base(WG)
 
-    def body(w, acc):
+    acc = jnp.zeros((_slot_rows(WG * 4), LANES), jnp.float32)
+    for w in range(WG):
         s = s_ref[w]
-        m = norm_ref[w, 0]
-        inv_d = norm_ref[w, 1]
-        gate = norm_ref[w, 2]
-        mx = norm_ref[w, 3]
+        m = norm_ref[base + w, 0]
+        inv_d = norm_ref[base + w, 1]
+        gate = norm_ref[base + w, 2]
+        mx = norm_ref[base + w, 3]
         sm = s - m
         pn_raw = sm * inv_d
         active = jnp.logical_and(pn_raw > 0.5, pn_raw < 1.0 - eps)
@@ -230,34 +309,37 @@ def _bwd_stats_kernel(norm_ref, s_ref, valid_ref, g_ref, out_ref, *, W, eps):
         dM_term = c_pn * (-(sm * inv_d * inv_d) * gate)
         eqmin = jnp.where(jnp.logical_and(valid, s == m), 1.0, 0.0)
         eqmax = jnp.where(jnp.logical_and(valid, s == mx), 1.0, 0.0)
-        base = w * 4
-        acc = _scatter_scalar(acc, base + 0, jnp.sum(dm_term))
-        acc = _scatter_scalar(acc, base + 1, jnp.sum(dM_term))
-        acc = _scatter_scalar(acc, base + 2, jnp.sum(eqmin))
-        acc = _scatter_scalar(acc, base + 3, jnp.sum(eqmax))
-        return acc
-
-    out_ref[0] = _loop_w(W, body, jnp.zeros((_slot_rows(W * 4), LANES), jnp.float32))
+        slot = w * 4
+        acc = _scatter_scalar(acc, slot + 0, jnp.sum(dm_term))
+        acc = _scatter_scalar(acc, slot + 1, jnp.sum(dM_term))
+        acc = _scatter_scalar(acc, slot + 2, jnp.sum(eqmin))
+        acc = _scatter_scalar(acc, slot + 3, jnp.sum(eqmax))
+    out_ref[0, 0] = acc
 
 
 def _bwd_apply_kernel(
-    wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, valid_ref, g_ref, out_ref, *, W, consts, eps
+    wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, valid_ref, g_ref, s_ref, out_ref, *, WG, consts, eps
 ):
     """Backward pass B2 (cached-score path): ONE dcam chain per waypoint with
     the combined cotangent c_pn·inv_d + α·eqmin + β·eqmax (α, β precomputed
-    from B1's global sums — exact by linearity). Slots per w: the 12 sums
+    from B1's global sums — exact by linearity). The score itself is read
+    from the HBM cache — bit-identical to a recompute, skipping the exp
+    (measured ~7% off this pass). Slots per w: the 12 sums
     [Σdc_c, Σdc_c·px, Σdc_c·py, Σdc_c·pz] for c = x, y, z."""
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     valid = valid_ref[...] > 0
     g = g_ref[...]
+    base = _group_base(WG)
 
-    def body(w, acc):
-        s, extras = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
-        m = norm_ref[w, 0]
-        inv_d = norm_ref[w, 1]
-        mx = norm_ref[w, 3]
-        alpha = norm_ref[w, 4]
-        beta = norm_ref[w, 5]
+    acc = jnp.zeros((_slot_rows(WG * 12), LANES), jnp.float32)
+    for w in range(WG):
+        s = s_ref[w]
+        _, extras = _tile_extras(px, py, pz, wp_ref, kp_ref, base + w, consts)
+        m = norm_ref[base + w, 0]
+        inv_d = norm_ref[base + w, 1]
+        mx = norm_ref[base + w, 3]
+        alpha = norm_ref[base + w, 4]
+        beta = norm_ref[base + w, 5]
         sm = s - m
         pn_raw = sm * inv_d
         active = jnp.logical_and(pn_raw > 0.5, pn_raw < 1.0 - eps)
@@ -267,37 +349,22 @@ def _bwd_apply_kernel(
         eqmax = jnp.where(jnp.logical_and(valid, s == mx), 1.0, 0.0)
         total_cot = c_pn * inv_d + alpha * eqmin + beta * eqmax
         dcx, dcy, dcz = _tile_dcam(total_cot, s, extras, consts)
-        base = w * 12
+        slot = w * 12
         for cc, dcc in ((0, dcx), (1, dcy), (2, dcz)):
-            acc = _scatter_scalar(acc, base + cc * 4 + 0, jnp.sum(dcc))
-            acc = _scatter_scalar(acc, base + cc * 4 + 1, jnp.sum(dcc * px))
-            acc = _scatter_scalar(acc, base + cc * 4 + 2, jnp.sum(dcc * py))
-            acc = _scatter_scalar(acc, base + cc * 4 + 3, jnp.sum(dcc * pz))
-        return acc
-
-    out_ref[0] = _loop_w(W, body, jnp.zeros((_slot_rows(W * 12), LANES), jnp.float32))
-
-
-def _losum_kernel(wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, out_ref, *, W, consts, eps):
-    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
-
-    def body(w, acc):
-        s, _ = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
-        m = norm_ref[w, 0]
-        inv_d = norm_ref[w, 1]
-        pn = jnp.clip((s - m) * inv_d, 0.5, 1.0 - eps)
-        return acc + jnp.log(pn / (1.0 - pn))
-
-    out_ref[...] = _loop_w(W, body, jnp.zeros_like(px))
+            acc = _scatter_scalar(acc, slot + cc * 4 + 0, jnp.sum(dcc))
+            acc = _scatter_scalar(acc, slot + cc * 4 + 1, jnp.sum(dcc * px))
+            acc = _scatter_scalar(acc, slot + cc * 4 + 2, jnp.sum(dcc * py))
+            acc = _scatter_scalar(acc, slot + cc * 4 + 3, jnp.sum(dcc * pz))
+    out_ref[0, 0] = acc
 
 
 def _bwd_kernel(
-    wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, valid_ref, g_ref, out_ref, *, W, consts, eps
+    wp_ref, kp_ref, norm_ref, px_ref, py_ref, pz_ref, valid_ref, g_ref, out_ref, *, WG, consts, eps
 ):
-    """Per-tile partial sums for the parameter gradients.
+    """Single-pass backward (no score cache): per-tile partial sums for the
+    parameter gradients.
 
-    out_ref is a (1, rows, 128) scalar-slot block; waypoint w owns flat slots
-    [w·40, (w+1)·40):
+    Waypoint w of the group owns flat slots [w·40, (w+1)·40):
       +0:12   direct channel:  Σdc_c, Σdc_c·px, Σdc_c·py, Σdc_c·pz  (c = x,y,z)
       +12:24  min-tie channel: same 12 with cotangent = 1[s==m]·valid
       +24:36  max-tie channel: same 12 with cotangent = 1[s==M]·valid
@@ -308,13 +375,15 @@ def _bwd_kernel(
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     valid = valid_ref[...] > 0
     g = g_ref[...]
+    base = _group_base(WG)
 
-    def w_body(w, acc_out):
-        s, extras = _tile_scores(px, py, pz, wp_ref, kp_ref, w, consts)
-        m = norm_ref[w, 0]
-        inv_d = norm_ref[w, 1]
-        gate = norm_ref[w, 2]  # 1 if (M−m) > SPAN_FLOOR else 0 (span-floor branch)
-        mx = norm_ref[w, 3]  # M_w, for tie detection
+    acc_out = jnp.zeros((_slot_rows(WG * BWD_SLOTS), LANES), jnp.float32)
+    for w in range(WG):
+        s, extras = _tile_scores(px, py, pz, wp_ref, kp_ref, base + w, consts)
+        m = norm_ref[base + w, 0]
+        inv_d = norm_ref[base + w, 1]
+        gate = norm_ref[base + w, 2]  # 1 if (M−m) > SPAN_FLOOR else 0
+        mx = norm_ref[base + w, 3]  # M_w, for tie detection
 
         sm = s - m
         pn_raw = sm * inv_d
@@ -329,23 +398,19 @@ def _bwd_kernel(
         eqmin = jnp.where(jnp.logical_and(valid, s == m), 1.0, 0.0)
         eqmax = jnp.where(jnp.logical_and(valid, s == mx), 1.0, 0.0)
 
-        base = w * BWD_SLOTS
+        slot = w * BWD_SLOTS
         for ch, cot in ((0, c_pn * inv_d), (12, eqmin), (24, eqmax)):
             dcx, dcy, dcz = _tile_dcam(cot, s, extras, consts)
             for cc, dcc in ((0, dcx), (1, dcy), (2, dcz)):
-                acc_out = _scatter_scalar(acc_out, base + ch + cc * 4 + 0, jnp.sum(dcc))
-                acc_out = _scatter_scalar(acc_out, base + ch + cc * 4 + 1, jnp.sum(dcc * px))
-                acc_out = _scatter_scalar(acc_out, base + ch + cc * 4 + 2, jnp.sum(dcc * py))
-                acc_out = _scatter_scalar(acc_out, base + ch + cc * 4 + 3, jnp.sum(dcc * pz))
-        acc_out = _scatter_scalar(acc_out, base + 36, jnp.sum(dm_term))
-        acc_out = _scatter_scalar(acc_out, base + 37, jnp.sum(dM_term))
-        acc_out = _scatter_scalar(acc_out, base + 38, jnp.sum(eqmin))
-        acc_out = _scatter_scalar(acc_out, base + 39, jnp.sum(eqmax))
-        return acc_out
-
-    out_ref[0] = _loop_w(
-        W, w_body, jnp.zeros((_slot_rows(W * BWD_SLOTS), LANES), jnp.float32)
-    )
+                acc_out = _scatter_scalar(acc_out, slot + ch + cc * 4 + 0, jnp.sum(dcc))
+                acc_out = _scatter_scalar(acc_out, slot + ch + cc * 4 + 1, jnp.sum(dcc * px))
+                acc_out = _scatter_scalar(acc_out, slot + ch + cc * 4 + 2, jnp.sum(dcc * py))
+                acc_out = _scatter_scalar(acc_out, slot + ch + cc * 4 + 3, jnp.sum(dcc * pz))
+        acc_out = _scatter_scalar(acc_out, slot + 36, jnp.sum(dm_term))
+        acc_out = _scatter_scalar(acc_out, slot + 37, jnp.sum(dM_term))
+        acc_out = _scatter_scalar(acc_out, slot + 38, jnp.sum(eqmin))
+        acc_out = _scatter_scalar(acc_out, slot + 39, jnp.sum(eqmax))
+    out_ref[0, 0] = acc_out
 
 
 # ---------------------------------------------------------------------------
@@ -354,11 +419,30 @@ def _bwd_kernel(
 
 
 def _plane_spec(tr=TILE_ROWS):
-    return pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((tr, LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM)
 
 
 def _smem_spec(shape):
-    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    return pl.BlockSpec(shape, lambda *_: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+
+
+def _slots_spec(rows):
+    """Per-(tile, group) scalar-slot output block."""
+    return pl.BlockSpec((1, 1, rows, LANES), lambda i, g: (i, g, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _scores_spec(WG, tr):
+    """Score-cache block: this group's waypoints × this tile's points."""
+    return pl.BlockSpec((WG, tr, LANES), lambda i, g: (g, i, 0), memory_space=pltpu.VMEM)
+
+
+def _reduce_slots(partials, n_slots_per_w, WG, W):
+    """(n_tiles, n_wg, rows, LANES) per-tile partials → (W, n_slots_per_w)
+    sums (dummy-waypoint rows dropped)."""
+    n_tiles, n_wg, rows, _ = partials.shape
+    acc = jnp.sum(partials.reshape(n_tiles, n_wg, rows * LANES), axis=0)
+    acc = acc[:, : WG * n_slots_per_w].reshape(n_wg * WG, n_slots_per_w)
+    return acc[:W]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -375,18 +459,24 @@ def _consts(img_wh, dist_lims, eps):
 
 def run_pass_a(wp, kp, planes, valid_plane, consts, *, cache_scores, tr):
     """Pass A over (possibly per-shard) planes → local (W,) min/max and the
-    cached scores (or None). Reusable by the sharded path (parallel/)."""
+    cached scores (or None). Reusable by the sharded path (parallel/).
+
+    The returned score cache has W_pad ≥ W rows (group padding) — treat it as
+    opaque and hand it back to run_pass_b / run_bwd_stats unchanged.
+    """
     W = wp.shape[0]
+    WG, n_wg, W_pad = _group_shape(W)
+    wp_p = _pad_wp(wp, W_pad)
     M = planes.shape[1]
     n_tiles = M // tr
     interp = _is_cpu()
     px, py, pz = planes[0], planes[1], planes[2]
 
-    rows = _slot_rows(W)
-    mm_spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    mm_shape = jax.ShapeDtypeStruct((n_tiles, rows, LANES), jnp.float32)
+    rows = _slot_rows(WG)
+    mm_spec = _slots_spec(rows)
+    mm_shape = jax.ShapeDtypeStruct((n_tiles, n_wg, rows, LANES), jnp.float32)
     in_specs = [
-        _smem_spec(wp.shape),
+        _smem_spec(wp_p.shape),
         _smem_spec(kp.shape),
         _plane_spec(tr),
         _plane_spec(tr),
@@ -395,32 +485,33 @@ def run_pass_a(wp, kp, planes, valid_plane, consts, *, cache_scores, tr):
     ]
     if cache_scores:
         # pass A also materializes the scores: pass B becomes pure bandwidth
-        s_spec = pl.BlockSpec((W, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
         mins, maxs, scores = pl.pallas_call(
-            functools.partial(_minmax_cache_kernel, W=W, consts=consts),
-            grid=(n_tiles,),
+            functools.partial(_minmax_cache_kernel, WG=WG, consts=consts),
+            grid=(n_tiles, n_wg),
             in_specs=in_specs,
-            out_specs=(mm_spec, mm_spec, s_spec),
+            out_specs=(mm_spec, mm_spec, _scores_spec(WG, tr)),
             out_shape=(
                 mm_shape,
                 mm_shape,
-                jax.ShapeDtypeStruct((W, M, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((W_pad, M, LANES), jnp.float32),
             ),
             interpret=interp,
-        )(wp, kp, px, py, pz, valid_plane)
+        )(wp_p, kp, px, py, pz, valid_plane)
     else:
         mins, maxs = pl.pallas_call(
-            functools.partial(_minmax_kernel, W=W, consts=consts),
-            grid=(n_tiles,),
+            functools.partial(_minmax_kernel, WG=WG, consts=consts),
+            grid=(n_tiles, n_wg),
             in_specs=in_specs,
             out_specs=(mm_spec, mm_spec),
             out_shape=(mm_shape, mm_shape),
             interpret=interp,
-        )(wp, kp, px, py, pz, valid_plane)
+        )(wp_p, kp, px, py, pz, valid_plane)
         scores = None
 
-    mins = jnp.min(mins.reshape(n_tiles, rows * LANES)[:, :W], axis=0)
-    maxs = jnp.max(maxs.reshape(n_tiles, rows * LANES)[:, :W], axis=0)
+    mins = jnp.min(mins.reshape(n_tiles, n_wg, rows * LANES), axis=0)
+    mins = mins[:, :WG].reshape(W_pad)[:W]
+    maxs = jnp.max(maxs.reshape(n_tiles, n_wg, rows * LANES), axis=0)
+    maxs = maxs[:, :WG].reshape(W_pad)[:W]
     return mins, maxs, scores
 
 
@@ -435,86 +526,94 @@ def make_norm(m, mx):
 def run_pass_b(wp, kp, norm, planes, scores, consts, eps, *, tr):
     """Pass B over (possibly per-shard) data → local (M, LANES) log-odds."""
     W = wp.shape[0]
+    WG, n_wg, W_pad = _group_shape(W)
+    norm_p = _pad_norm(norm, W_pad)
     M = planes.shape[1]
     n_tiles = M // tr
     interp = _is_cpu()
+    out_spec = pl.BlockSpec((tr, LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM)
     if scores is not None:
         return pl.pallas_call(
-            functools.partial(_losum_cached_kernel, W=W, eps=eps),
-            grid=(n_tiles,),
-            in_specs=[
-                _smem_spec(norm.shape),
-                pl.BlockSpec((W, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            functools.partial(_losum_cached_kernel, WG=WG, eps=eps),
+            grid=(n_tiles, n_wg),
+            in_specs=[_smem_spec(norm_p.shape), _scores_spec(WG, tr)],
+            out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((M, LANES), jnp.float32),
             interpret=interp,
-        )(norm, scores)
+        )(norm_p, scores)
+    wp_p = _pad_wp(wp, W_pad)
     return pl.pallas_call(
-        functools.partial(_losum_kernel, W=W, consts=consts, eps=eps),
-        grid=(n_tiles,),
+        functools.partial(_losum_kernel, WG=WG, consts=consts, eps=eps),
+        grid=(n_tiles, n_wg),
         in_specs=[
-            _smem_spec(wp.shape),
+            _smem_spec(wp_p.shape),
             _smem_spec(kp.shape),
-            _smem_spec(norm.shape),
+            _smem_spec(norm_p.shape),
             _plane_spec(tr),
             _plane_spec(tr),
             _plane_spec(tr),
         ],
-        out_specs=pl.BlockSpec((tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((M, LANES), jnp.float32),
         interpret=interp,
-    )(wp, kp, norm, planes[0], planes[1], planes[2])
+    )(wp_p, kp, norm_p, planes[0], planes[1], planes[2])
 
 
 def run_bwd_stats(norm, scores, valid_plane, g_plane, eps, *, tr):
     """Backward B1 over per-shard data → local (W, 4) stat sums."""
     W = norm.shape[0]
+    WG, n_wg, W_pad = _group_shape(W)
+    norm_p = _pad_norm(norm, W_pad)
     M = valid_plane.shape[0]
     n_tiles = M // tr
-    rows1 = _slot_rows(W * 4)
+    rows1 = _slot_rows(WG * 4)
     stats = pl.pallas_call(
-        functools.partial(_bwd_stats_kernel, W=W, eps=eps),
-        grid=(n_tiles,),
+        functools.partial(_bwd_stats_kernel, WG=WG, eps=eps),
+        grid=(n_tiles, n_wg),
         in_specs=[
-            _smem_spec(norm.shape),
-            pl.BlockSpec((W, tr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            _smem_spec(norm_p.shape),
+            _scores_spec(WG, tr),
             _plane_spec(tr),
             _plane_spec(tr),
         ],
-        out_specs=pl.BlockSpec((1, rows1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, rows1, LANES), jnp.float32),
+        out_specs=_slots_spec(rows1),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_wg, rows1, LANES), jnp.float32),
         interpret=_is_cpu(),
-    )(norm, scores, valid_plane, g_plane)
-    return jnp.sum(stats.reshape(n_tiles, rows1 * LANES)[:, : W * 4], axis=0).reshape(W, 4)
+    )(norm_p, scores, valid_plane, g_plane)
+    return _reduce_slots(stats, 4, WG, W)
 
 
-def run_bwd_apply(wp, kp, norm2, planes, valid_plane, g_plane, consts, eps, *, tr):
-    """Backward B2 over per-shard data → local (W, 3, 4) camera-plane sums."""
+def run_bwd_apply(wp, kp, norm2, planes, valid_plane, g_plane, scores, consts, eps, *, tr):
+    """Backward B2 over per-shard data → local (W, 3, 4) camera-plane sums.
+
+    ``scores`` is the pass-A cache (W_pad rows) — read back instead of
+    recomputing the exp."""
     W = wp.shape[0]
+    WG, n_wg, W_pad = _group_shape(W)
+    wp_p = _pad_wp(wp, W_pad)
+    norm2_p = _pad_norm(norm2, W_pad)
     M = planes.shape[1]
     n_tiles = M // tr
-    rows2 = _slot_rows(W * 12)
+    rows2 = _slot_rows(WG * 12)
     partials = pl.pallas_call(
-        functools.partial(_bwd_apply_kernel, W=W, consts=consts, eps=eps),
-        grid=(n_tiles,),
+        functools.partial(_bwd_apply_kernel, WG=WG, consts=consts, eps=eps),
+        grid=(n_tiles, n_wg),
         in_specs=[
-            _smem_spec(wp.shape),
+            _smem_spec(wp_p.shape),
             _smem_spec(kp.shape),
-            _smem_spec(norm2.shape),
+            _smem_spec(norm2_p.shape),
             _plane_spec(tr),
             _plane_spec(tr),
             _plane_spec(tr),
             _plane_spec(tr),
             _plane_spec(tr),
+            _scores_spec(WG, tr),
         ],
-        out_specs=pl.BlockSpec((1, rows2, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, rows2, LANES), jnp.float32),
+        out_specs=_slots_spec(rows2),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_wg, rows2, LANES), jnp.float32),
         interpret=_is_cpu(),
-    )(wp, kp, norm2, planes[0], planes[1], planes[2], valid_plane, g_plane)
-    return jnp.sum(
-        partials.reshape(n_tiles, rows2 * LANES)[:, : W * 12], axis=0
-    ).reshape(W, 3, 4)
+    )(wp_p, kp, norm2_p, planes[0], planes[1], planes[2], valid_plane, g_plane, scores)
+    return _reduce_slots(partials, 12, WG, W).reshape(W, 3, 4)
 
 
 def sums_to_param_grads(wp, sums):
@@ -554,9 +653,7 @@ def _fused_bwd(img_wh, dist_lims, eps, res, g):
     W = wp.shape[0]
     M = planes.shape[1]
     consts = _consts(img_wh, dist_lims, eps)
-    px, py, pz = planes[0], planes[1], planes[2]
     g_plane = g.reshape(M, LANES)
-    interp = _is_cpu()
 
     if scores is not None:
         # two-pass backward: B1 reads the cached scores (bandwidth-only) to
@@ -568,32 +665,33 @@ def _fused_bwd(img_wh, dist_lims, eps, res, g):
         beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
         norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)  # (W, 6)
         sums = run_bwd_apply(
-            wp, kp, norm2, planes, valid_plane, g_plane, consts, eps, tr=tr
+            wp, kp, norm2, planes, valid_plane, g_plane, scores, consts, eps, tr=tr
         )
     else:
+        WG, n_wg, W_pad = _group_shape(W)
+        wp_p = _pad_wp(wp, W_pad)
+        norm_p = _pad_norm(norm, W_pad)
         n_tiles = M // TILE_ROWS
-        rows = _slot_rows(W * BWD_SLOTS)
+        rows = _slot_rows(WG * BWD_SLOTS)
         partials = pl.pallas_call(
-            functools.partial(_bwd_kernel, W=W, consts=consts, eps=eps),
-            grid=(n_tiles,),
+            functools.partial(_bwd_kernel, WG=WG, consts=consts, eps=eps),
+            grid=(n_tiles, n_wg),
             in_specs=[
-                _smem_spec(wp.shape),
+                _smem_spec(wp_p.shape),
                 _smem_spec(kp.shape),
-                _smem_spec(norm.shape),
+                _smem_spec(norm_p.shape),
                 _plane_spec(),
                 _plane_spec(),
                 _plane_spec(),
                 _plane_spec(),
                 _plane_spec(),
             ],
-            out_specs=pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, rows, LANES), jnp.float32),
-            interpret=interp,
-        )(wp, kp, norm, px, py, pz, valid_plane, g_plane)
+            out_specs=_slots_spec(rows),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, n_wg, rows, LANES), jnp.float32),
+            interpret=_is_cpu(),
+        )(wp_p, kp, norm_p, planes[0], planes[1], planes[2], valid_plane, g_plane)
 
-        acc = jnp.sum(
-            partials.reshape(n_tiles, rows * LANES)[:, : W * BWD_SLOTS], axis=0
-        ).reshape(W, BWD_SLOTS)
+        acc = _reduce_slots(partials, BWD_SLOTS, WG, W)
         direct = acc[:, 0:12]
         min_ch = acc[:, 12:24]
         max_ch = acc[:, 24:36]

@@ -131,14 +131,16 @@ def _sharded_bwd(mesh, img_wh, dist_lims, eps, res, g):
     beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
     norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)
 
-    def apply_local(wp, kp, norm2, planes_l, valid_l, g_l):
-        return run_bwd_apply(wp, kp, norm2, planes_l, valid_l, g_l, consts, eps, tr=tr)
+    def apply_local(wp, kp, norm2, planes_l, valid_l, g_l, scores_l):
+        return run_bwd_apply(
+            wp, kp, norm2, planes_l, valid_l, g_l, scores_l, consts, eps, tr=tr
+        )
 
     sums = _shmap(
         apply_local,
-        in_specs=(P(), P(), P(), P(None, "pts"), P("pts"), P("pts")),
+        in_specs=(P(), P(), P(), P(None, "pts"), P("pts"), P("pts"), P(None, "pts")),
         out_specs=P("pts"),
-    )(wp, kp, norm2, planes, valid_plane, g_plane)
+    )(wp, kp, norm2, planes, valid_plane, g_plane, scores)
     sums = jnp.sum(sums.reshape(-1, W, 3, 4), axis=0)
 
     dwp = sums_to_param_grads(wp, sums)
