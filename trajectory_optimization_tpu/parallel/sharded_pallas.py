@@ -1,18 +1,18 @@
 """Sharded fused-Pallas visibility: the multi-chip hot path.
 
-parallel.sharded's GSPMD step must fall back to the XLA backend because the
-fused Pallas kernel carries no partitioning rule. This module shards it
-manually: each device runs the Pallas passes on its slice of the point
-planes via shard_map, and only the tiny cross-shard quantities move over
-ICI — the (W,) score min/max between pass A and pass B, and the (W, ·)
-gradient partial sums in the backward. Point data never leaves its chip.
+GSPMD has no partitioning rule for the fused Pallas kernel, so this module
+shards it manually: ONE shard_map region per direction, whose local body
+runs the Pallas passes on the shard's point planes and crosses shards only
+through ``lax`` collectives on (W,)-sized quantities — the score min/max
+between pass A and pass B (pmin/pmax), and the gradient partial sums in the
+backward (psum). Point data never leaves its chip, and the collectives are
+compiled INTO the program (riding ICI), not staged through host-level
+reshapes between separate shard_map calls.
 
-Structure (mirrors ops.pallas_vis, with the global combines hoisted out of
-the kernels):
+Structure (mirrors ops.pallas_vis):
 
-  fwd:  [shard: pass A] → global min/max (2·W floats) → [shard: pass B]
-  bwd:  [shard: B1 stats] → global sums (4·W) → [shard: B2 apply]
-        → global sums (12·W) → parameter gradients
+  fwd:  shard_map[ pass A → pmin/pmax(2·W) → pass B ]
+  bwd:  shard_map[ B1 stats → psum(4·W) → B2 apply → psum(12·W) → dwp ]
 
 Wrapped in one custom_vjp so ``sharded_fused_lo_sum`` drops into jax.grad.
 Validated against the single-device kernel on the virtual CPU mesh
@@ -69,81 +69,61 @@ def _sharded_lo_planes(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps
     return lo
 
 
+def _shmap(mesh, fn, in_specs, out_specs):
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # metadata, so shard_map's replication checker cannot verify them
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
 def _sharded_fwd(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
-    def _shmap(fn, in_specs, out_specs):
-        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
-        # metadata, so shard_map's replication checker cannot verify them
-        return jax.shard_map(
-            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
-        )
     consts = _consts(img_wh, dist_lims, eps)
     tr = _tile_rows_for(planes.shape[1] // mesh.shape["pts"])
 
-    def pass_a_local(wp, kp, planes_l, valid_l):
-        return run_pass_a(wp, kp, planes_l, valid_l, consts, cache_scores=True, tr=tr)
+    def local(wp, kp, planes_l, valid_l):
+        mins, maxs, scores = run_pass_a(
+            wp, kp, planes_l, valid_l, consts, cache_scores=True, tr=tr
+        )
+        m = jax.lax.pmin(mins, "pts")  # (W,) all-reduce over ICI
+        mx = jax.lax.pmax(maxs, "pts")
+        norm = make_norm(m, mx)
+        lo = run_pass_b(wp, kp, norm, planes_l, scores, consts, eps, tr=tr)
+        return lo, norm, scores
 
-    mins, maxs, scores = _shmap(
-        pass_a_local,
+    lo, norm, scores = _shmap(
+        mesh,
+        local,
         in_specs=(P(), P(), P(None, "pts"), P("pts")),
-        out_specs=(P("pts"), P("pts"), P(None, "pts")),
+        out_specs=(P("pts"), P(), P(None, "pts")),
     )(wp, kp, planes, valid_plane)
-    # (D·W,) per-shard partials → global (W,) over the shard axis
-    D = mins.shape[0] // wp.shape[0]
-    m = jnp.min(mins.reshape(D, -1), axis=0)
-    mx = jnp.max(maxs.reshape(D, -1), axis=0)
-    norm = make_norm(m, mx)
-
-    def pass_b_local(wp, kp, norm, planes_l, scores_l):
-        return run_pass_b(wp, kp, norm, planes_l, scores_l, consts, eps, tr=tr)
-
-    lo = _shmap(
-        pass_b_local,
-        in_specs=(P(), P(), P(), P(None, "pts"), P(None, "pts")),
-        out_specs=P("pts"),
-    )(wp, kp, norm, planes, scores)
     return lo, (wp, kp, planes, valid_plane, norm, scores)
 
 
 def _sharded_bwd(mesh, img_wh, dist_lims, eps, res, g):
-    def _shmap(fn, in_specs, out_specs):
-        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
-        # metadata, so shard_map's replication checker cannot verify them
-        return jax.shard_map(
-            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
-        )
-
     wp, kp, planes, valid_plane, norm, scores = res
     consts = _consts(img_wh, dist_lims, eps)
     tr = _tile_rows_for(planes.shape[1] // mesh.shape["pts"])
-    W = wp.shape[0]
     g_plane = g.reshape(valid_plane.shape)
 
-    def stats_local(norm, scores_l, valid_l, g_l):
-        return run_bwd_stats(norm, scores_l, valid_l, g_l, eps, tr=tr)
-
-    st = _shmap(
-        stats_local,
-        in_specs=(P(), P(None, "pts"), P("pts"), P("pts")),
-        out_specs=P("pts"),
-    )(norm, scores, valid_plane, g_plane)
-    st = jnp.sum(st.reshape(-1, W, 4), axis=0)  # global over shards
-    alpha = st[:, 0] / jnp.maximum(st[:, 2], 1.0)
-    beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
-    norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)
-
-    def apply_local(wp, kp, norm2, planes_l, valid_l, g_l, scores_l):
-        return run_bwd_apply(
+    def local(wp, kp, norm, planes_l, valid_l, g_l, scores_l):
+        st = run_bwd_stats(norm, scores_l, valid_l, g_l, eps, tr=tr)
+        st = jax.lax.psum(st, "pts")  # (W, 4) all-reduce
+        alpha = st[:, 0] / jnp.maximum(st[:, 2], 1.0)
+        beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
+        norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)
+        sums = run_bwd_apply(
             wp, kp, norm2, planes_l, valid_l, g_l, scores_l, consts, eps, tr=tr
         )
+        sums = jax.lax.psum(sums, "pts")  # (W, 3, 4) all-reduce
+        return sums_to_param_grads(wp, sums)
 
-    sums = _shmap(
-        apply_local,
+    dwp = _shmap(
+        mesh,
+        local,
         in_specs=(P(), P(), P(), P(None, "pts"), P("pts"), P("pts"), P(None, "pts")),
-        out_specs=P("pts"),
-    )(wp, kp, norm2, planes, valid_plane, g_plane, scores)
-    sums = jnp.sum(sums.reshape(-1, W, 3, 4), axis=0)
-
-    dwp = sums_to_param_grads(wp, sums)
+        out_specs=P(),
+    )(wp, kp, norm, planes, valid_plane, g_plane, scores)
     return dwp, jnp.zeros_like(kp), jnp.zeros_like(planes), jnp.zeros_like(valid_plane)
 
 
