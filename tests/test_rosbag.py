@@ -1,0 +1,170 @@
+"""ROS1 .bag container roundtrips (bus.rosbag) — real-bag replay parity
+(reference `launch/play_bag.launch`, SURVEY.md §4.4)."""
+import struct
+
+import numpy as np
+import pytest
+
+from trajectory_optimization_tpu.bus.core import Bus
+from trajectory_optimization_tpu.bus.messages import (
+    CameraInfoMsg,
+    CloudMsg,
+    Header,
+    ImageMsg,
+    OdometryMsg,
+    PathMsg,
+    PoseMsg,
+    TransformMsg,
+)
+from trajectory_optimization_tpu.bus.rosbag import (
+    MAGIC,
+    BagPlayer,
+    BagRecorder,
+    open_player,
+    read_bag,
+    write_bag,
+)
+
+
+def _sample_messages():
+    rng = np.random.default_rng(0)
+    cloud = CloudMsg(Header(stamp=1.0, frame_id="map"), rng.normal(size=(100, 4)).astype(np.float32))
+    pose = PoseMsg(Header(stamp=1.1, frame_id="map"), [1.0, 2.0, 3.0], [0.0, 0.0, 0.0, 1.0])
+    path = PathMsg(Header(stamp=1.2, frame_id="map"),
+                   rng.normal(size=(5, 3)), np.tile([0.0, 0.0, 0.0, 1.0], (5, 1)))
+    odom = OdometryMsg(Header(stamp=1.3, frame_id="map"), np.array([4.0, 5.0, 6.0]),
+                       np.array([0.0, 0.0, 0.0, 1.0]), child_frame_id="base")
+    info = CameraInfoMsg(Header(stamp=1.4, frame_id="cam0"), 1232, 1616,
+                         K=(758.04, 0.0, 621.47, 0.0, 761.62, 756.86, 0.0, 0.0, 1.0),
+                         D=(0.1, -0.2, 0.0, 0.0, 0.0))
+    img = ImageMsg(Header(stamp=1.5, frame_id="cam0"),
+                   rng.integers(0, 255, size=(8, 16, 3), dtype=np.uint8).astype(np.uint8),
+                   encoding="rgb8")
+    tf = TransformMsg(Header(stamp=1.6, frame_id="map"), "base",
+                      np.array([0.5, 0.0, 0.2]), np.array([0.0, 0.0, 0.0, 1.0]))
+    return [("/pts", cloud), ("/pose", pose), ("/path", path), ("/odom", odom),
+            ("/cam0/info", info), ("/cam0/image", img), ("/tf", tf)]
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_bag_roundtrip_all_types(tmp_path, compression):
+    msgs = _sample_messages()
+    path = str(tmp_path / f"test_{compression}.bag")
+    n = write_bag(path, msgs, compression=compression)
+    assert n == len(msgs)
+    with open(path, "rb") as f:
+        assert f.read(len(MAGIC)) == MAGIC
+
+    got = list(read_bag(path))
+    assert len(got) == len(msgs)
+    by_topic = {topic: m for _, topic, m in got}
+
+    cloud0 = msgs[0][1]
+    np.testing.assert_allclose(by_topic["/pts"].points, cloud0.points, atol=1e-6)
+    assert by_topic["/pts"].header.frame_id == "map"
+    assert abs(by_topic["/pts"].header.stamp - 1.0) < 1e-6
+
+    np.testing.assert_allclose(by_topic["/pose"].position, [1, 2, 3])
+    np.testing.assert_allclose(by_topic["/path"].positions, msgs[2][1].positions)
+    np.testing.assert_allclose(by_topic["/odom"].position, [4, 5, 6])
+    assert by_topic["/odom"].child_frame_id == "base"
+
+    info = by_topic["/cam0/info"]
+    assert (info.width, info.height) == (1232, 1616)
+    np.testing.assert_allclose(info.K[:3], (758.04, 0.0, 621.47))
+    np.testing.assert_allclose(info.D, (0.1, -0.2, 0.0, 0.0, 0.0))
+
+    np.testing.assert_array_equal(by_topic["/cam0/image"].data, msgs[5][1].data)
+    assert by_topic["/cam0/image"].encoding == "rgb8"
+
+    tf = by_topic["/tf"]
+    assert tf.child_frame_id == "base"
+    np.testing.assert_allclose(tf.translation, [0.5, 0.0, 0.2])
+
+
+def test_bag_topic_filter_and_order(tmp_path):
+    msgs = _sample_messages()
+    path = str(tmp_path / "f.bag")
+    write_bag(path, msgs)
+    got = list(read_bag(path, topics=["/pose", "/tf"]))
+    assert [topic for _, topic, _ in got] == ["/pose", "/tf"]
+    # bag times carry the header stamps here
+    assert got[0][0] < got[1][0]
+
+
+def test_bag_player_onto_bus(tmp_path):
+    msgs = _sample_messages()
+    path = str(tmp_path / "p.bag")
+    write_bag(path, msgs)
+    player = open_player(path)
+    assert isinstance(player, BagPlayer) and len(player) == len(msgs)
+    bus = Bus(error_policy="raise")
+    seen = []
+    for t in ("/pts", "/pose", "/tf"):
+        bus.subscribe(t, seen.append)
+    n = player.play(bus)
+    assert n == len(msgs)
+    assert len(seen) == 3
+
+
+def test_bag_recorder(tmp_path):
+    bus = Bus(error_policy="raise")
+    path = str(tmp_path / "rec.bag")
+    with BagRecorder(bus, ["/pts"], path):
+        bus.publish("/pts", CloudMsg(Header(stamp=2.0, frame_id="m"), np.ones((7, 3), np.float32)))
+        bus.publish("/other", PoseMsg(Header(stamp=2.1), [0, 0, 0], [0, 0, 0, 1]))
+    got = list(read_bag(path))
+    assert len(got) == 1 and got[0][1] == "/pts"
+    assert got[0][2].points.shape == (7, 3)
+
+
+def test_bag_skips_unknown_connection_types(tmp_path):
+    """A connection of an unsupported type must be skipped, not crash."""
+    from trajectory_optimization_tpu.bus import rosbag as rb
+
+    path = str(tmp_path / "u.bag")
+    write_bag(path, [("/pose", PoseMsg(Header(stamp=1.0), [0, 0, 0], [0, 0, 0, 1]))])
+    # append an unchunked record pair for a bogus type at top level
+    with open(path, "ab") as f:
+        conn_hdr = rb._pack_header({"topic": b"/weird", "type": b"foo_msgs/Bar",
+                                    "md5sum": b"0", "message_definition": b""})
+        rec_hdr = rb._pack_header({"op": bytes([0x07]), "conn": struct.pack("<I", 99),
+                                   "topic": b"/weird"})
+        f.write(struct.pack("<I", len(rec_hdr)) + rec_hdr)
+        f.write(struct.pack("<I", len(conn_hdr)) + conn_hdr)
+        msg_hdr = rb._pack_header({"op": bytes([0x02]), "conn": struct.pack("<I", 99),
+                                   "time": rb._time_bytes(3.0)})
+        f.write(struct.pack("<I", len(msg_hdr)) + msg_hdr)
+        f.write(struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    got = list(read_bag(path))
+    assert [topic for _, topic, _ in got] == ["/pose"]
+
+
+def test_bag_moving_robot_tf_replay(tmp_path):
+    """Replay a moving-robot bag: TF transforms land in a FrameGraph with
+    stamps, and time-indexed lookups recover the poses at cloud times."""
+    from trajectory_optimization_tpu.bus.frames import FrameGraph
+
+    msgs = []
+    for i in range(5):
+        t = float(i)
+        msgs.append(("/tf", TransformMsg(Header(stamp=t, frame_id="map"), "base",
+                                         np.array([2.0 * i, 0.0, 0.0]),
+                                         np.array([0.0, 0.0, 0.0, 1.0]))))
+        msgs.append(("/pts", CloudMsg(Header(stamp=t + 0.5, frame_id="base"),
+                                      np.ones((4, 3), np.float32))))
+    path = str(tmp_path / "tf.bag")
+    write_bag(path, msgs)
+
+    bus = Bus(error_policy="raise")
+    fg = FrameGraph()
+    bus.subscribe("/tf", lambda m: fg.set_transform(
+        m.header.frame_id, m.child_frame_id, m.translation, m.rotation_xyzw,
+        stamp=m.header.stamp))
+    clouds = []
+    bus.subscribe("/pts", clouds.append)
+    BagPlayer(path).play(bus)
+    assert len(clouds) == 5
+    # at cloud stamp 2.5 the robot sat between x=4 (t=2) and x=6 (t=3)
+    t_, _ = fg.lookup("map", "base", time=2.5)
+    np.testing.assert_allclose(t_, [5.0, 0.0, 0.0], atol=1e-9)

@@ -136,8 +136,10 @@ def launch_voxels_filtering(
 
 
 def launch_play_bag(bag_dir: str, nodes_launch: Launch, *, realtime: bool = False, rate: float = 1.0) -> int:
-    """`launch/play_bag.launch`: replay a recorded bag directory into an
-    existing node graph's bus (the 'multi-node without a robot' workflow)."""
-    from trajectory_optimization_tpu.bus.replay import Player
+    """`launch/play_bag.launch`: replay a recording into an existing node
+    graph's bus (the 'multi-node without a robot' workflow). Accepts either
+    an npz recording directory (bus.replay) or a real ROS1 ``.bag`` file
+    (bus.rosbag)."""
+    from trajectory_optimization_tpu.bus.rosbag import open_player
 
-    return Player(bag_dir).play(nodes_launch.bus, realtime=realtime, rate=rate)
+    return open_player(bag_dir).play(nodes_launch.bus, realtime=realtime, rate=rate)

@@ -1,0 +1,760 @@
+"""ROS1 ``.bag`` (format 2.0) reader/writer — real-bag replay parity.
+
+The reference exercises its multi-camera pipeline by replaying a recorded
+15 GB rosbag with ``rosbag play`` (`launch/play_bag.launch:11-12`,
+`launch/rosbag_info.txt`). bus.replay covers the directory-of-npz recording
+format; this module reads and writes the actual ROS1 bag container so
+sessions recorded by real robots can be replayed onto the scene bus without
+any ROS installation — and bags we write follow the public format
+(magic, length-prefixed records with name=value headers, chunked message
+data with none/bz2 compression, per-chunk index records, trailing
+connection + chunk-info section).
+
+Supported message types (the reference's full wire set, `src/tools.py:30-34`):
+sensor_msgs/PointCloud2, geometry_msgs/PoseStamped, nav_msgs/Path,
+nav_msgs/Odometry, sensor_msgs/CameraInfo, sensor_msgs/Image and
+tf2_msgs/TFMessage (+ legacy tf/tfMessage), each mapped to/from the typed
+bus messages. Unknown connection types are skipped with a note rather than
+failing the whole bag.
+
+Layout notes (ROS bag format 2.0):
+  record  = <u32 header_len><header><u32 data_len><data>
+  header  = fields of <u32 len><name>=<value-bytes>
+  ops     : 0x02 message data (conn, time), 0x03 bag header (index_pos,
+            conn_count, chunk_count; record padded to 4096 bytes),
+            0x04 index data, 0x05 chunk (compression, size),
+            0x06 chunk info, 0x07 connection (conn, topic).
+"""
+from __future__ import annotations
+
+import bz2
+import dataclasses
+import os
+import struct
+import time as _time
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from trajectory_optimization_tpu.bus.codec import (
+    FieldSpec,
+    WireCloud,
+    encode_xyz,
+    wire_to_cloud_msg,
+)
+from trajectory_optimization_tpu.bus.core import Bus
+from trajectory_optimization_tpu.bus.messages import (
+    CameraInfoMsg,
+    CloudMsg,
+    Header,
+    ImageMsg,
+    OdometryMsg,
+    PathMsg,
+    PoseMsg,
+    TransformMsg,
+)
+
+MAGIC = b"#ROSBAG V2.0\n"
+
+_OP_MSG = 0x02
+_OP_BAG_HEADER = 0x03
+_OP_INDEX = 0x04
+_OP_CHUNK = 0x05
+_OP_CHUNK_INFO = 0x06
+_OP_CONNECTION = 0x07
+
+# well-known md5 constants of the supported types (informational for ROS
+# interop; this reader keys on the type name, not the checksum)
+_MD5 = {
+    "sensor_msgs/PointCloud2": "1158d486dd51d683ce2f1be655c3c181",
+    "geometry_msgs/PoseStamped": "d3812c3cbc69362b77dc0b19b345f8f5",
+    "nav_msgs/Path": "6227e2b7e9cce15051f669a5e197bbf7",
+    "nav_msgs/Odometry": "cd5e73d190d741a2f92e81eda573aca7",
+    "sensor_msgs/CameraInfo": "c9a58c1b0b154e0e6da7578cb991d214",
+    "sensor_msgs/Image": "060021388200f6f0f447d0fcd9c64743",
+    "tf2_msgs/TFMessage": "94810edda583a504dfda3829e70d7eec",
+    "tf/tfMessage": "94810edda583a504dfda3829e70d7eec",
+}
+
+
+# ---------------------------------------------------------------------------
+# record plumbing
+# ---------------------------------------------------------------------------
+
+
+def _pack_header(fields: Dict[str, bytes]) -> bytes:
+    out = b""
+    for name, value in fields.items():
+        entry = name.encode() + b"=" + value
+        out += struct.pack("<I", len(entry)) + entry
+    return out
+
+
+def _parse_header(buf: bytes) -> Dict[str, bytes]:
+    fields, i = {}, 0
+    while i < len(buf):
+        (n,) = struct.unpack_from("<I", buf, i)
+        i += 4
+        entry = buf[i : i + n]
+        i += n
+        name, _, value = entry.partition(b"=")
+        fields[name.decode()] = value
+    return fields
+
+
+def _write_record(f, fields: Dict[str, bytes], data: bytes) -> int:
+    """Write one record; returns its start offset."""
+    pos = f.tell()
+    hdr = _pack_header(fields)
+    f.write(struct.pack("<I", len(hdr)))
+    f.write(hdr)
+    f.write(struct.pack("<I", len(data)))
+    f.write(data)
+    return pos
+
+
+def _iter_records(buf: bytes, start: int = 0) -> Iterator[Tuple[int, Dict[str, bytes], bytes]]:
+    """Yield (offset, header, data) for consecutive records in a buffer."""
+    i = start
+    n = len(buf)
+    while i + 4 <= n:
+        (hlen,) = struct.unpack_from("<I", buf, i)
+        hdr = _parse_header(buf[i + 4 : i + 4 + hlen])
+        j = i + 4 + hlen
+        (dlen,) = struct.unpack_from("<I", buf, j)
+        data = buf[j + 4 : j + 4 + dlen]
+        yield i, hdr, data
+        i = j + 4 + dlen
+
+
+def _time_bytes(t: float) -> bytes:
+    sec = int(t)
+    nsec = int(round((t - sec) * 1e9))
+    if nsec >= 1_000_000_000:
+        sec, nsec = sec + 1, nsec - 1_000_000_000
+    return struct.pack("<II", sec, nsec)
+
+
+def _time_from(b: bytes) -> float:
+    sec, nsec = struct.unpack("<II", b)
+    return sec + nsec * 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ROS1 message (de)serialization
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    __slots__ = ("buf", "i")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.i = 0
+
+    def u8(self) -> int:
+        v = self.buf[self.i]
+        self.i += 1
+        return v
+
+    def u32(self) -> int:
+        (v,) = struct.unpack_from("<I", self.buf, self.i)
+        self.i += 4
+        return v
+
+    def f64(self) -> float:
+        (v,) = struct.unpack_from("<d", self.buf, self.i)
+        self.i += 8
+        return v
+
+    def f64s(self, n: int) -> np.ndarray:
+        v = np.frombuffer(self.buf, np.dtype("<f8"), count=n, offset=self.i)
+        self.i += 8 * n
+        return v
+
+    def string(self) -> str:
+        n = self.u32()
+        s = self.buf[self.i : self.i + n].decode(errors="replace")
+        self.i += n
+        return s
+
+    def raw(self, n: int) -> bytes:
+        b = self.buf[self.i : self.i + n]
+        self.i += n
+        return b
+
+    def time(self) -> float:
+        sec, nsec = struct.unpack_from("<II", self.buf, self.i)
+        self.i += 8
+        return sec + nsec * 1e-9
+
+    def header(self) -> Header:
+        seq = self.u32()
+        stamp = self.time()
+        frame = self.string()
+        return Header(stamp=stamp, frame_id=frame, seq=seq)
+
+
+class _Writer:
+    __slots__ = ("parts",)
+
+    def __init__(self):
+        self.parts: List[bytes] = []
+
+    def u8(self, v: int):
+        self.parts.append(struct.pack("<B", v))
+
+    def u32(self, v: int):
+        self.parts.append(struct.pack("<I", v))
+
+    def f64(self, v: float):
+        self.parts.append(struct.pack("<d", v))
+
+    def f64s(self, a) -> None:
+        self.parts.append(np.ascontiguousarray(a, np.dtype("<f8")).tobytes())
+
+    def string(self, s: str):
+        b = s.encode()
+        self.u32(len(b))
+        self.parts.append(b)
+
+    def raw(self, b: bytes):
+        self.parts.append(b)
+
+    def time(self, t: float):
+        self.parts.append(_time_bytes(t))
+
+    def header(self, h: Header):
+        self.u32(int(h.seq))
+        self.time(float(h.stamp))
+        self.string(h.frame_id)
+
+    def bytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def _decode_pointcloud2(buf: bytes) -> CloudMsg:
+    r = _Reader(buf)
+    h = r.header()
+    height, width = r.u32(), r.u32()
+    n_fields = r.u32()
+    fields = []
+    for _ in range(n_fields):
+        name = r.string()
+        offset = r.u32()
+        datatype = r.u8()
+        count = r.u32()
+        fields.append(FieldSpec(name, offset, datatype, count))
+    is_bigendian = bool(r.u8())
+    point_step = r.u32()
+    r.u32()  # row_step (redundant with point_step * width)
+    data = r.raw(r.u32())
+    is_dense = bool(r.u8())
+    wire = WireCloud(
+        header=h,
+        height=height,
+        width=width,
+        fields=fields,
+        point_step=point_step,
+        data=data,
+        is_bigendian=is_bigendian,
+        is_dense=is_dense,
+    )
+    return wire_to_cloud_msg(wire)
+
+
+def _encode_pointcloud2(msg: CloudMsg) -> bytes:
+    wire = encode_xyz(msg.points, msg.header)
+    w = _Writer()
+    w.header(wire.header)
+    w.u32(wire.height)
+    w.u32(wire.width)
+    w.u32(len(wire.fields))
+    for f in wire.fields:
+        w.string(f.name)
+        w.u32(f.offset)
+        w.u8(f.datatype)
+        w.u32(f.count)
+    w.u8(int(wire.is_bigendian))
+    w.u32(wire.point_step)
+    w.u32(wire.row_step)
+    w.u32(len(wire.data))
+    w.raw(wire.data)
+    w.u8(int(wire.is_dense))
+    return w.bytes()
+
+
+def _decode_pose(r: _Reader) -> Tuple[np.ndarray, np.ndarray]:
+    pos = r.f64s(3)
+    quat = r.f64s(4)  # xyzw on the wire
+    return pos, quat
+
+
+def _decode_pose_stamped(buf: bytes) -> PoseMsg:
+    r = _Reader(buf)
+    h = r.header()
+    pos, quat = _decode_pose(r)
+    return PoseMsg(h, pos, quat)
+
+
+def _encode_pose_stamped(msg: PoseMsg) -> bytes:
+    w = _Writer()
+    w.header(msg.header)
+    w.f64s(msg.position)
+    w.f64s(msg.orientation_xyzw)
+    return w.bytes()
+
+
+def _decode_path(buf: bytes) -> PathMsg:
+    r = _Reader(buf)
+    h = r.header()
+    n = r.u32()
+    poses, quats = [], []
+    for _ in range(n):
+        r.header()  # per-pose headers: stamp/frame not used by PathMsg
+        p, q = _decode_pose(r)
+        poses.append(p)
+        quats.append(q)
+    poses_a = np.asarray(poses).reshape(n, 3) if n else np.zeros((0, 3))
+    quats_a = np.asarray(quats).reshape(n, 4) if n else np.zeros((0, 4))
+    return PathMsg(h, poses_a, quats_a)
+
+
+def _encode_path(msg: PathMsg) -> bytes:
+    w = _Writer()
+    w.header(msg.header)
+    n = len(msg.positions)
+    w.u32(n)
+    for i in range(n):
+        w.header(Header(stamp=msg.header.stamp, frame_id=msg.header.frame_id, seq=i))
+        w.f64s(msg.positions[i])
+        w.f64s(msg.orientations_xyzw[i])
+    return w.bytes()
+
+
+def _decode_odometry(buf: bytes) -> OdometryMsg:
+    r = _Reader(buf)
+    h = r.header()
+    child = r.string()
+    pos, quat = _decode_pose(r)
+    # covariance + twist-with-covariance follow; not carried by OdometryMsg
+    return OdometryMsg(h, pos, quat, child_frame_id=child)
+
+
+def _encode_odometry(msg: OdometryMsg) -> bytes:
+    w = _Writer()
+    w.header(msg.header)
+    w.string(msg.child_frame_id)
+    w.f64s(np.asarray(msg.position, np.float64).reshape(3))
+    w.f64s(np.asarray(msg.orientation_xyzw, np.float64).reshape(4))
+    w.f64s(np.zeros(36))  # pose covariance
+    w.f64s(np.zeros(6))  # twist
+    w.f64s(np.zeros(36))  # twist covariance
+    return w.bytes()
+
+
+def _decode_camera_info(buf: bytes) -> CameraInfoMsg:
+    r = _Reader(buf)
+    h = r.header()
+    height, width = r.u32(), r.u32()
+    model = r.string()
+    D = tuple(r.f64s(r.u32()).tolist())
+    K = tuple(r.f64s(9).tolist())
+    R = tuple(r.f64s(9).tolist())
+    P = tuple(r.f64s(12).tolist())
+    # binning + ROI follow; defaults suffice for the bus message
+    return CameraInfoMsg(h, width, height, K=K, D=D, R=R, P=P, distortion_model=model)
+
+
+def _encode_camera_info(msg: CameraInfoMsg) -> bytes:
+    w = _Writer()
+    w.header(msg.header)
+    w.u32(int(msg.height))
+    w.u32(int(msg.width))
+    w.string(msg.distortion_model)
+    w.u32(len(msg.D))
+    w.f64s(np.asarray(msg.D, np.float64))
+    w.f64s(np.asarray(msg.K, np.float64).reshape(9))
+    w.f64s(np.asarray(msg.R, np.float64).reshape(9))
+    P = np.asarray(msg.P, np.float64) if msg.P else np.zeros(12)
+    w.f64s(P.reshape(12))
+    w.u32(0)  # binning_x
+    w.u32(0)  # binning_y
+    w.u32(0)  # roi.x_offset
+    w.u32(0)  # roi.y_offset
+    w.u32(0)  # roi.height
+    w.u32(0)  # roi.width
+    w.u8(0)  # roi.do_rectify
+    return w.bytes()
+
+
+def _decode_image(buf: bytes) -> ImageMsg:
+    r = _Reader(buf)
+    h = r.header()
+    height, width = r.u32(), r.u32()
+    encoding = r.string()
+    r.u8()  # is_bigendian
+    step = r.u32()
+    data = np.frombuffer(r.raw(r.u32()), np.uint8)
+    if height and step % max(width, 1) == 0:
+        ch = step // width
+        img = data.reshape(height, width, ch) if ch > 1 else data.reshape(height, width)
+    else:
+        img = data.reshape(height, -1)
+    return ImageMsg(h, img, encoding=encoding)
+
+
+def _encode_image(msg: ImageMsg) -> bytes:
+    data = np.ascontiguousarray(msg.data)
+    if data.dtype != np.uint8:  # float images round-trip as raw bytes
+        data = data.view(np.uint8).reshape(data.shape[0], -1)
+    h, wpx = data.shape[0], data.shape[1]
+    ch = int(np.prod(data.shape[2:])) if data.ndim > 2 else 1
+    w = _Writer()
+    w.header(msg.header)
+    w.u32(h)
+    w.u32(wpx)
+    w.string(msg.encoding)
+    w.u8(0)
+    w.u32(wpx * ch)
+    raw = data.tobytes()
+    w.u32(len(raw))
+    w.raw(raw)
+    return w.bytes()
+
+
+def _decode_tf(buf: bytes) -> List[TransformMsg]:
+    r = _Reader(buf)
+    n = r.u32()
+    out = []
+    for _ in range(n):
+        h = r.header()
+        child = r.string()
+        t = r.f64s(3)
+        q = r.f64s(4)
+        out.append(TransformMsg(h, child, t, q))
+    return out
+
+
+def _encode_tf(msgs: Sequence[TransformMsg]) -> bytes:
+    w = _Writer()
+    w.u32(len(msgs))
+    for m in msgs:
+        w.header(m.header)
+        w.string(m.child_frame_id)
+        w.f64s(m.translation)
+        w.f64s(m.rotation_xyzw)
+    return w.bytes()
+
+
+_DECODERS = {
+    "sensor_msgs/PointCloud2": _decode_pointcloud2,
+    "geometry_msgs/PoseStamped": _decode_pose_stamped,
+    "nav_msgs/Path": _decode_path,
+    "nav_msgs/Odometry": _decode_odometry,
+    "sensor_msgs/CameraInfo": _decode_camera_info,
+    "sensor_msgs/Image": _decode_image,
+    "tf2_msgs/TFMessage": _decode_tf,
+    "tf/tfMessage": _decode_tf,
+}
+
+_TYPE_OF_MSG = {
+    CloudMsg: ("sensor_msgs/PointCloud2", _encode_pointcloud2),
+    PoseMsg: ("geometry_msgs/PoseStamped", _encode_pose_stamped),
+    PathMsg: ("nav_msgs/Path", _encode_path),
+    OdometryMsg: ("nav_msgs/Odometry", _encode_odometry),
+    CameraInfoMsg: ("sensor_msgs/CameraInfo", _encode_camera_info),
+    ImageMsg: ("sensor_msgs/Image", _encode_image),
+    TransformMsg: ("tf2_msgs/TFMessage", lambda m: _encode_tf([m])),
+}
+
+
+# ---------------------------------------------------------------------------
+# bag reading
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _Connection:
+    conn_id: int
+    topic: str
+    ros_type: str
+
+
+def read_bag(
+    path: str, topics: Optional[Sequence[str]] = None
+) -> Iterator[Tuple[float, str, object]]:
+    """Yield (bag_time, topic, bus_message) in recorded order.
+
+    TFMessage records expand to one TransformMsg per contained transform.
+    Connections of unsupported types are skipped.
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    if not buf.startswith(MAGIC):
+        raise ValueError(f"{path!r} is not a ROS1 v2.0 bag (bad magic)")
+
+    topics_set = set(topics) if topics is not None else None
+    conns: Dict[int, _Connection] = {}
+    messages: List[Tuple[float, int, bytes]] = []
+
+    def handle(hdr: Dict[str, bytes], data: bytes):
+        op = hdr["op"][0]
+        if op == _OP_CONNECTION:
+            conn_id = struct.unpack("<I", hdr["conn"])[0]
+            conn_hdr = _parse_header(data)
+            conns[conn_id] = _Connection(
+                conn_id,
+                hdr["topic"].decode(),
+                conn_hdr.get("type", b"").decode(),
+            )
+        elif op == _OP_MSG:
+            conn_id = struct.unpack("<I", hdr["conn"])[0]
+            messages.append((_time_from(hdr["time"]), conn_id, data))
+
+    for _, hdr, data in _iter_records(buf, len(MAGIC)):
+        op = hdr["op"][0]
+        if op == _OP_CHUNK:
+            comp = hdr.get("compression", b"none").decode()
+            if comp == "none":
+                chunk = data
+            elif comp == "bz2":
+                chunk = bz2.decompress(data)
+            elif comp == "lz4":
+                try:
+                    import lz4.frame  # noqa: PLC0415
+
+                    chunk = lz4.frame.decompress(data)
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "lz4-compressed bag but the lz4 package is unavailable"
+                    ) from e
+            else:
+                raise ValueError(f"unknown chunk compression {comp!r}")
+            for _, chdr, cdata in _iter_records(chunk):
+                handle(chdr, cdata)
+        elif op in (_OP_CONNECTION, _OP_MSG):
+            handle(hdr, data)  # unchunked bags (rare but legal)
+        # bag header / index / chunk info: not needed for a full scan
+
+    for t, conn_id, payload in messages:
+        conn = conns.get(conn_id)
+        if conn is None:
+            continue
+        if topics_set is not None and conn.topic not in topics_set:
+            continue
+        decoder = _DECODERS.get(conn.ros_type)
+        if decoder is None:
+            continue
+        msg = decoder(payload)
+        if isinstance(msg, list):  # TFMessage → one event per transform
+            for m in msg:
+                yield t, conn.topic, m
+        else:
+            yield t, conn.topic, msg
+
+
+# ---------------------------------------------------------------------------
+# bag writing
+# ---------------------------------------------------------------------------
+
+
+def write_bag(
+    path: str,
+    messages: Iterable[Tuple[str, object]],
+    *,
+    compression: str = "none",
+) -> int:
+    """Write (topic, bus_message) pairs to a format-2.0 bag. Returns the
+    message count. The bag carries one chunk, per-connection index records,
+    and the trailing connection/chunk-info section the format requires."""
+    if compression not in ("none", "bz2"):
+        raise ValueError("compression must be 'none' or 'bz2'")
+
+    conn_ids: Dict[Tuple[str, str], int] = {}
+    conn_meta: List[Tuple[int, str, str]] = []
+    # build the uncompressed chunk body: connections first, then messages
+    entries: List[Tuple[float, int, bytes]] = []  # (time, conn, payload)
+    for topic, msg in messages:
+        enc = _TYPE_OF_MSG.get(type(msg))
+        if enc is None:
+            raise TypeError(f"no bag encoder for {type(msg).__name__}")
+        ros_type, encoder = enc
+        key = (topic, ros_type)
+        if key not in conn_ids:
+            conn_ids[key] = len(conn_ids)
+            conn_meta.append((conn_ids[key], topic, ros_type))
+        stamp = float(getattr(msg, "header").stamp)
+        entries.append((stamp, conn_ids[key], encoder(msg)))
+
+    def conn_record_bytes(conn_id: int, topic: str, ros_type: str) -> bytes:
+        rec_hdr = _pack_header(
+            {"op": bytes([_OP_CONNECTION]), "conn": struct.pack("<I", conn_id),
+             "topic": topic.encode()}
+        )
+        conn_hdr = _pack_header(
+            {
+                "topic": topic.encode(),
+                "type": ros_type.encode(),
+                "md5sum": _MD5.get(ros_type, "*").encode(),
+                "message_definition": b"# written by trajectory_optimization_tpu",
+            }
+        )
+        return (
+            struct.pack("<I", len(rec_hdr)) + rec_hdr
+            + struct.pack("<I", len(conn_hdr)) + conn_hdr
+        )
+
+    chunk_parts: List[bytes] = []
+    offset = 0
+    for conn_id, topic, ros_type in conn_meta:
+        b = conn_record_bytes(conn_id, topic, ros_type)
+        chunk_parts.append(b)
+        offset += len(b)
+    index: Dict[int, List[Tuple[float, int]]] = {c: [] for c, _, _ in conn_meta}
+    for stamp, conn_id, payload in entries:
+        rec_hdr = _pack_header(
+            {"op": bytes([_OP_MSG]), "conn": struct.pack("<I", conn_id),
+             "time": _time_bytes(stamp)}
+        )
+        b = (
+            struct.pack("<I", len(rec_hdr)) + rec_hdr
+            + struct.pack("<I", len(payload)) + payload
+        )
+        index[conn_id].append((stamp, offset))
+        chunk_parts.append(b)
+        offset += len(b)
+    chunk_body = b"".join(chunk_parts)
+    chunk_data = bz2.compress(chunk_body) if compression == "bz2" else chunk_body
+
+    times = [e[0] for e in entries] or [0.0]
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        # bag header placeholder (padded to 4096 bytes total, per spec)
+        bag_hdr_pos = f.tell()
+
+        def write_bag_header(index_pos: int):
+            hdr = _pack_header(
+                {
+                    "op": bytes([_OP_BAG_HEADER]),
+                    "index_pos": struct.pack("<Q", index_pos),
+                    "conn_count": struct.pack("<I", len(conn_meta)),
+                    "chunk_count": struct.pack("<I", 1),
+                }
+            )
+            pad = 4096 - (4 + len(hdr) + 4)
+            f.write(struct.pack("<I", len(hdr)))
+            f.write(hdr)
+            f.write(struct.pack("<I", pad))
+            f.write(b" " * pad)
+
+        write_bag_header(0)
+        chunk_pos = _write_record(
+            f,
+            {
+                "op": bytes([_OP_CHUNK]),
+                "compression": compression.encode(),
+                "size": struct.pack("<I", len(chunk_body)),
+            },
+            chunk_data,
+        )
+        for conn_id, _, _ in conn_meta:
+            rows = index[conn_id]
+            data = b"".join(_time_bytes(t) + struct.pack("<I", off) for t, off in rows)
+            _write_record(
+                f,
+                {
+                    "op": bytes([_OP_INDEX]),
+                    "ver": struct.pack("<I", 1),
+                    "conn": struct.pack("<I", conn_id),
+                    "count": struct.pack("<I", len(rows)),
+                },
+                data,
+            )
+        index_pos = f.tell()
+        for conn_id, topic, ros_type in conn_meta:
+            f.write(conn_record_bytes(conn_id, topic, ros_type))
+        info_data = b"".join(
+            struct.pack("<II", c, len(index[c])) for c, _, _ in conn_meta
+        )
+        _write_record(
+            f,
+            {
+                "op": bytes([_OP_CHUNK_INFO]),
+                "ver": struct.pack("<I", 1),
+                "chunk_pos": struct.pack("<Q", chunk_pos),
+                "start_time": _time_bytes(min(times)),
+                "end_time": _time_bytes(max(times)),
+                "count": struct.pack("<I", len(conn_meta)),
+            },
+            info_data,
+        )
+        f.seek(bag_hdr_pos)
+        write_bag_header(index_pos)
+    return len(entries)
+
+
+class BagRecorder:
+    """Record selected bus topics straight into a .bag file."""
+
+    def __init__(self, bus: Bus, topics: Sequence[str], path: str):
+        self.path = path
+        self._messages: List[Tuple[str, object]] = []
+        self._subs = [bus.subscribe(t, self._make_cb(t), latch=False) for t in topics]
+
+    def _make_cb(self, topic):
+        def cb(msg):
+            self._messages.append((topic, msg))
+
+        return cb
+
+    def close(self) -> str:
+        for s in self._subs:
+            s.unsubscribe()
+        write_bag(self.path, self._messages)
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class BagPlayer:
+    """Replay a .bag file onto a bus (rosbag-play equivalent; same API as
+    replay.Player)."""
+
+    def __init__(self, path: str, topics: Optional[Sequence[str]] = None):
+        self.path = path
+        self._events = sorted(read_bag(path, topics), key=lambda e: e[0])
+
+    def __len__(self):
+        return len(self._events)
+
+    def messages(self):
+        for _, topic, msg in self._events:
+            yield topic, msg
+
+    def play(self, bus: Bus, *, realtime: bool = False, rate: float = 1.0) -> int:
+        prev_t = None
+        n = 0
+        for t, topic, msg in self._events:
+            if realtime and prev_t is not None:
+                gap = max(t - prev_t, 0.0) / rate
+                if gap > 0:
+                    _time.sleep(min(gap, 10.0))
+            prev_t = t
+            bus.publish(topic, msg)
+            n += 1
+        return n
+
+
+def open_player(path: str):
+    """Player for either bag flavor: a ROS1 ``.bag`` file or an npz
+    recording directory (bus.replay)."""
+    if os.path.isdir(path):
+        from trajectory_optimization_tpu.bus.replay import Player
+
+        return Player(path)
+    return BagPlayer(path)
