@@ -78,6 +78,28 @@ def test_approx_second_viewpoint(cloud10):
     assert recall >= 0.985, f"recall {recall}"
 
 
+def test_approx_valid_mask_padding_invariance(cam_cloud):
+    """Bucket-padded + valid-masked hpr_mask_approx must reproduce the
+    unpadded mask exactly (serving paths pad so the jit cache keys on bucket
+    sizes, not per-message sizes)."""
+    from trajectory_optimization_tpu.utils.data import pad_points
+
+    sub = cam_cloud[:3000]
+    plain = np.asarray(hpr_mask_approx(jnp.asarray(sub), n_passes=4))
+    padded, valid = pad_points(sub, 4096)
+    masked = np.asarray(
+        hpr_mask_approx(jnp.asarray(padded), n_passes=4, valid=jnp.asarray(valid))
+    )
+    # ~1-ulp rounding differences between program shapes can nudge the
+    # pursuit trajectory of individual points (winners stay true hull
+    # vertices either way) — require near-identity, not bit-identity
+    assert (masked[:3000] != plain).mean() < 0.01
+    assert masked[3000:].max() == 0.0  # padded entries never visible
+    # and the padded mask keeps the zero-false-positive property
+    exact = hpr_mask_exact(sub)
+    assert ((masked[:3000] > 0.5) & ~exact).sum() == 0
+
+
 def test_approx_jittable_fixed_shape(cam_cloud):
     sub = jnp.asarray(cam_cloud[:3000])
     f = jax.jit(lambda p: hpr_mask_approx(p, n_passes=2))

@@ -171,9 +171,9 @@ class PoseOptimizer:
         if self.use_hpr:
             from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx
 
-            occlusion = jnp.pad(
-                hpr_mask_approx(jnp.asarray(points)), (0, len(padded) - len(points))
-            )
+            # bucket-padded + valid-masked: HPR compiles per bucket size,
+            # not per message size
+            occlusion = hpr_mask_approx(P, valid=V)
 
         from trajectory_optimization_tpu.opt.runners import pose_runner
 

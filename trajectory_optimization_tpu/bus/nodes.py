@@ -188,13 +188,12 @@ class PoseOptNode:
         occlusion = None
         if cfg.use_hpr:
             # the reference recomputes HPR on detached world points every step
-            # (`src/model.py:112-115`); constant during the loop ⇒ once here
+            # (`src/model.py:112-115`); constant during the loop ⇒ once here.
+            # Run on the bucket-padded cloud (valid-masked) so the HPR jit
+            # cache keys on bucket sizes, not per-message sizes
             from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx
 
-            occlusion = jnp.pad(
-                hpr_mask_approx(jnp.asarray(pc_msg.xyz.astype(np.float32))),
-                (0, len(points) - len(pc_msg.xyz)),
-            )
+            occlusion = hpr_mask_approx(P, valid=V)
 
         # cached segmented runner (compile once per shape bucket; see runners)
         from trajectory_optimization_tpu.opt.runners import pose_runner
@@ -266,6 +265,19 @@ class PoseOptNode:
         self._sync.close()
 
 
+def _hpr_mask_bucketed(culled: np.ndarray) -> np.ndarray:
+    """Approx-HPR visible mask for a ragged culled subset, computed on a
+    bucket-padded cloud so the HPR jit cache keys on O(log N) bucket sizes
+    instead of every distinct culled size (the per-message recompile trap)."""
+    from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx
+
+    if len(culled) == 0:
+        return np.zeros(0, bool)
+    padded, valid = pad_points(culled.astype(np.float32))
+    m = hpr_mask_approx(jnp.asarray(padded), valid=jnp.asarray(valid))
+    return np.asarray(m)[: len(culled)] > 0.5
+
+
 class PointsProcessorNode:
     """Multi-camera visibility processor (`src/pc_processor.py:30-197`)."""
 
@@ -328,7 +340,7 @@ class PointsProcessorNode:
 
     def process(self, cloud: CloudMsg, info: CameraInfoMsg):
         from trajectory_optimization_tpu.ops.geometry import compact_masked, frustum_cull
-        from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx, hpr_points_exact
+        from trajectory_optimization_tpu.ops.hpr import hpr_points_exact
 
         cam_frame = info.header.frame_id
         intr = info.intrinsics()
@@ -353,8 +365,7 @@ class PointsProcessorNode:
         if self.cfg.hpr_backend == "exact":
             visible, _ = hpr_points_exact(culled)
         elif self.cfg.hpr_backend == "approx":
-            m = np.asarray(hpr_mask_approx(jnp.asarray(culled))) > 0.5 if len(culled) else np.zeros(0, bool)
-            visible = culled[m]
+            visible = culled[_hpr_mask_bucketed(culled)]
         else:
             visible = culled
         self.bus.publish(out_topic + "_visible", CloudMsg(Header.make(cam_frame), visible))
@@ -407,7 +418,6 @@ class PointsProcessorNode:
         import numpy as _np
 
         from trajectory_optimization_tpu.ops.geometry import compact_masked, to_camera_frame
-        from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx
         from trajectory_optimization_tpu.ops.multicam import multicam_frustum_masks
 
         infos = list(infos)
@@ -442,8 +452,7 @@ class PointsProcessorNode:
 
                 visible, _ = hpr_points_exact(culled)
             elif self.cfg.hpr_backend == "approx" and len(culled):
-                m = _np.asarray(hpr_mask_approx(jnp.asarray(culled))) > 0.5
-                visible = culled[m]
+                visible = culled[_hpr_mask_bucketed(culled)]
             else:
                 visible = culled
             self.bus.publish(

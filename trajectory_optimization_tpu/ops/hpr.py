@@ -98,6 +98,7 @@ def hpr_mask_approx(
     n_passes: int = 16,
     relax: float = 1.9,
     rel_tol: float = 1e-7,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """TPU-native HPR visible mask by adaptive support-function pursuit
     (jittable).
@@ -119,13 +120,31 @@ def hpr_mask_approx(
     missed points are "barely-visible" vertices with the tiniest normal
     cones, so the error direction stays conservative.
 
+    ``valid``: optional (N,) 0/1 mask — padded entries are excluded from the
+    flip radius, can never win a support test, and report 0 visibility. Pass
+    bucket-padded clouds (utils.data.pad_points) in serving paths so the jit
+    cache is keyed on O(log N) bucket sizes instead of every message size.
+
     Returns (N,) float mask in {0, 1}.
     """
     n = points.shape[0]
     norms = jnp.linalg.norm(points, axis=-1)
-    radius = jnp.max(norms) * 10.0 ** r_param
+    if valid is not None:
+        v = valid > 0
+        norms_v = jnp.where(v, norms, 0.0)
+    else:
+        v = None
+        norms_v = norms
+    radius = jnp.maximum(jnp.max(norms_v), 1e-12) * 10.0 ** r_param
     rho = 2.0 * radius - norms  # flipped radii (flip preserves direction)
     u = points / jnp.maximum(norms, 1e-12)[:, None]
+    if v is not None:
+        # invalid points contribute 0 to every support test (real supports
+        # are ~2R·cos > 0 near a real point's own direction), and their probe
+        # rows produce an all-zero projection whose margin never clears the
+        # gate — so they neither win nor get marked
+        rho = jnp.where(v, rho, 0.0)
+        u = jnp.where(v[:, None], u, 0.0)
     inv2r = 1.0 / (2.0 * radius)
     thresh = rel_tol * 2.0 * radius
 
@@ -161,6 +180,8 @@ def hpr_mask_approx(
             g2 = jnp.sum(gv * gv, axis=-1)
             d = d + (relax * deficit / jnp.maximum(g2, 1e-18))[:, None] * gv
             d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    if v is not None:
+        mask = mask * v.astype(jnp.float32)
     return mask
 
 
