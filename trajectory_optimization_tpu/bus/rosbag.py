@@ -481,24 +481,51 @@ class _Connection:
     ros_type: str
 
 
+def _read_record_stream(f) -> Optional[Tuple[Dict[str, bytes], bytes]]:
+    b = f.read(4)
+    if len(b) < 4:
+        return None
+    (hlen,) = struct.unpack("<I", b)
+    hdr = _parse_header(f.read(hlen))
+    (dlen,) = struct.unpack("<I", f.read(4))
+    data = f.read(dlen)
+    return hdr, data
+
+
+def _decompress_chunk(hdr: Dict[str, bytes], data: bytes) -> bytes:
+    comp = hdr.get("compression", b"none").decode()
+    if comp == "none":
+        return data
+    if comp == "bz2":
+        return bz2.decompress(data)
+    if comp == "lz4":
+        try:
+            import lz4.frame  # noqa: PLC0415
+
+            return lz4.frame.decompress(data)
+        except ImportError as e:
+            raise NotImplementedError(
+                "lz4-compressed bag but the lz4 package is unavailable"
+            ) from e
+    raise ValueError(f"unknown chunk compression {comp!r}")
+
+
 def read_bag(
     path: str, topics: Optional[Sequence[str]] = None
 ) -> Iterator[Tuple[float, str, object]]:
-    """Yield (bag_time, topic, bus_message) in recorded order.
+    """Yield (bag_time, topic, bus_message), STREAMING: memory stays O(one
+    chunk), so a 15 GB session (the reference's dataset) replays without
+    loading the file. Events come in file order, which is chunk time order
+    for bags written by ``rosbag record`` (and by :func:`write_bag`); use
+    BagPlayer when strict global stamp ordering matters.
 
     TFMessage records expand to one TransformMsg per contained transform.
     Connections of unsupported types are skipped.
     """
-    with open(path, "rb") as f:
-        buf = f.read()
-    if not buf.startswith(MAGIC):
-        raise ValueError(f"{path!r} is not a ROS1 v2.0 bag (bad magic)")
-
     topics_set = set(topics) if topics is not None else None
     conns: Dict[int, _Connection] = {}
-    messages: List[Tuple[float, int, bytes]] = []
 
-    def handle(hdr: Dict[str, bytes], data: bytes):
+    def decode_events(hdr: Dict[str, bytes], data: bytes):
         op = hdr["op"][0]
         if op == _OP_CONNECTION:
             conn_id = struct.unpack("<I", hdr["conn"])[0]
@@ -508,55 +535,49 @@ def read_bag(
                 hdr["topic"].decode(),
                 conn_hdr.get("type", b"").decode(),
             )
-        elif op == _OP_MSG:
-            conn_id = struct.unpack("<I", hdr["conn"])[0]
-            messages.append((_time_from(hdr["time"]), conn_id, data))
-
-    for _, hdr, data in _iter_records(buf, len(MAGIC)):
-        op = hdr["op"][0]
-        if op == _OP_CHUNK:
-            comp = hdr.get("compression", b"none").decode()
-            if comp == "none":
-                chunk = data
-            elif comp == "bz2":
-                chunk = bz2.decompress(data)
-            elif comp == "lz4":
-                try:
-                    import lz4.frame  # noqa: PLC0415
-
-                    chunk = lz4.frame.decompress(data)
-                except ImportError as e:
-                    raise NotImplementedError(
-                        "lz4-compressed bag but the lz4 package is unavailable"
-                    ) from e
-            else:
-                raise ValueError(f"unknown chunk compression {comp!r}")
-            for _, chdr, cdata in _iter_records(chunk):
-                handle(chdr, cdata)
-        elif op in (_OP_CONNECTION, _OP_MSG):
-            handle(hdr, data)  # unchunked bags (rare but legal)
-        # bag header / index / chunk info: not needed for a full scan
-
-    for t, conn_id, payload in messages:
-        conn = conns.get(conn_id)
+            return
+        if op != _OP_MSG:
+            return
+        conn = conns.get(struct.unpack("<I", hdr["conn"])[0])
         if conn is None:
-            continue
+            return
         if topics_set is not None and conn.topic not in topics_set:
-            continue
+            return
         decoder = _DECODERS.get(conn.ros_type)
         if decoder is None:
-            continue
-        msg = decoder(payload)
+            return
+        t = _time_from(hdr["time"])
+        msg = decoder(data)
         if isinstance(msg, list):  # TFMessage → one event per transform
             for m in msg:
                 yield t, conn.topic, m
         else:
             yield t, conn.topic, msg
 
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"{path!r} is not a ROS1 v2.0 bag (bad magic)")
+        while True:
+            rec = _read_record_stream(f)
+            if rec is None:
+                break
+            hdr, data = rec
+            op = hdr["op"][0]
+            if op == _OP_CHUNK:
+                chunk = _decompress_chunk(hdr, data)
+                for _, chdr, cdata in _iter_records(chunk):
+                    yield from decode_events(chdr, cdata)
+            elif op in (_OP_CONNECTION, _OP_MSG):
+                yield from decode_events(hdr, data)  # unchunked bags
+            # bag header / index / chunk info: not needed for a full scan
+
 
 # ---------------------------------------------------------------------------
 # bag writing
 # ---------------------------------------------------------------------------
+
+
+_CHUNK_TARGET_BYTES = 1 << 20  # flush chunks at ~1 MB, like rosbag record
 
 
 def write_bag(
@@ -566,26 +587,15 @@ def write_bag(
     compression: str = "none",
 ) -> int:
     """Write (topic, bus_message) pairs to a format-2.0 bag. Returns the
-    message count. The bag carries one chunk, per-connection index records,
-    and the trailing connection/chunk-info section the format requires."""
+    message count. Message data is split into ~1 MB chunks (each followed by
+    its index records, like ``rosbag record``), with the trailing
+    connection/chunk-info section the format requires — so streaming readers
+    keep memory at O(one chunk)."""
     if compression not in ("none", "bz2"):
         raise ValueError("compression must be 'none' or 'bz2'")
 
     conn_ids: Dict[Tuple[str, str], int] = {}
     conn_meta: List[Tuple[int, str, str]] = []
-    # build the uncompressed chunk body: connections first, then messages
-    entries: List[Tuple[float, int, bytes]] = []  # (time, conn, payload)
-    for topic, msg in messages:
-        enc = _TYPE_OF_MSG.get(type(msg))
-        if enc is None:
-            raise TypeError(f"no bag encoder for {type(msg).__name__}")
-        ros_type, encoder = enc
-        key = (topic, ros_type)
-        if key not in conn_ids:
-            conn_ids[key] = len(conn_ids)
-            conn_meta.append((conn_ids[key], topic, ros_type))
-        stamp = float(getattr(msg, "header").stamp)
-        entries.append((stamp, conn_ids[key], encoder(msg)))
 
     def conn_record_bytes(conn_id: int, topic: str, ros_type: str) -> bytes:
         rec_hdr = _pack_header(
@@ -605,41 +615,21 @@ def write_bag(
             + struct.pack("<I", len(conn_hdr)) + conn_hdr
         )
 
-    chunk_parts: List[bytes] = []
-    offset = 0
-    for conn_id, topic, ros_type in conn_meta:
-        b = conn_record_bytes(conn_id, topic, ros_type)
-        chunk_parts.append(b)
-        offset += len(b)
-    index: Dict[int, List[Tuple[float, int]]] = {c: [] for c, _, _ in conn_meta}
-    for stamp, conn_id, payload in entries:
-        rec_hdr = _pack_header(
-            {"op": bytes([_OP_MSG]), "conn": struct.pack("<I", conn_id),
-             "time": _time_bytes(stamp)}
-        )
-        b = (
-            struct.pack("<I", len(rec_hdr)) + rec_hdr
-            + struct.pack("<I", len(payload)) + payload
-        )
-        index[conn_id].append((stamp, offset))
-        chunk_parts.append(b)
-        offset += len(b)
-    chunk_body = b"".join(chunk_parts)
-    chunk_data = bz2.compress(chunk_body) if compression == "bz2" else chunk_body
+    n_msgs = 0
+    all_times: List[float] = []
+    chunk_infos: List[Tuple[int, float, float, Dict[int, int]]] = []
 
-    times = [e[0] for e in entries] or [0.0]
     with open(path, "wb") as f:
         f.write(MAGIC)
-        # bag header placeholder (padded to 4096 bytes total, per spec)
         bag_hdr_pos = f.tell()
 
-        def write_bag_header(index_pos: int):
+        def write_bag_header(index_pos: int, conn_count: int, chunk_count: int):
             hdr = _pack_header(
                 {
                     "op": bytes([_OP_BAG_HEADER]),
                     "index_pos": struct.pack("<Q", index_pos),
-                    "conn_count": struct.pack("<I", len(conn_meta)),
-                    "chunk_count": struct.pack("<I", 1),
+                    "conn_count": struct.pack("<I", conn_count),
+                    "chunk_count": struct.pack("<I", chunk_count),
                 }
             )
             pad = 4096 - (4 + len(hdr) + 4)
@@ -648,50 +638,104 @@ def write_bag(
             f.write(struct.pack("<I", pad))
             f.write(b" " * pad)
 
-        write_bag_header(0)
-        chunk_pos = _write_record(
-            f,
-            {
-                "op": bytes([_OP_CHUNK]),
-                "compression": compression.encode(),
-                "size": struct.pack("<I", len(chunk_body)),
-            },
-            chunk_data,
-        )
-        for conn_id, _, _ in conn_meta:
-            rows = index[conn_id]
-            data = b"".join(_time_bytes(t) + struct.pack("<I", off) for t, off in rows)
-            _write_record(
+        write_bag_header(0, 0, 0)
+
+        chunk_parts: List[bytes] = []
+        chunk_index: Dict[int, List[Tuple[float, int]]] = {}
+        chunk_offset = 0
+        chunk_times: List[float] = []
+
+        def flush_chunk():
+            nonlocal chunk_parts, chunk_index, chunk_offset, chunk_times
+            if not chunk_parts:
+                return
+            body = b"".join(chunk_parts)
+            data = bz2.compress(body) if compression == "bz2" else body
+            pos = _write_record(
                 f,
                 {
-                    "op": bytes([_OP_INDEX]),
-                    "ver": struct.pack("<I", 1),
-                    "conn": struct.pack("<I", conn_id),
-                    "count": struct.pack("<I", len(rows)),
+                    "op": bytes([_OP_CHUNK]),
+                    "compression": compression.encode(),
+                    "size": struct.pack("<I", len(body)),
                 },
                 data,
             )
+            for conn_id, rows in chunk_index.items():
+                idx = b"".join(
+                    _time_bytes(t) + struct.pack("<I", off) for t, off in rows
+                )
+                _write_record(
+                    f,
+                    {
+                        "op": bytes([_OP_INDEX]),
+                        "ver": struct.pack("<I", 1),
+                        "conn": struct.pack("<I", conn_id),
+                        "count": struct.pack("<I", len(rows)),
+                    },
+                    idx,
+                )
+            counts = {c: len(rows) for c, rows in chunk_index.items()}
+            chunk_infos.append(
+                (pos, min(chunk_times), max(chunk_times), counts)
+            )
+            chunk_parts, chunk_index, chunk_offset, chunk_times = [], {}, 0, []
+
+        for topic, msg in messages:
+            enc = _TYPE_OF_MSG.get(type(msg))
+            if enc is None:
+                raise TypeError(f"no bag encoder for {type(msg).__name__}")
+            ros_type, encoder = enc
+            key = (topic, ros_type)
+            if key not in conn_ids:
+                conn_id = len(conn_ids)
+                conn_ids[key] = conn_id
+                conn_meta.append((conn_id, topic, ros_type))
+                b = conn_record_bytes(conn_id, topic, ros_type)
+                chunk_parts.append(b)
+                chunk_offset += len(b)
+            conn_id = conn_ids[key]
+            stamp = float(getattr(msg, "header").stamp)
+            payload = encoder(msg)
+            rec_hdr = _pack_header(
+                {"op": bytes([_OP_MSG]), "conn": struct.pack("<I", conn_id),
+                 "time": _time_bytes(stamp)}
+            )
+            b = (
+                struct.pack("<I", len(rec_hdr)) + rec_hdr
+                + struct.pack("<I", len(payload)) + payload
+            )
+            chunk_index.setdefault(conn_id, []).append((stamp, chunk_offset))
+            chunk_parts.append(b)
+            chunk_offset += len(b)
+            chunk_times.append(stamp)
+            all_times.append(stamp)
+            n_msgs += 1
+            if chunk_offset >= _CHUNK_TARGET_BYTES:
+                flush_chunk()
+        flush_chunk()
+
         index_pos = f.tell()
         for conn_id, topic, ros_type in conn_meta:
             f.write(conn_record_bytes(conn_id, topic, ros_type))
-        info_data = b"".join(
-            struct.pack("<II", c, len(index[c])) for c, _, _ in conn_meta
-        )
-        _write_record(
-            f,
-            {
-                "op": bytes([_OP_CHUNK_INFO]),
-                "ver": struct.pack("<I", 1),
-                "chunk_pos": struct.pack("<Q", chunk_pos),
-                "start_time": _time_bytes(min(times)),
-                "end_time": _time_bytes(max(times)),
-                "count": struct.pack("<I", len(conn_meta)),
-            },
-            info_data,
-        )
+        for pos, t0, t1, counts in chunk_infos:
+            info_data = b"".join(
+                struct.pack("<II", c, n) for c, n in counts.items()
+            )
+            _write_record(
+                f,
+                {
+                    "op": bytes([_OP_CHUNK_INFO]),
+                    "ver": struct.pack("<I", 1),
+                    "chunk_pos": struct.pack("<Q", pos),
+                    "start_time": _time_bytes(t0),
+                    "end_time": _time_bytes(t1),
+                    "count": struct.pack("<I", len(counts)),
+                },
+                info_data,
+            )
         f.seek(bag_hdr_pos)
-        write_bag_header(index_pos)
-    return len(entries)
+        write_bag_header(index_pos, len(conn_meta), len(chunk_infos))
+    return n_msgs
 
 
 class BagRecorder:
