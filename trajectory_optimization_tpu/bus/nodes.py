@@ -278,6 +278,30 @@ def _hpr_mask_bucketed(culled: np.ndarray) -> np.ndarray:
     return np.asarray(m)[: len(culled)] > 0.5
 
 
+def _hpr_masks_rig(culled_list) -> list:
+    """Approx-HPR masks for a whole rig in ONE vmapped evaluation: every
+    camera's culled subset is padded to the same bucket and the pursuit runs
+    with a leading camera axis — C cameras cost one dispatch (SURVEY.md §2c
+    multi-camera axis), with the same valid-mask semantics as the serial
+    path."""
+    import jax
+
+    from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx
+    from trajectory_optimization_tpu.utils.data import bucket_size
+
+    sizes = [len(c) for c in culled_list]
+    if max(sizes, default=0) == 0:
+        return [np.zeros(0, bool) for _ in culled_list]
+    bucket = bucket_size(max(sizes))
+    padded, valids = zip(*(pad_points(c.astype(np.float32), target=bucket)
+                           for c in culled_list))
+    masks = jax.vmap(lambda p, v: hpr_mask_approx(p, valid=v))(
+        jnp.asarray(np.stack(padded)), jnp.asarray(np.stack(valids))
+    )
+    masks = np.asarray(masks)
+    return [masks[i, : sizes[i]] > 0.5 for i in range(len(culled_list))]
+
+
 class PointsProcessorNode:
     """Multi-camera visibility processor (`src/pc_processor.py:30-197`)."""
 
@@ -442,17 +466,21 @@ class PointsProcessorNode:
             max_dist=self.cfg.frustum_max_dist,
         )  # (C, N) — one batched pass for the whole rig
         cam_pts_all = np.asarray(to_camera_frame(pts, Q, T))  # (C, N, 3) batched
+        masks_np = np.asarray(masks)
+        culled_all = [compact_masked(cam_pts_all[c], masks_np[c]) for c in range(len(infos))]
+        if self.cfg.hpr_backend == "approx":
+            hpr_masks = _hpr_masks_rig(culled_all)  # one vmapped HPR for the rig
         out = {}
         for c, info in enumerate(infos):
             cam_frame = info.header.frame_id
-            culled = compact_masked(cam_pts_all[c], masks[c])
+            culled = culled_all[c]
             self.bus.publish(f"/{cam_frame}/pointcloud", CloudMsg(Header.make(cam_frame), culled))
             if self.cfg.hpr_backend == "exact":
                 from trajectory_optimization_tpu.ops.hpr import hpr_points_exact
 
                 visible, _ = hpr_points_exact(culled)
             elif self.cfg.hpr_backend == "approx" and len(culled):
-                visible = culled[_hpr_mask_bucketed(culled)]
+                visible = culled[hpr_masks[c]]
             else:
                 visible = culled
             self.bus.publish(
