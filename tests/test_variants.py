@@ -134,3 +134,12 @@ def test_demo_scripts_run(tmp_path, monkeypatch):
     assert len(log["visibility"]) == 2
     loss = pose_optimization_demo.main(["opt_steps=10", "pub_sample=5"])
     assert np.isfinite(loss)
+
+
+def test_bag_replay_demo_runs():
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demos"))
+    import bag_replay_demo
+
+    bag_replay_demo.main()  # asserts internally: no bus errors, paths out
