@@ -149,6 +149,38 @@ def test_sharded_pallas_train_step_matches_single(cloud10, path10):
     )
 
 
+def test_sharded_2d_mesh_waypoint_axis(cloud10, path10):
+    """2D ('wps', 'pts') mesh: waypoint rows shard over 'wps' (W=27 pads to
+    28 with inert dummies), points over 'pts'; values and gradients must
+    match the single-device kernel."""
+    mesh = make_mesh(8, wps=2)  # 2 waypoint shards × 4 point shards
+    n = pad_multiple(mesh) * 2
+    pts = jnp.asarray(np.concatenate([cloud10] * 2)[:n].astype(np.float32))
+    q = identity_quaternions(len(path10))
+    q[::3] = [0.9, 0.1, -0.3, 0.2]
+    quats = jnp.asarray(q)
+    poses = jnp.asarray(path10.astype(np.float32))
+    K = INTR.matrix()
+
+    lo_sh = sharded_fused_lo_sum(mesh, pts, quats, poses, K, INTR.width, INTR.height)
+    lo_1 = fused_lo_sum(pts, quats, poses, K, INTR.width, INTR.height)
+    np.testing.assert_allclose(np.asarray(lo_sh), np.asarray(lo_1), rtol=1e-4, atol=2e-4)
+
+    g = jnp.asarray(np.random.default_rng(1).normal(size=(n,)).astype(np.float32))
+
+    def f(fn):
+        def loss(quats, poses):
+            return jnp.sum(fn(quats, poses) * g)
+        return jax.grad(loss, argnums=(0, 1))
+
+    gq_s, gt_s = f(lambda q_, t_: sharded_fused_lo_sum(
+        mesh, pts, q_, t_, K, INTR.width, INTR.height))(quats, poses)
+    gq_1, gt_1 = f(lambda q_, t_: fused_lo_sum(
+        pts, q_, t_, K, INTR.width, INTR.height))(quats, poses)
+    np.testing.assert_allclose(np.asarray(gt_s), np.asarray(gt_1), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_1), rtol=2e-3, atol=2e-3)
+
+
 def test_sharded_rejects_undivisible(setup):
     mesh, pts, quats, poses = setup
     with pytest.raises(ValueError):

@@ -33,6 +33,7 @@ from trajectory_optimization_tpu.ops.pallas_vis import (
     LANES,
     TILE_ROWS_CACHE,
     _consts,
+    _pad_wp,
     make_norm,
     run_bwd_apply,
     run_bwd_stats,
@@ -78,6 +79,12 @@ def _shmap(mesh, fn, in_specs, out_specs):
 
 
 def _sharded_fwd(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
+    """Forward over a ('wps', 'pts') mesh: waypoint rows shard over 'wps'
+    (each shard runs the Pallas passes for ITS waypoints only), points over
+    'pts'. Per-waypoint min/max all-reduce over 'pts'; the per-point log-odds
+    partials all-reduce over 'wps' (the log-odds fusion is a sum over
+    waypoints). With wps=1 both collectives are identities and this is pure
+    point sharding."""
     consts = _consts(img_wh, dist_lims, eps)
     tr = _tile_rows_for(planes.shape[1] // mesh.shape["pts"])
 
@@ -85,17 +92,18 @@ def _sharded_fwd(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
         mins, maxs, scores = run_pass_a(
             wp, kp, planes_l, valid_l, consts, cache_scores=True, tr=tr
         )
-        m = jax.lax.pmin(mins, "pts")  # (W,) all-reduce over ICI
+        m = jax.lax.pmin(mins, "pts")  # (W_local,) all-reduce over ICI
         mx = jax.lax.pmax(maxs, "pts")
         norm = make_norm(m, mx)
         lo = run_pass_b(wp, kp, norm, planes_l, scores, consts, eps, tr=tr)
+        lo = jax.lax.psum(lo, "wps")  # Σ over the waypoint shards
         return lo, norm, scores
 
     lo, norm, scores = _shmap(
         mesh,
         local,
-        in_specs=(P(), P(), P(None, "pts"), P("pts")),
-        out_specs=(P("pts"), P(), P(None, "pts")),
+        in_specs=(P("wps"), P(), P(None, "pts"), P("pts")),
+        out_specs=(P("pts"), P("wps"), P("wps", "pts")),
     )(wp, kp, planes, valid_plane)
     return lo, (wp, kp, planes, valid_plane, norm, scores)
 
@@ -108,21 +116,22 @@ def _sharded_bwd(mesh, img_wh, dist_lims, eps, res, g):
 
     def local(wp, kp, norm, planes_l, valid_l, g_l, scores_l):
         st = run_bwd_stats(norm, scores_l, valid_l, g_l, eps, tr=tr)
-        st = jax.lax.psum(st, "pts")  # (W, 4) all-reduce
+        st = jax.lax.psum(st, "pts")  # (W_local, 4) all-reduce
         alpha = st[:, 0] / jnp.maximum(st[:, 2], 1.0)
         beta = st[:, 1] / jnp.maximum(st[:, 3], 1.0)
         norm2 = jnp.concatenate([norm, alpha[:, None], beta[:, None]], axis=1)
         sums = run_bwd_apply(
             wp, kp, norm2, planes_l, valid_l, g_l, scores_l, consts, eps, tr=tr
         )
-        sums = jax.lax.psum(sums, "pts")  # (W, 3, 4) all-reduce
+        sums = jax.lax.psum(sums, "pts")  # (W_local, 3, 4) all-reduce
         return sums_to_param_grads(wp, sums)
 
     dwp = _shmap(
         mesh,
         local,
-        in_specs=(P(), P(), P(), P(None, "pts"), P("pts"), P("pts"), P(None, "pts")),
-        out_specs=P(),
+        in_specs=(P("wps"), P(), P("wps"), P(None, "pts"), P("pts"), P("pts"),
+                  P("wps", "pts")),
+        out_specs=P("wps"),
     )(wp, kp, norm, planes, valid_plane, g_plane, scores)
     return dwp, jnp.zeros_like(kp), jnp.zeros_like(planes), jnp.zeros_like(valid_plane)
 
@@ -151,8 +160,14 @@ def sharded_fused_lo_sum(
     utils.data.pad_points to a suitable bucket first (padding entries carry
     valid=0). Tile rows per grid step adapt to the shard size (up to
     TILE_ROWS_CACHE).
+
+    On a 2D ('wps', 'pts') mesh the waypoint rows shard over 'wps' too
+    (padded with inert dummy waypoints to a multiple of the axis size) —
+    each chip evaluates its waypoint subset over its point slice, so memory
+    and compute scale down along both axes.
     """
-    D = mesh.shape["pts"]  # only the point axis shards; 'wps' replicates here
+    D = mesh.shape["pts"]
+    W_axis = mesh.shape.get("wps", 1)
     N = points.shape[0]
     W = quats.shape[0]
     tile = MIN_TILE_ROWS * LANES * D
@@ -166,6 +181,11 @@ def sharded_fused_lo_sum(
 
     R = quat_ops.to_matrix(quat_ops.normalize(quats))
     wp = jnp.concatenate([R.reshape(W, 9), trans, jnp.zeros((W, 4), jnp.float32)], axis=1)
+    if W % W_axis:
+        # inert dummy waypoints (ops.pallas_vis semantics: zero scores, zero
+        # gradients) even out the waypoint shards; their dwp rows are
+        # discarded by concatenate's VJP
+        wp = _pad_wp(wp, -(-W // W_axis) * W_axis)
     kp = jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]).reshape(1, 4)
 
     lo = _sharded_lo_planes(
