@@ -94,6 +94,22 @@ def test_time_sync_never_reuses_a_message():
     assert len(pairs) == 1  # the second pose finds no fresh cloud
 
 
+def test_time_sync_out_of_order_never_fires_twice():
+    """Out-of-order arrivals: a fired message is consumed by STAMP, so the
+    same (older-stamped, later-arrived) message cannot pair twice."""
+    bus = Bus()
+    pairs = []
+    ApproximateTimeSynchronizer(
+        bus, ["/a", "/b"], lambda a, b: pairs.append((a.header.stamp, b.header.stamp)),
+        slop=0.5,
+    )
+    bus.publish("/a", CloudMsg(Header(stamp=5.0), np.zeros((1, 3))))
+    bus.publish("/a", CloudMsg(Header(stamp=1.0), np.zeros((1, 3))))  # out of order
+    bus.publish("/b", CloudMsg(Header(stamp=1.1), np.zeros((1, 3))))
+    bus.publish("/b", CloudMsg(Header(stamp=1.2), np.zeros((1, 3))))
+    assert pairs == [(1.0, 1.1)]  # the 1.0 cloud fires once, not twice
+
+
 def test_time_sync_property_vs_oracle():
     """Random interleavings: the synchronizer must fire exactly the pairs a
     brute-force simulation of the same policy (min-span in-window pair over

@@ -82,6 +82,57 @@ def test_bag_roundtrip_all_types(tmp_path, compression):
     np.testing.assert_allclose(tf.translation, [0.5, 0.0, 0.2])
 
 
+def test_bag_float_image_roundtrip(tmp_path):
+    """Non-uint8 images must keep pixel width/dtype on the wire (width is in
+    PIXELS, step in BYTES — the sensor_msgs/Image contract)."""
+    rng = np.random.default_rng(1)
+    depth = ImageMsg(Header(stamp=2.0, frame_id="cam"),
+                     rng.normal(size=(4, 6)).astype(np.float32), encoding="32FC1")
+    rgbf = ImageMsg(Header(stamp=2.1, frame_id="cam"),
+                    rng.random(size=(8, 16, 3)).astype(np.float32), encoding="rgb32f")
+    path = str(tmp_path / "img.bag")
+    write_bag(path, [("/depth", depth), ("/rgbf", rgbf)])
+    by_topic = {topic: m for _, topic, m in read_bag(path)}
+    np.testing.assert_array_equal(by_topic["/depth"].data, depth.data)
+    assert by_topic["/depth"].data.dtype == np.float32
+    np.testing.assert_array_equal(by_topic["/rgbf"].data, rgbf.data)
+    assert by_topic["/rgbf"].data.shape == (8, 16, 3)
+
+
+def test_bag_streaming_player(tmp_path):
+    msgs = _sample_messages()
+    path = str(tmp_path / "s.bag")
+    write_bag(path, msgs)
+    player = BagPlayer(path, streaming=True)
+    with pytest.raises(TypeError):
+        len(player)
+    bus = Bus(error_policy="raise")
+    got = []
+    bus.subscribe("/pose", got.append)
+    assert player.play(bus) == len(msgs)
+    assert len(got) == 1
+    # a streaming player can replay repeatedly (fresh iterator each play)
+    assert player.play(bus) == len(msgs)
+
+
+def test_bag_recorder_incremental_chunks(tmp_path):
+    """Recorder flushes through BagWriter chunks: multi-chunk bags read back
+    completely and a pre-close crash keeps the flushed chunks on disk."""
+    from trajectory_optimization_tpu.bus.rosbag import BagWriter
+
+    bus = Bus(error_policy="raise")
+    path = str(tmp_path / "inc.bag")
+    rng = np.random.default_rng(0)
+    with BagRecorder(bus, ["/pts"], path) as rec:
+        for i in range(12):  # ~3.5 MB of clouds → several 1 MB chunks
+            bus.publish("/pts", CloudMsg(Header(stamp=float(i), frame_id="m"),
+                                         rng.normal(size=(25000, 3)).astype(np.float32)))
+        assert rec._writer._chunk_infos  # chunks flushed before close
+    got = list(read_bag(path))
+    assert len(got) == 12
+    assert [round(t) for t, _, _ in got] == list(range(12))
+
+
 def test_bag_topic_filter_and_order(tmp_path):
     msgs = _sample_messages()
     path = str(tmp_path / "f.bag")

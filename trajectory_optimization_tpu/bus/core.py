@@ -165,12 +165,16 @@ class ApproximateTimeSynchronizer:
                         best_key, best = key, combo
                 if best is not None:
                     fire = list(best)
-                    # consume fired messages and everything older on their topic
+                    # consume fired messages and everything with an older
+                    # stamp on their topic — by STAMP, not queue position:
+                    # arrival order need not be stamp order, and a front-only
+                    # pop would let an out-of-order message fire twice
                     for t, m in zip(self.topics, fire):
                         q = self._queues[t]
                         s = self._stamp(m)
-                        while q and self._stamp(q[0]) <= s:
-                            q.popleft()
+                        kept = [x for x in q if self._stamp(x) > s]
+                        q.clear()
+                        q.extend(kept)
         if fire is not None:
             self.callback(*fire)
 

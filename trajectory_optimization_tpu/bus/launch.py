@@ -142,4 +142,7 @@ def launch_play_bag(bag_dir: str, nodes_launch: Launch, *, realtime: bool = Fals
     (bus.rosbag)."""
     from trajectory_optimization_tpu.bus.rosbag import open_player
 
-    return open_player(bag_dir).play(nodes_launch.bus, realtime=realtime, rate=rate)
+    # streaming: session bags are GB-scale; record order = chunk time order
+    return open_player(bag_dir, streaming=True).play(
+        nodes_launch.bus, realtime=realtime, rate=rate
+    )

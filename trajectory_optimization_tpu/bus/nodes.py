@@ -217,11 +217,12 @@ class PoseOptNode:
             params, opt_state, loss, aux = advance_rem(params, opt_state, P, V, K, occlusion)
             done = cfg.opt_steps
             self._publish(pc_msg, pose_msg, params, aux)
-        self.last_result = {"loss": float(loss), "n_iters": done}
+        loss_f = float(loss)  # fetch the scalar once
+        self.last_result = {"loss": loss_f, "n_iters": done}
         self.metrics.incr("callbacks")
         self.metrics.incr("opt_iters", done)
         self.metrics.gauge("last_callback_ms", (time.perf_counter() - _t0) * 1e3)
-        self.metrics.gauge("last_loss", float(loss))
+        self.metrics.gauge("last_loss", loss_f)
 
     def _publish(self, pc_msg, pose_msg, params, aux):
         # odometry + TF + camera info (`src/pose_optimization.py:99-112`).
@@ -417,14 +418,16 @@ class PointsProcessorNode:
                 render_point_cloud_pallas,
             )
 
-            img, n_dropped = render_point_cloud_pallas(
-                jnp.asarray(visible),
-                intr.matrix(),
-                int(intr.height),
-                int(intr.width),
-                znear=self.cfg.frustum_min_dist,
-                zfar=self.cfg.frustum_max_dist,
-                return_overflow=True,
+            img, n_dropped = _jax.device_get(  # one round trip for both values
+                render_point_cloud_pallas(
+                    jnp.asarray(visible),
+                    intr.matrix(),
+                    int(intr.height),
+                    int(intr.width),
+                    znear=self.cfg.frustum_min_dist,
+                    zfar=self.cfg.frustum_max_dist,
+                    return_overflow=True,
+                )
             )
             # surfaced instead of silently rendering holes (round-1 weak #7)
             self.metrics.incr("render_dropped_splats", float(n_dropped))

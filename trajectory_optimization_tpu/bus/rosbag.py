@@ -388,35 +388,53 @@ def _encode_camera_info(msg: CameraInfoMsg) -> bytes:
     return w.bytes()
 
 
+# sensor_msgs image_encodings → (numpy dtype, channels); width on the wire is
+# PIXELS and step is BYTES per row (step = width · channels · itemsize)
+_IMG_ENCODINGS = {
+    "mono8": (np.uint8, 1), "8UC1": (np.uint8, 1),
+    "mono16": (np.uint16, 1), "16UC1": (np.uint16, 1),
+    "rgb8": (np.uint8, 3), "bgr8": (np.uint8, 3), "8UC3": (np.uint8, 3),
+    "rgba8": (np.uint8, 4), "bgra8": (np.uint8, 4),
+    "16UC3": (np.uint16, 3),
+    "32FC1": (np.float32, 1), "32FC3": (np.float32, 3), "32FC4": (np.float32, 4),
+    "64FC1": (np.float64, 1),
+    "rgb32f": (np.float32, 3),  # this framework's renderer output convention
+}
+
+
 def _decode_image(buf: bytes) -> ImageMsg:
     r = _Reader(buf)
     h = r.header()
     height, width = r.u32(), r.u32()
     encoding = r.string()
     r.u8()  # is_bigendian
-    step = r.u32()
-    data = np.frombuffer(r.raw(r.u32()), np.uint8)
-    if height and step % max(width, 1) == 0:
-        ch = step // width
-        img = data.reshape(height, width, ch) if ch > 1 else data.reshape(height, width)
+    r.u32()  # step (bytes/row; redundant with width · channels · itemsize)
+    raw = r.raw(r.u32())
+    spec = _IMG_ENCODINGS.get(encoding)
+    if height == 0 or width == 0 or spec is None:
+        img = np.frombuffer(raw, np.uint8)  # degenerate/unknown: raw bytes
     else:
-        img = data.reshape(height, -1)
+        dt, ch = spec
+        arr = np.frombuffer(raw, dt)
+        if arr.size == height * width * ch:
+            img = arr.reshape(height, width, ch) if ch > 1 else arr.reshape(height, width)
+        else:  # malformed frame: keep the bytes rather than abort the bag
+            img = np.frombuffer(raw, np.uint8)
     return ImageMsg(h, img, encoding=encoding)
 
 
 def _encode_image(msg: ImageMsg) -> bytes:
     data = np.ascontiguousarray(msg.data)
-    if data.dtype != np.uint8:  # float images round-trip as raw bytes
-        data = data.view(np.uint8).reshape(data.shape[0], -1)
-    h, wpx = data.shape[0], data.shape[1]
+    h = int(data.shape[0]) if data.ndim >= 1 else 0
+    wpx = int(data.shape[1]) if data.ndim >= 2 else 0
     ch = int(np.prod(data.shape[2:])) if data.ndim > 2 else 1
     w = _Writer()
     w.header(msg.header)
     w.u32(h)
-    w.u32(wpx)
+    w.u32(wpx)  # width in PIXELS regardless of dtype
     w.string(msg.encoding)
     w.u8(0)
-    w.u32(wpx * ch)
+    w.u32(wpx * ch * data.dtype.itemsize)  # step in BYTES
     raw = data.tobytes()
     w.u32(len(raw))
     w.raw(raw)
@@ -580,24 +598,35 @@ def read_bag(
 _CHUNK_TARGET_BYTES = 1 << 20  # flush chunks at ~1 MB, like rosbag record
 
 
-def write_bag(
-    path: str,
-    messages: Iterable[Tuple[str, object]],
-    *,
-    compression: str = "none",
-) -> int:
-    """Write (topic, bus_message) pairs to a format-2.0 bag. Returns the
-    message count. Message data is split into ~1 MB chunks (each followed by
-    its index records, like ``rosbag record``), with the trailing
-    connection/chunk-info section the format requires — so streaming readers
-    keep memory at O(one chunk)."""
-    if compression not in ("none", "bz2"):
-        raise ValueError("compression must be 'none' or 'bz2'")
+class BagWriter:
+    """Incremental format-2.0 bag writer.
 
-    conn_ids: Dict[Tuple[str, str], int] = {}
-    conn_meta: List[Tuple[int, str, str]] = []
+    ``add(topic, msg)`` encodes and buffers into the current chunk; chunks
+    flush to disk at ~1 MB (each followed by its index records, like
+    ``rosbag record``), so recording memory stays O(one chunk) for
+    arbitrarily long sessions. ``close()`` writes the trailing
+    connection/chunk-info section and finalizes the bag header."""
 
-    def conn_record_bytes(conn_id: int, topic: str, ros_type: str) -> bytes:
+    def __init__(self, path: str, *, compression: str = "none"):
+        if compression not in ("none", "bz2"):
+            raise ValueError("compression must be 'none' or 'bz2'")
+        self.path = path
+        self.compression = compression
+        self.count = 0
+        self._conn_ids: Dict[Tuple[str, str], int] = {}
+        self._conn_meta: List[Tuple[int, str, str]] = []
+        self._chunk_infos: List[Tuple[int, float, float, Dict[int, int]]] = []
+        self._chunk_parts: List[bytes] = []
+        self._chunk_index: Dict[int, List[Tuple[float, int]]] = {}
+        self._chunk_offset = 0
+        self._chunk_times: List[float] = []
+        self._f = open(path, "wb")
+        self._f.write(MAGIC)
+        self._bag_hdr_pos = self._f.tell()
+        self._write_bag_header(0, 0, 0)
+
+    @staticmethod
+    def _conn_record_bytes(conn_id: int, topic: str, ros_type: str) -> bytes:
         rec_hdr = _pack_header(
             {"op": bytes([_OP_CONNECTION]), "conn": struct.pack("<I", conn_id),
              "topic": topic.encode()}
@@ -615,114 +644,96 @@ def write_bag(
             + struct.pack("<I", len(conn_hdr)) + conn_hdr
         )
 
-    n_msgs = 0
-    all_times: List[float] = []
-    chunk_infos: List[Tuple[int, float, float, Dict[int, int]]] = []
+    def _write_bag_header(self, index_pos: int, conn_count: int, chunk_count: int):
+        hdr = _pack_header(
+            {
+                "op": bytes([_OP_BAG_HEADER]),
+                "index_pos": struct.pack("<Q", index_pos),
+                "conn_count": struct.pack("<I", conn_count),
+                "chunk_count": struct.pack("<I", chunk_count),
+            }
+        )
+        pad = 4096 - (4 + len(hdr) + 4)
+        self._f.write(struct.pack("<I", len(hdr)))
+        self._f.write(hdr)
+        self._f.write(struct.pack("<I", pad))
+        self._f.write(b" " * pad)
 
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        bag_hdr_pos = f.tell()
-
-        def write_bag_header(index_pos: int, conn_count: int, chunk_count: int):
-            hdr = _pack_header(
-                {
-                    "op": bytes([_OP_BAG_HEADER]),
-                    "index_pos": struct.pack("<Q", index_pos),
-                    "conn_count": struct.pack("<I", conn_count),
-                    "chunk_count": struct.pack("<I", chunk_count),
-                }
-            )
-            pad = 4096 - (4 + len(hdr) + 4)
-            f.write(struct.pack("<I", len(hdr)))
-            f.write(hdr)
-            f.write(struct.pack("<I", pad))
-            f.write(b" " * pad)
-
-        write_bag_header(0, 0, 0)
-
-        chunk_parts: List[bytes] = []
-        chunk_index: Dict[int, List[Tuple[float, int]]] = {}
-        chunk_offset = 0
-        chunk_times: List[float] = []
-
-        def flush_chunk():
-            nonlocal chunk_parts, chunk_index, chunk_offset, chunk_times
-            if not chunk_parts:
-                return
-            body = b"".join(chunk_parts)
-            data = bz2.compress(body) if compression == "bz2" else body
-            pos = _write_record(
-                f,
-                {
-                    "op": bytes([_OP_CHUNK]),
-                    "compression": compression.encode(),
-                    "size": struct.pack("<I", len(body)),
-                },
-                data,
-            )
-            for conn_id, rows in chunk_index.items():
-                idx = b"".join(
-                    _time_bytes(t) + struct.pack("<I", off) for t, off in rows
-                )
-                _write_record(
-                    f,
-                    {
-                        "op": bytes([_OP_INDEX]),
-                        "ver": struct.pack("<I", 1),
-                        "conn": struct.pack("<I", conn_id),
-                        "count": struct.pack("<I", len(rows)),
-                    },
-                    idx,
-                )
-            counts = {c: len(rows) for c, rows in chunk_index.items()}
-            chunk_infos.append(
-                (pos, min(chunk_times), max(chunk_times), counts)
-            )
-            chunk_parts, chunk_index, chunk_offset, chunk_times = [], {}, 0, []
-
-        for topic, msg in messages:
-            enc = _TYPE_OF_MSG.get(type(msg))
-            if enc is None:
-                raise TypeError(f"no bag encoder for {type(msg).__name__}")
-            ros_type, encoder = enc
-            key = (topic, ros_type)
-            if key not in conn_ids:
-                conn_id = len(conn_ids)
-                conn_ids[key] = conn_id
-                conn_meta.append((conn_id, topic, ros_type))
-                b = conn_record_bytes(conn_id, topic, ros_type)
-                chunk_parts.append(b)
-                chunk_offset += len(b)
-            conn_id = conn_ids[key]
-            stamp = float(getattr(msg, "header").stamp)
-            payload = encoder(msg)
-            rec_hdr = _pack_header(
-                {"op": bytes([_OP_MSG]), "conn": struct.pack("<I", conn_id),
-                 "time": _time_bytes(stamp)}
-            )
-            b = (
-                struct.pack("<I", len(rec_hdr)) + rec_hdr
-                + struct.pack("<I", len(payload)) + payload
-            )
-            chunk_index.setdefault(conn_id, []).append((stamp, chunk_offset))
-            chunk_parts.append(b)
-            chunk_offset += len(b)
-            chunk_times.append(stamp)
-            all_times.append(stamp)
-            n_msgs += 1
-            if chunk_offset >= _CHUNK_TARGET_BYTES:
-                flush_chunk()
-        flush_chunk()
-
-        index_pos = f.tell()
-        for conn_id, topic, ros_type in conn_meta:
-            f.write(conn_record_bytes(conn_id, topic, ros_type))
-        for pos, t0, t1, counts in chunk_infos:
-            info_data = b"".join(
-                struct.pack("<II", c, n) for c, n in counts.items()
-            )
+    def _flush_chunk(self):
+        if not self._chunk_parts:
+            return
+        body = b"".join(self._chunk_parts)
+        data = bz2.compress(body) if self.compression == "bz2" else body
+        pos = _write_record(
+            self._f,
+            {
+                "op": bytes([_OP_CHUNK]),
+                "compression": self.compression.encode(),
+                "size": struct.pack("<I", len(body)),
+            },
+            data,
+        )
+        for conn_id, rows in self._chunk_index.items():
+            idx = b"".join(_time_bytes(t) + struct.pack("<I", off) for t, off in rows)
             _write_record(
-                f,
+                self._f,
+                {
+                    "op": bytes([_OP_INDEX]),
+                    "ver": struct.pack("<I", 1),
+                    "conn": struct.pack("<I", conn_id),
+                    "count": struct.pack("<I", len(rows)),
+                },
+                idx,
+            )
+        counts = {c: len(rows) for c, rows in self._chunk_index.items()}
+        times = self._chunk_times or [0.0]
+        self._chunk_infos.append((pos, min(times), max(times), counts))
+        self._chunk_parts, self._chunk_index = [], {}
+        self._chunk_offset, self._chunk_times = 0, []
+
+    def add(self, topic: str, msg) -> None:
+        enc = _TYPE_OF_MSG.get(type(msg))
+        if enc is None:
+            raise TypeError(f"no bag encoder for {type(msg).__name__}")
+        ros_type, encoder = enc
+        key = (topic, ros_type)
+        if key not in self._conn_ids:
+            conn_id = len(self._conn_ids)
+            self._conn_ids[key] = conn_id
+            self._conn_meta.append((conn_id, topic, ros_type))
+            b = self._conn_record_bytes(conn_id, topic, ros_type)
+            self._chunk_parts.append(b)
+            self._chunk_offset += len(b)
+        conn_id = self._conn_ids[key]
+        stamp = float(getattr(msg, "header").stamp)
+        payload = encoder(msg)
+        rec_hdr = _pack_header(
+            {"op": bytes([_OP_MSG]), "conn": struct.pack("<I", conn_id),
+             "time": _time_bytes(stamp)}
+        )
+        b = (
+            struct.pack("<I", len(rec_hdr)) + rec_hdr
+            + struct.pack("<I", len(payload)) + payload
+        )
+        self._chunk_index.setdefault(conn_id, []).append((stamp, self._chunk_offset))
+        self._chunk_parts.append(b)
+        self._chunk_offset += len(b)
+        self._chunk_times.append(stamp)
+        self.count += 1
+        if self._chunk_offset >= _CHUNK_TARGET_BYTES:
+            self._flush_chunk()
+
+    def close(self) -> str:
+        if self._f.closed:
+            return self.path
+        self._flush_chunk()
+        index_pos = self._f.tell()
+        for conn_id, topic, ros_type in self._conn_meta:
+            self._f.write(self._conn_record_bytes(conn_id, topic, ros_type))
+        for pos, t0, t1, counts in self._chunk_infos:
+            info_data = b"".join(struct.pack("<II", c, n) for c, n in counts.items())
+            _write_record(
+                self._f,
                 {
                     "op": bytes([_OP_CHUNK_INFO]),
                     "ver": struct.pack("<I", 1),
@@ -733,30 +744,54 @@ def write_bag(
                 },
                 info_data,
             )
-        f.seek(bag_hdr_pos)
-        write_bag_header(index_pos, len(conn_meta), len(chunk_infos))
-    return n_msgs
+        self._f.seek(self._bag_hdr_pos)
+        self._write_bag_header(index_pos, len(self._conn_meta), len(self._chunk_infos))
+        self._f.close()
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_bag(
+    path: str,
+    messages: Iterable[Tuple[str, object]],
+    *,
+    compression: str = "none",
+) -> int:
+    """Write (topic, bus_message) pairs to a format-2.0 bag; returns the
+    message count. Consumes the iterable lazily through :class:`BagWriter`,
+    so memory stays O(one chunk)."""
+    with BagWriter(path, compression=compression) as w:
+        for topic, msg in messages:
+            w.add(topic, msg)
+    return w.count
 
 
 class BagRecorder:
-    """Record selected bus topics straight into a .bag file."""
+    """Record selected bus topics straight into a .bag file — incrementally:
+    every message flushes through BagWriter's ~1 MB chunks, so a crash keeps
+    everything up to the last flushed chunk and memory stays bounded for
+    session-length recordings."""
 
     def __init__(self, bus: Bus, topics: Sequence[str], path: str):
         self.path = path
-        self._messages: List[Tuple[str, object]] = []
+        self._writer = BagWriter(path)
         self._subs = [bus.subscribe(t, self._make_cb(t), latch=False) for t in topics]
 
     def _make_cb(self, topic):
         def cb(msg):
-            self._messages.append((topic, msg))
+            self._writer.add(topic, msg)
 
         return cb
 
     def close(self) -> str:
         for s in self._subs:
             s.unsubscribe()
-        write_bag(self.path, self._messages)
-        return self.path
+        return self._writer.close()
 
     def __enter__(self):
         return self
@@ -767,23 +802,46 @@ class BagRecorder:
 
 class BagPlayer:
     """Replay a .bag file onto a bus (rosbag-play equivalent; same API as
-    replay.Player)."""
+    replay.Player).
 
-    def __init__(self, path: str, topics: Optional[Sequence[str]] = None):
+    Default mode materializes and globally stamp-sorts the decoded events —
+    right for moderate bags where strict ordering matters. ``streaming=True``
+    iterates the file lazily in record order (chunk time order for bags from
+    ``rosbag record``/BagWriter), keeping memory at O(one chunk) — use it for
+    session-scale bags (the reference's dataset is 15 GB)."""
+
+    def __init__(
+        self,
+        path: str,
+        topics: Optional[Sequence[str]] = None,
+        *,
+        streaming: bool = False,
+    ):
         self.path = path
-        self._events = sorted(read_bag(path, topics), key=lambda e: e[0])
+        self.topics = topics
+        self._events = (
+            None if streaming else sorted(read_bag(path, topics), key=lambda e: e[0])
+        )
 
     def __len__(self):
+        if self._events is None:
+            raise TypeError("streaming BagPlayer has no len(); iterate it")
         return len(self._events)
 
+    def _iter(self):
+        if self._events is not None:
+            yield from self._events
+        else:
+            yield from read_bag(self.path, self.topics)
+
     def messages(self):
-        for _, topic, msg in self._events:
+        for _, topic, msg in self._iter():
             yield topic, msg
 
     def play(self, bus: Bus, *, realtime: bool = False, rate: float = 1.0) -> int:
         prev_t = None
         n = 0
-        for t, topic, msg in self._events:
+        for t, topic, msg in self._iter():
             if realtime and prev_t is not None:
                 gap = max(t - prev_t, 0.0) / rate
                 if gap > 0:
@@ -794,11 +852,11 @@ class BagPlayer:
         return n
 
 
-def open_player(path: str):
+def open_player(path: str, *, streaming: bool = False):
     """Player for either bag flavor: a ROS1 ``.bag`` file or an npz
     recording directory (bus.replay)."""
     if os.path.isdir(path):
         from trajectory_optimization_tpu.bus.replay import Player
 
         return Player(path)
-    return BagPlayer(path)
+    return BagPlayer(path, streaming=streaming)
