@@ -339,6 +339,42 @@ def bench_sharded_step(pts_np, poses_np, n_steps=50):
     return rate, mesh.shape["pts"]
 
 
+def bench_pose_scan(pts_np, n_steps=200):
+    """Pose-model training-mode rate (all steps in one lax.scan)."""
+    import jax.numpy as jnp
+
+    from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params, pose_forward
+    from trajectory_optimization_tpu.opt.engine import (
+        OptimizerConfig,
+        _optimize_scan,
+        make_optimizer,
+    )
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    problem = PoseProblem(img_width=intr.width, img_height=intr.height)
+    P, K = jnp.asarray(pts_np), intr.matrix()
+    tx = make_optimizer(
+        OptimizerConfig(lr_pose=0.02, lr_quat=0.02), pose_key="trans", quat_key="quat"
+    )
+
+    def loss_fn(params):
+        return pose_forward(params, P, K, problem)
+
+    params = init_pose_params(
+        np.array([[6.0, 2.0, 0.0]], np.float32), np.array([[1.0, 0.0, 0.0, 0.0]], np.float32)
+    )
+    out, _ = _optimize_scan(loss_fn, tx, params, n_steps)
+    np.asarray(_first_leaf(out))
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, _ = _optimize_scan(loss_fn, tx, params, n_steps)
+        np.asarray(_first_leaf(out))
+        rates.append(n_steps / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
 def bench_node_throughput(pts_np, poses_np, n_msgs=20):
     """Messages/s through the full TrajOptNode path: time-sync pairing,
     padding/bucketing, a 30-step on-device optimization, output publishing."""
@@ -437,7 +473,19 @@ def main():
         print(f"[bench] sharded step failed: {e}", file=sys.stderr)
 
     rate_pose = bench_pose(pts)
-    print(f"[bench] pose model (40452 pts): {rate_pose:.1f} steps/s", file=sys.stderr)
+    print(
+        f"[bench] pose model serving-mode (40452 pts): {rate_pose:.1f} steps/s",
+        file=sys.stderr,
+    )
+    try:
+        rate_pose_scan = bench_pose_scan(pts)
+        print(
+            f"[bench] pose model production loop (200-step scan): "
+            f"{rate_pose_scan:.1f} steps/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] pose scan bench failed: {e}", file=sys.stderr)
 
     # serving: full node callback (decode, pad, optimize 30 steps, publish)
     try:
