@@ -25,6 +25,7 @@ import os
 import time
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -279,6 +280,27 @@ def _hpr_mask_bucketed(culled: np.ndarray) -> np.ndarray:
     return np.asarray(m)[: len(culled)] > 0.5
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("img_w", "img_h", "min_dist", "max_dist")
+)
+def _rig_cull_and_transform(pts, valid, Q, T, K, *, img_w, img_h, min_dist, max_dist):
+    """One fused dispatch for the whole rig: (C, N) frustum masks AND the
+    (C, N, 3) camera-frame points (separate calls paid two device round
+    trips per cloud). ``pts`` must be bucket-padded (valid-masked) so the
+    jit cache keys on bucket sizes."""
+    from trajectory_optimization_tpu.ops.geometry import to_camera_frame
+    from trajectory_optimization_tpu.ops.multicam import multicam_frustum_masks
+
+    masks = multicam_frustum_masks(
+        pts, Q, T, K, img_w, img_h, min_dist=min_dist, max_dist=max_dist
+    )
+    masks = masks & (valid[None, :] > 0)
+    return masks, to_camera_frame(pts, Q, T)
+
+
 def _hpr_masks_rig(culled_list) -> list:
     """Approx-HPR masks for a whole rig in ONE vmapped evaluation: every
     camera's culled subset is padded to the same bucket and the pursuit runs
@@ -444,8 +466,7 @@ class PointsProcessorNode:
         """
         import numpy as _np
 
-        from trajectory_optimization_tpu.ops.geometry import compact_masked, to_camera_frame
-        from trajectory_optimization_tpu.ops.multicam import multicam_frustum_masks
+        from trajectory_optimization_tpu.ops.geometry import compact_masked
 
         infos = list(infos)
         intr = infos[0].intrinsics()
@@ -455,22 +476,28 @@ class PointsProcessorNode:
             t, q_xyzw = self.frames.lookup(cloud.header.frame_id, info.header.frame_id)
             trans.append(t)
             quats.append([q_xyzw[3], q_xyzw[0], q_xyzw[1], q_xyzw[2]])  # wxyz
-        pts = jnp.asarray(cloud.xyz.astype(np.float32))
+        n = len(cloud.xyz)
+        padded, valid = pad_points(cloud.xyz.astype(np.float32))
         Q = jnp.asarray(_np.asarray(quats, _np.float32))
         T = jnp.asarray(_np.asarray(trans, _np.float32))
-        masks = multicam_frustum_masks(
-            pts,
-            Q,
-            T,
-            intr.matrix(),
-            intr.width,
-            intr.height,
-            min_dist=self.cfg.frustum_min_dist,
-            max_dist=self.cfg.frustum_max_dist,
-        )  # (C, N) — one batched pass for the whole rig
-        cam_pts_all = np.asarray(to_camera_frame(pts, Q, T))  # (C, N, 3) batched
-        masks_np = np.asarray(masks)
-        culled_all = [compact_masked(cam_pts_all[c], masks_np[c]) for c in range(len(infos))]
+        # one fused dispatch: (C, N) masks + (C, N, 3) camera-frame points,
+        # bucket-padded so the compile cache keys on bucket sizes
+        masks, cam_pts_all = jax.device_get(
+            _rig_cull_and_transform(
+                jnp.asarray(padded),
+                jnp.asarray(valid),
+                Q,
+                T,
+                intr.matrix(),
+                img_w=float(intr.width),
+                img_h=float(intr.height),
+                min_dist=self.cfg.frustum_min_dist,
+                max_dist=self.cfg.frustum_max_dist,
+            )
+        )
+        culled_all = [
+            compact_masked(cam_pts_all[c][:n], masks[c][:n]) for c in range(len(infos))
+        ]
         if self.cfg.hpr_backend == "approx":
             hpr_masks = _hpr_masks_rig(culled_all)  # one vmapped HPR for the rig
         out = {}
