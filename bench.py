@@ -139,6 +139,33 @@ def bench_pose(pts_np, n_steps=500):
     return rate
 
 
+def _scan_rate(loss_fn, tx, params, n_steps):
+    """Median steps/s of the one-dispatch lax.scan loop, with the link round
+    trip (dispatch + scalar fetch of a fresh array, ~30 ms here and weather-
+    dependent) measured and subtracted — it would otherwise sit inside every
+    timed window and dominate short ones."""
+    import jax.numpy as jnp
+
+    from trajectory_optimization_tpu.opt.engine import _optimize_scan
+
+    out, _ = _optimize_scan(loss_fn, tx, params, n_steps)  # compile + warm
+    np.asarray(_first_leaf(out))
+    rtts = []
+    for i in range(3):
+        x = jnp.zeros(8) + i  # fresh value: dispatch + fetch = one round trip
+        t0 = time.perf_counter()
+        np.asarray(x)
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, _ = _optimize_scan(loss_fn, tx, params, n_steps)
+        np.asarray(_first_leaf(out))
+        rates.append(n_steps / max(time.perf_counter() - t0 - rtt, 1e-9))
+    return float(np.median(rates))
+
+
 def bench_traj_scan(pts_np, poses_np, n_steps=200, lr_pose=0.1, lr_quat=0.02):
     """Training-mode rate: all steps in ONE compiled lax.scan (the engine's
     optimize_with_history path) — amortizes per-step dispatch, so this is the
@@ -152,11 +179,7 @@ def bench_traj_scan(pts_np, poses_np, n_steps=200, lr_pose=0.1, lr_quat=0.02):
         traj_forward,
         waypoint_stride,
     )
-    from trajectory_optimization_tpu.opt.engine import (
-        OptimizerConfig,
-        _optimize_scan,
-        make_optimizer,
-    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
     from trajectory_optimization_tpu.utils.data import identity_quaternions
     from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
 
@@ -175,15 +198,7 @@ def bench_traj_scan(pts_np, poses_np, n_steps=200, lr_pose=0.1, lr_quat=0.02):
         return traj_forward(params, P, K, p0, q0, problem)
 
     params = init_traj_params(poses_np, quats_np)
-    out, _ = _optimize_scan(loss_fn, tx, params, n_steps)  # compile + warm
-    np.asarray(_first_leaf(out))
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out, _ = _optimize_scan(loss_fn, tx, params, n_steps)
-        np.asarray(_first_leaf(out))
-        rates.append(n_steps / (time.perf_counter() - t0))
-    return float(np.median(rates))
+    return _scan_rate(loss_fn, tx, params, n_steps)
 
 
 def _time_device_fn(fn, args, fetch, n_iters=20, n_warmup=2):
@@ -344,11 +359,7 @@ def bench_pose_scan(pts_np, n_steps=200):
     import jax.numpy as jnp
 
     from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params, pose_forward
-    from trajectory_optimization_tpu.opt.engine import (
-        OptimizerConfig,
-        _optimize_scan,
-        make_optimizer,
-    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
     from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
 
     intr = default_intrinsics()
@@ -364,15 +375,7 @@ def bench_pose_scan(pts_np, n_steps=200):
     params = init_pose_params(
         np.array([[6.0, 2.0, 0.0]], np.float32), np.array([[1.0, 0.0, 0.0, 0.0]], np.float32)
     )
-    out, _ = _optimize_scan(loss_fn, tx, params, n_steps)
-    np.asarray(_first_leaf(out))
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out, _ = _optimize_scan(loss_fn, tx, params, n_steps)
-        np.asarray(_first_leaf(out))
-        rates.append(n_steps / (time.perf_counter() - t0))
-    return float(np.median(rates))
+    return _scan_rate(loss_fn, tx, params, n_steps)
 
 
 def bench_node_throughput(pts_np, poses_np, n_msgs=20):

@@ -21,6 +21,7 @@ are bucketed (utils.data) so repeated messages hit the compile cache.
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, Optional
@@ -110,9 +111,7 @@ class TrajOptNode:
         # ONE batched device→host fetch: each individual fetch costs a full
         # relay round trip (~30 ms here), and this callback needs six values —
         # sequential np.asarray/float() calls were 5× slower (profiled)
-        import jax as _jax
-
-        fetched = _jax.device_get(
+        fetched = jax.device_get(
             {
                 "poses": params["poses"],
                 "quats": params["quats"],
@@ -229,9 +228,7 @@ class PoseOptNode:
         # odometry + TF + camera info (`src/pose_optimization.py:99-112`).
         # One batched fetch per publish — separate np.asarray calls each cost
         # a device round trip, and this runs ~20× per callback
-        import jax as _jax
-
-        fetched = _jax.device_get(
+        fetched = jax.device_get(
             {"trans": params["trans"], "quat": params["quat"],
              "observations": aux["observations"]}
         )
@@ -280,9 +277,6 @@ def _hpr_mask_bucketed(culled: np.ndarray) -> np.ndarray:
     return np.asarray(m)[: len(culled)] > 0.5
 
 
-import functools
-
-
 @functools.partial(
     jax.jit, static_argnames=("img_w", "img_h", "min_dist", "max_dist")
 )
@@ -307,8 +301,6 @@ def _hpr_masks_rig(culled_list) -> list:
     with a leading camera axis — C cameras cost one dispatch (SURVEY.md §2c
     multi-camera axis), with the same valid-mask semantics as the serial
     path."""
-    import jax
-
     from trajectory_optimization_tpu.ops.hpr import hpr_mask_approx
     from trajectory_optimization_tpu.utils.data import bucket_size
 
@@ -422,9 +414,7 @@ class PointsProcessorNode:
         return visible
 
     def _render(self, visible, intr, cam_frame):
-        import jax as _jax
-
-        if _jax.default_backend() == "cpu":
+        if jax.default_backend() == "cpu":
             from trajectory_optimization_tpu.ops.render import render_point_cloud
 
             img = render_point_cloud(
@@ -440,7 +430,7 @@ class PointsProcessorNode:
                 render_point_cloud_pallas,
             )
 
-            img, n_dropped = _jax.device_get(  # one round trip for both values
+            img, n_dropped = jax.device_get(  # one round trip for both values
                 render_point_cloud_pallas(
                     jnp.asarray(visible),
                     intr.matrix(),

@@ -31,6 +31,7 @@ import bz2
 import dataclasses
 import os
 import struct
+import threading
 import time as _time
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
@@ -408,18 +409,22 @@ def _decode_image(buf: bytes) -> ImageMsg:
     height, width = r.u32(), r.u32()
     encoding = r.string()
     r.u8()  # is_bigendian
-    r.u32()  # step (bytes/row; redundant with width · channels · itemsize)
+    step = r.u32()  # bytes per row
     raw = r.raw(r.u32())
     spec = _IMG_ENCODINGS.get(encoding)
-    if height == 0 or width == 0 or spec is None:
-        img = np.frombuffer(raw, np.uint8)  # degenerate/unknown: raw bytes
-    else:
+    img = None
+    if spec is not None and height > 0 and width > 0:
         dt, ch = spec
         arr = np.frombuffer(raw, dt)
         if arr.size == height * width * ch:
             img = arr.reshape(height, width, ch) if ch > 1 else arr.reshape(height, width)
-        else:  # malformed frame: keep the bytes rather than abort the bag
-            img = np.frombuffer(raw, np.uint8)
+    elif height > 0 and width > 0 and step % width == 0 and len(raw) == height * step:
+        # unknown encoding (bayer_*, yuv422, ...): step gives bytes/pixel
+        ch = step // width
+        data = np.frombuffer(raw, np.uint8)
+        img = data.reshape(height, width, ch) if ch > 1 else data.reshape(height, width)
+    if img is None:  # degenerate/malformed: keep raw bytes, don't abort the bag
+        img = np.frombuffer(raw, np.uint8)
     return ImageMsg(h, img, encoding=encoding)
 
 
@@ -613,6 +618,9 @@ class BagWriter:
         self.path = path
         self.compression = compression
         self.count = 0
+        # bus callbacks may run from several publisher threads; add()/close()
+        # mutate chunk state and the file handle, so serialize them
+        self._lock = threading.Lock()
         self._conn_ids: Dict[Tuple[str, str], int] = {}
         self._conn_meta: List[Tuple[int, str, str]] = []
         self._chunk_infos: List[Tuple[int, float, float, Dict[int, int]]] = []
@@ -696,6 +704,10 @@ class BagWriter:
         if enc is None:
             raise TypeError(f"no bag encoder for {type(msg).__name__}")
         ros_type, encoder = enc
+        with self._lock:
+            self._add_locked(topic, msg, ros_type, encoder)
+
+    def _add_locked(self, topic: str, msg, ros_type: str, encoder) -> None:
         key = (topic, ros_type)
         if key not in self._conn_ids:
             conn_id = len(self._conn_ids)
@@ -724,6 +736,10 @@ class BagWriter:
             self._flush_chunk()
 
     def close(self) -> str:
+        with self._lock:
+            return self._close_locked()
+
+    def _close_locked(self) -> str:
         if self._f.closed:
             return self.path
         self._flush_chunk()
@@ -846,7 +862,9 @@ class BagPlayer:
                 gap = max(t - prev_t, 0.0) / rate
                 if gap > 0:
                     _time.sleep(min(gap, 10.0))
-            prev_t = t
+            # monotone high-water mark: streaming mode replays record order,
+            # where an out-of-order stamp must not inflate the next gap
+            prev_t = t if prev_t is None else max(prev_t, t)
             bus.publish(topic, msg)
             n += 1
         return n
