@@ -7,9 +7,12 @@ make_array_from_process_local_data. The per-waypoint min/max and mean-reward
 all-reduces then ride DCN once per step (a few KB — latency-, not
 bandwidth-bound), while all heavy elementwise work stays local.
 
-Untested on multi-host hardware in this environment (single chip available);
-the single-process virtual-mesh path in parallel.sharded is the tested
-equivalent, and this module only composes documented JAX APIs.
+No multi-host TPU exists in this environment (single chip), but the whole
+software path is exercised for real in tests/test_multihost_process.py: two
+spawned processes, jax.distributed.initialize, cross-process Gloo
+collectives (the CPU stand-in for DCN), and the full sharded-Pallas train
+step matching the single-device result. Only the physical DCN fabric is
+untested here.
 """
 from __future__ import annotations
 
