@@ -378,20 +378,26 @@ def bench_pose_scan(pts_np, n_steps=200):
     return _scan_rate(loss_fn, tx, params, n_steps)
 
 
-def bench_node_throughput(pts_np, poses_np, n_msgs=20):
+def bench_node_throughput(pts_np, poses_np, n_msgs=20, pipeline_depth=1):
     """Messages/s through the full TrajOptNode path: time-sync pairing,
-    padding/bucketing, a 30-step on-device optimization, output publishing."""
+    padding/bucketing, a 30-step on-device optimization, output publishing.
+
+    This path is link-round-trip-bound, not compute-bound (profiled: the
+    blocking device_get is ~41 of ~53 ms/msg in good relay weather; host
+    decode+pad < 1 ms). pipeline_depth > 1 overlaps message i's device run
+    and result download with message i+1's upload (bus.nodes.TrajOptNode)."""
     from trajectory_optimization_tpu.bus.core import Bus
     from trajectory_optimization_tpu.bus.messages import CloudMsg, Header, PathMsg
     from trajectory_optimization_tpu.bus.nodes import TrajOptNode
     from trajectory_optimization_tpu.utils.config import TrajOptNodeConfig
 
     bus = Bus()
-    TrajOptNode(
+    node = TrajOptNode(
         bus,
         TrajOptNodeConfig(
             pc_topic="/pc", path_topic="/path", opt_steps=30,
             lr_pose=0.1, lr_quat=0.02, rewards_th=float("inf"),
+            pipeline_depth=pipeline_depth,
         ),
     )
     out = []
@@ -402,9 +408,11 @@ def bench_node_throughput(pts_np, poses_np, n_msgs=20):
         bus.publish("/path", PathMsg.straight(poses_np, frame_id="map", stamp=stamp))
 
     send(0.0)  # warm up (compiles)
+    node.flush()
     t0 = time.perf_counter()
     for i in range(n_msgs):
         send(float(i + 1) * 10.0)
+    node.flush()  # the timed window includes draining in-flight results
     dt = time.perf_counter() - t0
     assert len(out) == n_msgs + 1, f"published {len(out)} of {n_msgs + 1}"
     return n_msgs / dt
@@ -499,6 +507,16 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] node throughput failed: {e}", file=sys.stderr)
+
+    try:
+        rate_node_p = bench_node_throughput(pts, path, pipeline_depth=3)
+        print(
+            f"[bench] TrajOptNode pipelined (depth 3, 30-step callbacks): "
+            f"{rate_node_p:.2f} msgs/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] pipelined node throughput failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

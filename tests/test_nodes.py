@@ -62,6 +62,43 @@ def test_traj_opt_node_end_to_end(cloud10, path10):
     assert rew.intensity.min() >= 0 and rew.intensity.max() <= 1
 
 
+def test_traj_opt_node_pipelined_matches_sync(cloud10, path10):
+    """pipeline_depth > 1 changes only WHEN results are published (lagging
+    by up to depth-1 messages, drained by flush), never WHAT: same inputs in
+    the same order must give bit-identical optimized paths."""
+
+    def run(depth, n_msgs=3):
+        bus = Bus()
+        node = TrajOptNode(
+            bus,
+            TrajOptNodeConfig(
+                pc_topic="/pc", path_topic="/path", opt_steps=6,
+                lr_pose=0.1, lr_quat=0.02, rewards_th=float("inf"),
+                pipeline_depth=depth,
+            ),
+        )
+        out = []
+        bus.subscribe("/path/optimized", out.append)
+        for i in range(n_msgs):
+            stamp = float(i) * 10.0
+            # vary the cloud per message so lagged publishes are detectable
+            bus.publish(
+                "/pc", CloudMsg(Header(stamp=stamp, frame_id="map"), cloud10[:: 4 + i])
+            )
+            bus.publish("/path", PathMsg.straight(path10, frame_id="map", stamp=stamp))
+            if depth > 1:  # outputs lag: at most i+1 published so far
+                assert len(out) <= i + 1
+        node.flush()
+        assert len(out) == n_msgs
+        return out
+
+    sync = run(1)
+    piped = run(3)
+    for a, b in zip(sync, piped):
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.orientations_xyzw, b.orientations_xyzw)
+
+
 def test_pose_opt_node_publishes_progress(cloud10):
     bus = Bus()
     node = PoseOptNode(

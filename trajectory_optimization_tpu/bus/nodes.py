@@ -72,11 +72,34 @@ class TrajOptNode:
         self.last_result: Optional[Dict] = None
         self.metrics = Metrics()  # callbacks, iters, per-callback ms — the
         # reference's per-step prints (`src/trajectory_optimization.py:126`)
+        self._pending = []  # in-flight (dispatched, not yet published) results
         self._sync = ApproximateTimeSynchronizer(
             bus, [cfg.pc_topic, cfg.path_topic], self.callback, queue_size=10, slop=0.5
         )
 
     def callback(self, pc_msg: CloudMsg, path_msg: PathMsg) -> None:
+        """Dispatch this pair's optimization, then publish finished results.
+
+        With cfg.pipeline_depth == 1 (default, the reference's synchronous
+        semantics) each callback publishes its own result before returning.
+        Depth d > 1 keeps up to d-1 messages in flight: JAX dispatch is
+        async and the result leaves start a `copy_to_host_async` at dispatch
+        time, so message i's device execution and device→host transfer
+        overlap message i+1's decode and upload instead of serializing one
+        full link round trip per message (the round trip — not compute — is
+        what bounds this node's throughput; see bench.py). Outputs then lag
+        their inputs by up to d-1 messages; call flush() to drain.
+        """
+        self._pending.append(self._dispatch(pc_msg, path_msg))
+        while len(self._pending) >= max(int(self.cfg.pipeline_depth), 1):
+            self._finish(self._pending.pop(0))
+
+    def flush(self) -> None:
+        """Publish every in-flight result (pipeline_depth > 1)."""
+        while self._pending:
+            self._finish(self._pending.pop(0))
+
+    def _dispatch(self, pc_msg: CloudMsg, path_msg: PathMsg):
         _t0 = time.perf_counter()
         cfg = self.cfg
         points, valid = pad_points(pc_msg.xyz.astype(np.float32))
@@ -108,19 +131,28 @@ class TrajOptNode:
         )
         params = init_traj_params(poses0, quats0)
         params, n_iters, loss, aux = run(params, P, V, K, p0, q0)
+        leaves = {
+            "poses": params["poses"],
+            "quats": params["quats"],
+            "n_iters": n_iters,
+            "loss": loss,
+            "rewards": aux["rewards"],
+            "mean_reward": aux["mean_reward"],
+        }
+        # start the device→host copies now so that, under pipelining, they
+        # ride the link while the next message is being decoded/uploaded
+        for v in leaves.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+        return leaves, pc_msg, path_msg, _t0
+
+    def _finish(self, pending) -> None:
+        leaves, pc_msg, path_msg, _t0 = pending
+        cfg = self.cfg
         # ONE batched device→host fetch: each individual fetch costs a full
         # relay round trip (~30 ms here), and this callback needs six values —
         # sequential np.asarray/float() calls were 5× slower (profiled)
-        fetched = jax.device_get(
-            {
-                "poses": params["poses"],
-                "quats": params["quats"],
-                "n_iters": n_iters,
-                "loss": loss,
-                "rewards": aux["rewards"],
-                "mean_reward": aux["mean_reward"],
-            }
-        )
+        fetched = jax.device_get(leaves)
         n_iters, loss = int(fetched["n_iters"]), float(fetched["loss"])
 
         # optimized path out, wxyz → xyzw with normalization
@@ -156,6 +188,7 @@ class TrajOptNode:
         self.metrics.gauge("last_mean_reward", float(fetched["mean_reward"]))
 
     def close(self):
+        self.flush()
         self._sync.close()
 
 

@@ -46,6 +46,10 @@ class TrajOptNodeConfig:
     rewards_th: float = 1.2
     smoothness_th: float = 0.9
     publish_rewards_cloud: bool = False
+    # >1 keeps d-1 callbacks in flight (async dispatch + copy_to_host_async),
+    # overlapping link transfers across messages; outputs lag by up to d-1.
+    # 1 = the reference's synchronous publish-before-return semantics.
+    pipeline_depth: int = 1
 
 
 @dataclasses.dataclass
