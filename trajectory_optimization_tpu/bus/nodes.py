@@ -241,15 +241,36 @@ class PoseOptNode:
         opt_state = init_opt(params)
         loss, aux = jnp.asarray(jnp.inf), {"observations": jnp.zeros(len(points))}
         done = 0
+        # Enqueue ALL segments first (JAX dispatch is async; the runner does
+        # not donate, so chaining segments before fetching is safe), starting
+        # each segment's device→host copies as it is enqueued. The publishes
+        # then stream below as segment results land, instead of stalling the
+        # device one link round trip per publish (~20×/callback; the same
+        # profile as TrajOptNode: round trips, not compute, bound this path).
+        pend = []
+
+        def _enqueue(params, aux):
+            fetch = {
+                "trans": params["trans"],
+                "quat": params["quat"],
+                "observations": aux["observations"],
+            }
+            for v in fetch.values():
+                if hasattr(v, "copy_to_host_async"):
+                    v.copy_to_host_async()
+            pend.append(fetch)
+
         while done + seg <= cfg.opt_steps:
             params, opt_state, loss, aux = advance(params, opt_state, P, V, K, occlusion)
             done += seg
-            self._publish(pc_msg, pose_msg, params, aux)
+            _enqueue(params, aux)
         if done < cfg.opt_steps:  # exact step-count parity for the remainder
             _, advance_rem = pose_runner(problem, opt_cfg, cfg.opt_steps - done)
             params, opt_state, loss, aux = advance_rem(params, opt_state, P, V, K, occlusion)
             done = cfg.opt_steps
-            self._publish(pc_msg, pose_msg, params, aux)
+            _enqueue(params, aux)
+        for fetch in pend:
+            self._publish(pc_msg, pose_msg, fetch)
         loss_f = float(loss)  # fetch the scalar once
         self.last_result = {"loss": loss_f, "n_iters": done}
         self.metrics.incr("callbacks")
@@ -257,14 +278,12 @@ class PoseOptNode:
         self.metrics.gauge("last_callback_ms", (time.perf_counter() - _t0) * 1e3)
         self.metrics.gauge("last_loss", loss_f)
 
-    def _publish(self, pc_msg, pose_msg, params, aux):
+    def _publish(self, pc_msg, pose_msg, fetch):
         # odometry + TF + camera info (`src/pose_optimization.py:99-112`).
         # One batched fetch per publish — separate np.asarray calls each cost
-        # a device round trip, and this runs ~20× per callback
-        fetched = jax.device_get(
-            {"trans": params["trans"], "quat": params["quat"],
-             "observations": aux["observations"]}
-        )
+        # a device round trip, and this runs ~20× per callback (the copies
+        # were already started by _enqueue, so this mostly just waits)
+        fetched = jax.device_get(fetch)
         trans = np.asarray(fetched["trans"], np.float64).reshape(3)
         q = np.asarray(fetched["quat"], np.float64).reshape(4)
         q = q / np.linalg.norm(q)
