@@ -20,10 +20,13 @@ def _cloud(n=400, seed=0):
     )
 
 
-def test_matches_xla_renderer():
+@pytest.mark.parametrize("backend", ["runs", "dense"])
+def test_matches_xla_renderer(backend):
     pts = _cloud()
     a = np.asarray(render_point_cloud(pts, K, 96, 128, znear=1.0, zfar=10.0))
-    b = np.asarray(render_point_cloud_pallas(pts, K, 96, 128, znear=1.0, zfar=10.0))
+    b = np.asarray(
+        render_point_cloud_pallas(pts, K, 96, 128, znear=1.0, zfar=10.0, backend=backend)
+    )
     # identical up to z-ties (same depth, different winner)
     assert (np.abs(a - b).max(axis=2) > 1e-3).mean() < 1e-3
 
@@ -69,12 +72,23 @@ def test_overflow_counter():
     )  # all project into one tile
     img, dropped = render_point_cloud_pallas(
         pts, K, 64, 128, znear=1.0, zfar=10.0, max_entries_per_tile=8,
-        return_overflow=True,
+        return_overflow=True, backend="dense",
     )
     assert int(dropped) > 0
     assert img.shape == (64, 128, 3)
     _, dropped2 = render_point_cloud_pallas(
         pts, K, 64, 128, znear=1.0, zfar=10.0, max_entries_per_tile=512,
-        return_overflow=True,
+        return_overflow=True, backend="dense",
     )
     assert int(dropped2) == 0
+    # the run path has no per-tile cap: same dense cluster renders exactly
+    img3, dropped3 = render_point_cloud_pallas(
+        pts, K, 64, 128, znear=1.0, zfar=10.0, max_entries_per_tile=8,
+        return_overflow=True, backend="runs",
+    )
+    assert int(dropped3) == 0
+    ref = render_point_cloud_pallas(
+        pts, K, 64, 128, znear=1.0, zfar=10.0, max_entries_per_tile=512,
+        backend="dense",
+    )
+    np.testing.assert_allclose(np.asarray(img3), np.asarray(ref))

@@ -477,7 +477,7 @@ class PointsProcessorNode:
                 znear=self.cfg.frustum_min_dist,
                 zfar=self.cfg.frustum_max_dist,
             )
-        else:  # tile-binned Pallas splatter (~4× the XLA scatter path)
+        else:  # tile-binned Pallas splatter (run path: ~2.7 ms vs ~14 dense)
             from trajectory_optimization_tpu.ops.pallas_render import (
                 render_point_cloud_pallas,
             )

@@ -1,22 +1,39 @@
 """Pallas TPU point-splat renderer: tile-binned z-nearest splatting.
 
 The production TPU counterpart of ops.render (which uses XLA scatters): the
-image is divided into (32, 128)-pixel tiles; points are binned to the tiles
-their disc footprints touch (a footprint spans at most 2×2 tiles), packed
-into a dense (n_tiles, MAX_E, 8) entry tensor with one XLA sort+scatter, and
-a Pallas kernel walks each tile's entries — pipelined into VMEM by the block
-machinery — blending every splat into tile-resident z/rgb buffers with
-vector selects. No scatter ever reaches HBM: each output pixel is written
-exactly once.
+image is divided into (32, 128)-pixel tiles and a Pallas kernel blends each
+tile's candidate splats into tile-resident z/rgb buffers with vector
+selects. No scatter ever reaches HBM: each output pixel is written exactly
+once. Two binning strategies feed the kernel:
+
+* **Run path** (default, exact): each point is binned to ONE tile — the one
+  containing its footprint's top-left corner — so binning is a single
+  N-element argsort with NO scatter; the whole sorted (N, 8) entry array
+  stays VMEM-resident across the grid and each tile scans the two
+  contiguous runs covering its 2×2 bin neighborhood via prefetched
+  offsets. No per-tile entry cap exists on this path (n_dropped ≡ 0).
+  Chosen when the entry array fits the VMEM budget
+  (``_RUN_PATH_MAX_ENTRIES``); profiled 14.1 → 4.5 ms on the reference
+  1616×1232 / 40k-point render, where the dense path's XLA pack-scatter
+  alone cost 9.4 ms.
+* **Dense fallback** (huge clouds): points are duplicated per touched tile
+  (≤2×2), packed into a dense (n_tiles, MAX_E, 8) tensor with one XLA
+  sort+scatter, and the kernel walks each tile's entries pipelined into
+  VMEM by the block machinery. Tiles receiving more than MAX_E entries
+  drop the overflow (arbitrary subset) — raise ``max_entries_per_tile``
+  for pathologically dense clouds.
 
 Same visual contract as ops.render.render_point_cloud (reference Pulsar
 settings: world radius, 1 point/pixel z-nearest, znear/zfar, white
 background, normalized-xyz colors) and pixel-for-pixel identical to it
-(tests/test_pallas_render.py). Tiles receiving more than MAX_E entries
-drop the overflow (arbitrary subset) — raise ``max_entries_per_tile`` for
-pathologically dense clouds. Pass ``return_overflow=True`` to ALSO get the
-dropped-entry count, so dense close-ups never lose splats silently
+(tests/test_pallas_render.py). Pass ``return_overflow=True`` to ALSO get
+the dropped-entry count, so dense close-ups never lose splats silently
 (VERDICT round-1 weak #7); PointsProcessorNode reports it as a metric.
+
+Mosaic constraint notes (measured on this image's remote compiler): scalar
+loads with a *dynamic sublane* index (``ref[k, j]`` with traced ``k``) are
+fine; a dynamic *lane* index (``ref[j, k]``) crashes remote compile with
+HTTP 500 — hence the (N, 8) entries-on-sublanes layout here.
 """
 from __future__ import annotations
 
@@ -32,10 +49,72 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 32
 TILE_W = 128
 _FAR = 3.0e38
+# Run path VMEM budget: a (N, 8) f32 VMEM block costs N × 128 lanes × 4 B
+# (Mosaic pads the 8-wide lane dim to a full 128-lane tile), so 64k entries
+# ≈ 32 MB of the ~128 MB VMEM — comfortable alongside the output blocks.
+_RUN_PATH_MAX_ENTRIES = 65536
 
 
 def _is_cpu() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _splat_runs_kernel(
+    offsets_ref, entries_ref, out_r, out_g, out_b, *, tiles_x: int, bg: float
+):
+    """Blend every entry binned in this tile's 2×2 neighborhood.
+
+    Entries are sorted by their single home bin (the tile containing the
+    footprint's top-left corner); a footprint spans ≤2×2 tiles, so the
+    entries that can touch tile (ty, tx) live in bins (ty-1..ty, tx-1..tx).
+    Bins in one row are adjacent in row-major order, so that's two
+    contiguous runs of the sorted entry array, bounded by prefetched
+    offsets. Entries in scanned bins that don't actually reach this tile
+    just produce an all-false coverage mask.
+    """
+    t = pl.program_id(0)
+    ty = t // tiles_x
+    tx = t % tiles_x
+    rows = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(
+        jnp.float32
+    )
+    cols = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(
+        jnp.float32
+    )
+
+    def entry_body(k, carry):
+        zbuf, rbuf, gbuf, bbuf = carry
+        uu = entries_ref[k, 0]
+        vv = entries_ref[k, 1]
+        zz = entries_ref[k, 2]
+        rr2 = entries_ref[k, 3]
+        dr = rows - vv
+        dc = cols - uu
+        closer = jnp.logical_and(dr * dr + dc * dc <= rr2, zz < zbuf)
+        zbuf = jnp.where(closer, zz, zbuf)
+        rbuf = jnp.where(closer, entries_ref[k, 4], rbuf)
+        gbuf = jnp.where(closer, entries_ref[k, 5], gbuf)
+        bbuf = jnp.where(closer, entries_ref[k, 6], bbuf)
+        return zbuf, rbuf, gbuf, bbuf
+
+    shape = (TILE_H, TILE_W)
+    carry = (
+        jnp.full(shape, _FAR, jnp.float32),
+        jnp.full(shape, bg, jnp.float32),
+        jnp.full(shape, bg, jnp.float32),
+        jnp.full(shape, bg, jnp.float32),
+    )
+    c_lo = jnp.maximum(tx - 1, 0)
+    for dy in (-1, 0):  # the two bin rows; row ty-1 collapses when ty == 0
+        row = ty + dy
+        b_lo = row * tiles_x + c_lo
+        lo = jnp.where(row >= 0, offsets_ref[jnp.maximum(b_lo, 0)], 0)
+        hi = jnp.where(row >= 0, offsets_ref[jnp.maximum(row * tiles_x + tx + 1, 0)], 0)
+        carry = jax.lax.fori_loop(lo, hi, entry_body, carry)
+    zbuf, rbuf, gbuf, bbuf = carry
+    out_r[...] = rbuf
+    out_g[...] = gbuf
+    out_b[...] = bbuf
 
 
 def _splat_kernel(counts_ref, entries_ref, out_r, out_g, out_b, *, tiles_x: int, bg: float):
@@ -87,6 +166,7 @@ def _splat_kernel(counts_ref, entries_ref, out_r, out_g, out_b, *, tiles_x: int,
         "max_radius_px",
         "max_entries_per_tile",
         "return_overflow",
+        "backend",
     ),
 )
 def render_point_cloud_pallas(
@@ -104,13 +184,18 @@ def render_point_cloud_pallas(
     valid: Optional[jnp.ndarray] = None,
     max_entries_per_tile: int = 2048,
     return_overflow: bool = False,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Render camera-frame points to (H, W, 3) — Pallas tile-splat backend.
 
     API-compatible with ops.render.render_point_cloud. With
     ``return_overflow=True`` returns (image, n_dropped) where n_dropped is
     the number of tile entries discarded by the max_entries_per_tile cap
-    (0 means the render is exact).
+    (0 means the render is exact; the run path is always exact).
+
+    ``backend``: 'auto' picks the exact run path when the cloud fits its
+    VMEM budget (see module docstring), else the dense-packed path;
+    'runs'/'dense' force one (tests, or bounding VMEM explicitly).
     """
     H, W = int(img_height), int(img_width)
     tiles_y = -(-H // TILE_H)
@@ -136,11 +221,71 @@ def render_point_cloud_pallas(
     if valid is not None:
         ok = ok & (valid > 0)
 
-    # bin to the ≤2×2 tiles the footprint can touch (+1 px guard for the
-    # rounded-center discretization shared with ops.render)
+    # splat around the rounded pixel center (ops.render's discretization);
+    # +1 px guard below for that rounding
+    entries = jnp.stack(
+        [jnp.round(u), jnp.round(v), z, jnp.square(r_px),
+         colors[:, 0], colors[:, 1], colors[:, 2], jnp.zeros_like(u)],
+        axis=1,
+    )
     rb = r_px + 1.0
     ty0 = jnp.floor((v - rb) / TILE_H).astype(jnp.int32)
     tx0 = jnp.floor((u - rb) / TILE_W).astype(jnp.int32)
+
+    if backend not in ("auto", "runs", "dense"):
+        raise ValueError(f"unknown renderer backend {backend!r}")
+    use_runs = backend == "runs" or (
+        backend == "auto" and cam_points.shape[0] <= _RUN_PATH_MAX_ENTRIES
+    )
+    if use_runs:
+        # run path: one home bin per point = the (clamped) tile holding the
+        # footprint's top-left corner; the kernel scans each tile's 2×2 bin
+        # neighborhood, so clamping only ever keeps off-image bins inside
+        # the neighborhoods that would have scanned them anyway
+        ty0c = jnp.clip(ty0, 0, tiles_y - 1)
+        tx0c = jnp.clip(tx0, 0, tiles_x - 1)
+        bin_ids = jnp.where(ok, ty0c * tiles_x + tx0c, n_tiles)
+        order = jnp.argsort(bin_ids)
+        sorted_ids = bin_ids[order]
+        sorted_entries = entries[order]
+        n_pad = (-cam_points.shape[0]) % 8  # whole-array VMEM block wants
+        if n_pad:  # sublane-aligned rows; padding rows sit past offsets[-1]
+            sorted_entries = jnp.concatenate(
+                [sorted_entries, jnp.zeros((n_pad, 8), jnp.float32)]
+            )
+        offsets = jnp.searchsorted(
+            sorted_ids, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    sorted_entries.shape, lambda t, o: (0, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (TILE_H, TILE_W),
+                    lambda t, o: (t // tiles_x, t % tiles_x),
+                    memory_space=pltpu.VMEM,
+                )
+                for _ in range(3)
+            ),
+        )
+        out_shape = tuple(jax.ShapeDtypeStruct((Hp, Wp), jnp.float32) for _ in range(3))
+        r_img, g_img, b_img = pl.pallas_call(
+            functools.partial(_splat_runs_kernel, tiles_x=tiles_x, bg=float(bg_color)),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=_is_cpu(),
+        )(offsets, sorted_entries)
+        img = jnp.stack([r_img[:H, :W], g_img[:H, :W], b_img[:H, :W]], axis=-1)
+        if return_overflow:
+            return img, jnp.zeros((), jnp.int32)  # exact: nothing can drop
+        return img
+
+    # dense fallback: bin to the ≤2×2 tiles the footprint can touch
     tile_ids = []
     for dy in (0, 1):
         for dx in (0, 1):
@@ -156,13 +301,6 @@ def render_point_cloud_pallas(
             )
             tile_ids.append(jnp.where(hit, ty * tiles_x + tx, n_tiles))
     tile_ids = jnp.concatenate(tile_ids)  # (4N,)
-
-    # splat around the rounded pixel center (ops.render's discretization)
-    entries = jnp.stack(
-        [jnp.round(u), jnp.round(v), z, jnp.square(r_px),
-         colors[:, 0], colors[:, 1], colors[:, 2], jnp.zeros_like(u)],
-        axis=1,
-    )
     entries4 = jnp.tile(entries, (4, 1))  # matches tile_ids layout
 
     order = jnp.argsort(tile_ids)
