@@ -138,10 +138,16 @@ class OdometryMsg:
 
 @dataclasses.dataclass(frozen=True)
 class ImageMsg:
-    """(H, W, C) uint8 or float image."""
+    """(H, W, C) uint8 or float image.
+
+    ``data`` may be a host numpy array OR an immutable on-device (jax)
+    array — renderer nodes publish device arrays so the device→host image
+    transfer is paid only by consumers that actually read pixels
+    (``np.asarray(msg.data)``), not on every publish.
+    """
 
     header: Header
-    data: np.ndarray
+    data: "np.ndarray"
     encoding: str = "bgr8"
 
 
