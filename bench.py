@@ -425,8 +425,10 @@ def main():
     path = load_path("data/paths/path_poses_10.npz")
 
     # headline: the reference workload through the production (scan) loop —
-    # the reference's own 400-step sample workload
-    rate_ref = bench_traj_scan(pts, path, n_steps=400)
+    # the reference's 400-step sample workload, measured over a 2000-step
+    # scan so the timed window (~140 ms) dwarfs link-RTT jitter (at ~14k
+    # steps/s a 400-step window is ~28 ms — inside the noise)
+    rate_ref = bench_traj_scan(pts, path, n_steps=2000)
     print(
         f"[bench] reference workload (40452 pts x 27 wps, 400-step production "
         f"loop): {rate_ref:.1f} traj steps/s",
