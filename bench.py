@@ -430,8 +430,8 @@ def main():
     # steps/s a 400-step window is ~28 ms — inside the noise)
     rate_ref = bench_traj_scan(pts, path, n_steps=2000)
     print(
-        f"[bench] reference workload (40452 pts x 27 wps, 400-step production "
-        f"loop): {rate_ref:.1f} traj steps/s",
+        f"[bench] reference workload (40452 pts x 27 wps, 2000-step production "
+        f"scan windows): {rate_ref:.1f} traj steps/s",
         file=sys.stderr,
     )
     try:

@@ -34,25 +34,32 @@ def test_two_process_sharded_train_step(tmp_path):
     # the workers set their own device count; drop the 8-device conftest flag
     env.pop("XLA_FLAGS", None)
 
+    # stdout goes to files, not PIPEs: waiting on worker 0 while worker 1's
+    # pipe fills would deadlock the collectives both are blocked on
+    logs = [open(tmp_path / f"worker{pid}.log", "w+") for pid in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
             env=env,
-            stdout=subprocess.PIPE,
+            stdout=logs[pid],
             stderr=subprocess.STDOUT,
             text=True,
         )
         for pid in range(2)
     ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=300)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+    try:
+        for p in procs:
+            p.wait(timeout=300)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise
+    finally:
+        outs = []
+        for f in logs:
+            f.seek(0)
+            outs.append(f.read())
+            f.close()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
 

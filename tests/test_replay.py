@@ -43,6 +43,28 @@ def test_record_replay_roundtrip(tmp_path):
     assert order == sorted(order)
 
 
+def test_record_device_array_image(tmp_path):
+    """On TPU, renderer nodes publish ImageMsg with an on-device payload;
+    recording one must force the host copy, not mis-route the array into
+    the JSON scalars (found in review: jax.Array is not np.ndarray)."""
+    import jax.numpy as jnp
+
+    from trajectory_optimization_tpu.bus.messages import ImageMsg
+
+    bus = Bus()
+    img = jnp.full((4, 6, 3), 0.25, jnp.float32)  # device array, has __array__
+    with Recorder(bus, ["/img"], str(tmp_path / "bag")):
+        bus.publish("/img", ImageMsg(Header(stamp=1.0, frame_id="cam"), img, encoding="rgb32f"))
+
+    player = Player(str(tmp_path / "bag"))
+    bus2 = Bus()
+    got = []
+    bus2.subscribe("/img", got.append)
+    assert player.play(bus2) == 1
+    np.testing.assert_allclose(np.asarray(got[0].data), 0.25)
+    assert got[0].encoding == "rgb32f"
+
+
 def test_replay_drives_node_graph(tmp_path, cloud10, path10):
     """Record a session, replay it into a fresh optimizer node — the
     'multi-node without a robot' workflow (reference play_bag.launch)."""

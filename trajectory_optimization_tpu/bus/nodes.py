@@ -144,10 +144,14 @@ class TrajOptNode:
         for v in leaves.values():
             if hasattr(v, "copy_to_host_async"):
                 v.copy_to_host_async()
-        return leaves, pc_msg, path_msg, _t0
+        # record the dispatch-side processing cost now: under pipelining this
+        # result may sit queued across messages, and wall time from _t0 at
+        # _finish would measure message cadence, not work
+        return leaves, pc_msg, path_msg, (time.perf_counter() - _t0) * 1e3
 
     def _finish(self, pending) -> None:
-        leaves, pc_msg, path_msg, _t0 = pending
+        leaves, pc_msg, path_msg, dispatch_ms = pending
+        _t1 = time.perf_counter()
         cfg = self.cfg
         # ONE batched device→host fetch: each individual fetch costs a full
         # relay round trip (~30 ms here), and this callback needs six values —
@@ -183,7 +187,10 @@ class TrajOptNode:
         }
         self.metrics.incr("callbacks")
         self.metrics.incr("opt_iters", n_iters)
-        self.metrics.gauge("last_callback_ms", (time.perf_counter() - _t0) * 1e3)
+        # dispatch cost + finish cost, EXCLUDING any pipelined queue wait
+        self.metrics.gauge(
+            "last_callback_ms", dispatch_ms + (time.perf_counter() - _t1) * 1e3
+        )
         self.metrics.gauge("last_loss", loss)
         self.metrics.gauge("last_mean_reward", float(fetched["mean_reward"]))
 
@@ -470,7 +477,8 @@ class PointsProcessorNode:
 
     def _render(self, visible, intr, cam_frame):
         """Render and publish; returns the dropped-splat count as a DEVICE
-        scalar on TPU (callers batch the fetch), None on CPU.
+        scalar when the dense fallback ran (callers batch the fetch), None
+        when the render is statically exact (run path / CPU).
 
         The image is published as a device array, NOT copied to the host:
         an eager device_get of the 24 MB float image costs ~1.2 s per camera
@@ -494,18 +502,24 @@ class PointsProcessorNode:
             n_dropped = None
         else:  # tile-binned Pallas splatter (run path: ~2.7 ms vs ~14 dense)
             from trajectory_optimization_tpu.ops.pallas_render import (
+                _RUN_PATH_MAX_ENTRIES,
                 render_point_cloud_pallas,
             )
 
-            img, n_dropped = render_point_cloud_pallas(
+            # the run path (chosen statically by point count) is exact —
+            # skip the overflow output so no caller pays a scalar fetch
+            # round trip for a guaranteed zero
+            exact = len(visible) <= _RUN_PATH_MAX_ENTRIES
+            out = render_point_cloud_pallas(
                 jnp.asarray(visible),
                 intr.matrix(),
                 int(intr.height),
                 int(intr.width),
                 znear=self.cfg.frustum_min_dist,
                 zfar=self.cfg.frustum_max_dist,
-                return_overflow=True,
+                return_overflow=not exact,
             )
+            img, n_dropped = (out, None) if exact else out
         self.bus.publish(
             f"/{cam_frame}/pointcloud_image",
             ImageMsg(Header.make(cam_frame), img, encoding="rgb32f"),

@@ -45,8 +45,10 @@ def _encode(msg) -> Dict:
         v = getattr(msg, f.name)
         if f.name == "header":
             scalars["header"] = {"stamp": v.stamp, "frame_id": v.frame_id, "seq": v.seq}
-        elif isinstance(v, np.ndarray):
-            arrays[f.name] = v
+        elif isinstance(v, np.ndarray) or hasattr(v, "__array__"):
+            # __array__ covers on-device (jax) payloads, e.g. the renderer's
+            # ImageMsg.data — recording forces the host copy, by design
+            arrays[f.name] = np.asarray(v)
         else:
             scalars[f.name] = list(v) if isinstance(v, tuple) else v
     return {"type": type(msg).__name__, "scalars": scalars, "arrays": arrays}

@@ -13,7 +13,7 @@ once. Two binning strategies feed the kernel:
   contiguous runs covering its 2×2 bin neighborhood via prefetched
   offsets. No per-tile entry cap exists on this path (n_dropped ≡ 0).
   Chosen when the entry array fits the VMEM budget
-  (``_RUN_PATH_MAX_ENTRIES``); profiled 14.1 → 4.5 ms on the reference
+  (``_RUN_PATH_MAX_ENTRIES``); profiled 13.9 → 2.7 ms on the reference
   1616×1232 / 40k-point render, where the dense path's XLA pack-scatter
   alone cost 9.4 ms.
 * **Dense fallback** (huge clouds): points are duplicated per touched tile
@@ -59,6 +59,49 @@ def _is_cpu() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _tile_pixel_coords(tiles_x: int):
+    """(rows, cols) pixel-coordinate planes for the current grid tile."""
+    t = pl.program_id(0)
+    ty = t // tiles_x
+    tx = t % tiles_x
+    rows = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(
+        jnp.float32
+    )
+    cols = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(
+        jnp.float32
+    )
+    return ty, tx, rows, cols
+
+
+def _blend_body(load, rows, cols):
+    """Shared z-nearest blend step: ``load(k, j)`` reads entry k's field j
+    (the dense and run kernels differ only in that indexing). Changing the
+    coverage test or tie-breaking HERE changes both backends together."""
+
+    def entry_body(k, carry):
+        zbuf, rbuf, gbuf, bbuf = carry
+        dr = rows - load(k, 1)
+        dc = cols - load(k, 0)
+        closer = jnp.logical_and(dr * dr + dc * dc <= load(k, 3), load(k, 2) < zbuf)
+        zbuf = jnp.where(closer, load(k, 2), zbuf)
+        rbuf = jnp.where(closer, load(k, 4), rbuf)
+        gbuf = jnp.where(closer, load(k, 5), gbuf)
+        bbuf = jnp.where(closer, load(k, 6), bbuf)
+        return zbuf, rbuf, gbuf, bbuf
+
+    return entry_body
+
+
+def _bg_carry(bg: float):
+    shape = (TILE_H, TILE_W)
+    return (
+        jnp.full(shape, _FAR, jnp.float32),
+        jnp.full(shape, bg, jnp.float32),
+        jnp.full(shape, bg, jnp.float32),
+        jnp.full(shape, bg, jnp.float32),
+    )
+
+
 def _splat_runs_kernel(
     offsets_ref, entries_ref, out_r, out_g, out_b, *, tiles_x: int, bg: float
 ):
@@ -72,38 +115,9 @@ def _splat_runs_kernel(
     offsets. Entries in scanned bins that don't actually reach this tile
     just produce an all-false coverage mask.
     """
-    t = pl.program_id(0)
-    ty = t // tiles_x
-    tx = t % tiles_x
-    rows = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(
-        jnp.float32
-    )
-    cols = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(
-        jnp.float32
-    )
-
-    def entry_body(k, carry):
-        zbuf, rbuf, gbuf, bbuf = carry
-        uu = entries_ref[k, 0]
-        vv = entries_ref[k, 1]
-        zz = entries_ref[k, 2]
-        rr2 = entries_ref[k, 3]
-        dr = rows - vv
-        dc = cols - uu
-        closer = jnp.logical_and(dr * dr + dc * dc <= rr2, zz < zbuf)
-        zbuf = jnp.where(closer, zz, zbuf)
-        rbuf = jnp.where(closer, entries_ref[k, 4], rbuf)
-        gbuf = jnp.where(closer, entries_ref[k, 5], gbuf)
-        bbuf = jnp.where(closer, entries_ref[k, 6], bbuf)
-        return zbuf, rbuf, gbuf, bbuf
-
-    shape = (TILE_H, TILE_W)
-    carry = (
-        jnp.full(shape, _FAR, jnp.float32),
-        jnp.full(shape, bg, jnp.float32),
-        jnp.full(shape, bg, jnp.float32),
-        jnp.full(shape, bg, jnp.float32),
-    )
+    ty, tx, rows, cols = _tile_pixel_coords(tiles_x)
+    entry_body = _blend_body(lambda k, j: entries_ref[k, j], rows, cols)
+    carry = _bg_carry(bg)
     c_lo = jnp.maximum(tx - 1, 0)
     for dy in (-1, 0):  # the two bin rows; row ty-1 collapses when ty == 0
         row = ty + dy
@@ -119,40 +133,11 @@ def _splat_runs_kernel(
 
 def _splat_kernel(counts_ref, entries_ref, out_r, out_g, out_b, *, tiles_x: int, bg: float):
     t = pl.program_id(0)
-    count = counts_ref[t]
-
-    ty = t // tiles_x
-    tx = t % tiles_x
-    rows = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)).astype(
-        jnp.float32
+    _, _, rows, cols = _tile_pixel_coords(tiles_x)
+    entry_body = _blend_body(lambda k, j: entries_ref[0, k, j], rows, cols)
+    zbuf, rbuf, gbuf, bbuf = jax.lax.fori_loop(
+        0, counts_ref[t], entry_body, _bg_carry(bg)
     )
-    cols = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)).astype(
-        jnp.float32
-    )
-
-    def entry_body(k, carry):
-        zbuf, rbuf, gbuf, bbuf = carry
-        uu = entries_ref[0, k, 0]
-        vv = entries_ref[0, k, 1]
-        zz = entries_ref[0, k, 2]
-        rr2 = entries_ref[0, k, 3]
-        dr = rows - vv
-        dc = cols - uu
-        closer = jnp.logical_and(dr * dr + dc * dc <= rr2, zz < zbuf)
-        zbuf = jnp.where(closer, zz, zbuf)
-        rbuf = jnp.where(closer, entries_ref[0, k, 4], rbuf)
-        gbuf = jnp.where(closer, entries_ref[0, k, 5], gbuf)
-        bbuf = jnp.where(closer, entries_ref[0, k, 6], bbuf)
-        return zbuf, rbuf, gbuf, bbuf
-
-    shape = (TILE_H, TILE_W)
-    init = (
-        jnp.full(shape, _FAR, jnp.float32),
-        jnp.full(shape, bg, jnp.float32),
-        jnp.full(shape, bg, jnp.float32),
-        jnp.full(shape, bg, jnp.float32),
-    )
-    zbuf, rbuf, gbuf, bbuf = jax.lax.fori_loop(0, count, entry_body, init)
     out_r[...] = rbuf
     out_g[...] = gbuf
     out_b[...] = bbuf
