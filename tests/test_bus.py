@@ -191,6 +191,30 @@ def test_frame_graph_time_indexed_lookup():
     np.testing.assert_allclose(t, [4, 0, 0], atol=1e-9)
 
 
+def test_frame_graph_listens_to_tf_topics():
+    """FrameGraph.listen = the tf.TransformListener role: TransformMsg
+    traffic on /tf and /tf_static populates the buffer (so replayed bags
+    need no manual set_transform). Static transforms resolve at any time."""
+    from trajectory_optimization_tpu.bus.core import Bus
+    from trajectory_optimization_tpu.bus.messages import Header, TransformMsg
+
+    bus = Bus()
+    fg = FrameGraph()
+    fg.listen(bus)
+    qi = [0, 0, 0, 1]
+    bus.publish("/tf_static", TransformMsg(Header(stamp=99.0, frame_id="base"),
+                                           "cam", [0.0, 0.5, 0.0], qi))
+    for stamp, x in [(0.0, 0.0), (1.0, 2.0)]:
+        bus.publish("/tf", TransformMsg(Header(stamp=stamp, frame_id="map"),
+                                        "base", [x, 0.0, 0.0], qi))
+
+    t, _ = fg.lookup("map", "base", time=0.5)  # interpolated dynamic edge
+    np.testing.assert_allclose(t, [1.0, 0, 0], atol=1e-9)
+    # the static edge chains at ANY query time despite its 99.0 wire stamp
+    t, _ = fg.lookup("map", "cam", time=0.0)
+    np.testing.assert_allclose(t, [0.0, 0.5, 0.0], atol=1e-9)
+
+
 def test_frame_graph_slerp_rotation():
     fg = FrameGraph()
     qz90 = [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)]

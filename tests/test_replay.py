@@ -85,6 +85,21 @@ def test_replay_drives_node_graph(tmp_path, cloud10, path10):
     assert not bus2.errors
 
 
+def test_session_replay_demo_runs():
+    """The reference's recorded-session workflow end-to-end: synth bag with
+    /tf + /tf_static + 6-camera rig + clouds + path, replayed through
+    PointsProcessor (TF listener, rig batching) and TrajOpt. Small camera
+    (img_scale) keeps the CPU interpret-mode renders cheap."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demos"))
+    import session_replay_demo
+
+    factor = session_replay_demo.main(["12", "5", "0.08"])
+    assert factor > 0
+
+
 def test_bus_error_isolation():
     bus = Bus()
     events = []

@@ -105,6 +105,29 @@ class FrameGraph:
             else:
                 hist.append(entry)
 
+    def listen(self, bus, topics: Tuple[str, ...] = ("/tf", "/tf_static")) -> None:
+        """Subscribe this graph to TransformMsg traffic — the
+        tf.TransformListener role (the reference's nodes construct one at
+        startup, `src/pc_processor.py:57`), so replayed bags with a moving
+        robot populate the time-indexed buffer without manual set_transform
+        calls. ``/tf_static`` entries get stamp 0.0 so they resolve at any
+        query time (TF static semantics)."""
+
+        def make_cb(static: bool):
+            def cb(msg):
+                self.set_transform(
+                    msg.header.frame_id,
+                    msg.child_frame_id,
+                    msg.translation,
+                    msg.rotation_xyzw,
+                    stamp=0.0 if static else msg.header.stamp,
+                )
+
+            return cb
+
+        for t in topics:
+            bus.subscribe(t, make_cb("static" in t))
+
     def _neighbors(self, frame):
         for (p, c) in self._hist:
             if p == frame:

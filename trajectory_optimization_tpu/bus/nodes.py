@@ -388,6 +388,7 @@ class PointsProcessorNode:
         self.metrics = Metrics()
         self.n_batched = 0  # fused rig evaluations (observability/tests)
         self.n_serial = 0
+        self.frames.listen(bus, cfg.tf_topics)  # tf.TransformListener role
         bus.subscribe(cfg.pc_topic, self._pc_callback)
         for t in cfg.cam_info_topics:
             bus.subscribe(t, self._make_info_cb(t))
@@ -480,6 +481,11 @@ class PointsProcessorNode:
         scalar when the dense fallback ran (callers batch the fetch), None
         when the render is statically exact (run path / CPU).
 
+        The input is bucket-padded (valid-masked) so the renderer's jit
+        cache keys on O(log N) bucket sizes: visible counts change every
+        message in a moving-robot replay, and compiling per exact count
+        turned a 30 s session replay into 125 s of compiles (measured).
+
         The image is published as a device array, NOT copied to the host:
         an eager device_get of the 24 MB float image costs ~1.2 s per camera
         over the tunneled link and was 97% of the six-camera rig time
@@ -487,16 +493,18 @@ class PointsProcessorNode:
         every later message. Consumers that need pixels np.asarray the
         payload and pay the transfer only then.
         """
+        padded, pvalid = pad_points(np.asarray(visible, np.float32))
         if jax.default_backend() == "cpu":
             from trajectory_optimization_tpu.ops.render import render_point_cloud
 
             img = render_point_cloud(
-                jnp.asarray(visible),
+                jnp.asarray(padded),
                 intr.matrix(),
                 int(intr.height),
                 int(intr.width),
                 znear=self.cfg.frustum_min_dist,
                 zfar=self.cfg.frustum_max_dist,
+                valid=jnp.asarray(pvalid),
             )
             img = np.asarray(img)
             n_dropped = None
@@ -509,14 +517,15 @@ class PointsProcessorNode:
             # the run path (chosen statically by point count) is exact —
             # skip the overflow output so no caller pays a scalar fetch
             # round trip for a guaranteed zero
-            exact = len(visible) <= _RUN_PATH_MAX_ENTRIES
+            exact = len(padded) <= _RUN_PATH_MAX_ENTRIES
             out = render_point_cloud_pallas(
-                jnp.asarray(visible),
+                jnp.asarray(padded),
                 intr.matrix(),
                 int(intr.height),
                 int(intr.width),
                 znear=self.cfg.frustum_min_dist,
                 zfar=self.cfg.frustum_max_dist,
+                valid=jnp.asarray(pvalid),
                 return_overflow=not exact,
             )
             img, n_dropped = (out, None) if exact else out

@@ -192,8 +192,12 @@ def render_point_cloud_pallas(
     x, y, z = cam_points[:, 0], cam_points[:, 1], cam_points[:, 2]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     if colors is None:
-        lo = jnp.min(cam_points)
-        hi = jnp.max(cam_points)
+        if valid is not None:  # padding rows must not skew the normalization
+            vm = (valid > 0)[:, None]
+            lo = jnp.min(jnp.where(vm, cam_points, jnp.inf))
+            hi = jnp.max(jnp.where(vm, cam_points, -jnp.inf))
+        else:
+            lo, hi = jnp.min(cam_points), jnp.max(cam_points)
         colors = (cam_points - lo) / jnp.maximum(hi - lo, 1e-12)
 
     zs = jnp.maximum(z, 1e-6)

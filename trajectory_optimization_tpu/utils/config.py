@@ -62,6 +62,9 @@ class PointsProcessorConfig:
     frustum_max_dist: float = 15.0
     hpr_backend: str = "approx"  # 'exact' (Qhull) | 'approx' (TPU) | 'none'
     render: bool = True
+    # TransformListener role: the node's FrameGraph ingests these topics
+    # (reference constructs a tf.TransformListener, `src/pc_processor.py:57`)
+    tf_topics: Tuple[str, ...] = ("/tf", "/tf_static")
 
 
 @dataclasses.dataclass
