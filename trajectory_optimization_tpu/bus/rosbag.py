@@ -522,14 +522,16 @@ def _decompress_chunk(hdr: Dict[str, bytes], data: bytes) -> bytes:
     if comp == "bz2":
         return bz2.decompress(data)
     if comp == "lz4":
-        try:
+        try:  # the C-accelerated package when present...
             import lz4.frame  # noqa: PLC0415
 
             return lz4.frame.decompress(data)
-        except ImportError as e:
-            raise NotImplementedError(
-                "lz4-compressed bag but the lz4 package is unavailable"
-            ) from e
+        except ImportError:
+            # ...else the built-in frame decoder (native C block kernel with
+            # a pure-Python fallback) — the reference's session bag is lz4
+            from trajectory_optimization_tpu.bus import lz4 as _lz4
+
+            return _lz4.decompress(data)
     raise ValueError(f"unknown chunk compression {comp!r}")
 
 
@@ -613,8 +615,11 @@ class BagWriter:
     connection/chunk-info section and finalizes the bag header."""
 
     def __init__(self, path: str, *, compression: str = "none"):
-        if compression not in ("none", "bz2"):
-            raise ValueError("compression must be 'none' or 'bz2'")
+        # 'lz4' writes spec-valid frames of stored blocks (ratio 1.0 — use
+        # bz2 when size matters); any conformant reader, incl. rosbag/roslz4,
+        # decodes them
+        if compression not in ("none", "bz2", "lz4"):
+            raise ValueError("compression must be 'none', 'bz2' or 'lz4'")
         self.path = path
         self.compression = compression
         self.count = 0
@@ -671,7 +676,14 @@ class BagWriter:
         if not self._chunk_parts:
             return
         body = b"".join(self._chunk_parts)
-        data = bz2.compress(body) if self.compression == "bz2" else body
+        if self.compression == "bz2":
+            data = bz2.compress(body)
+        elif self.compression == "lz4":
+            from trajectory_optimization_tpu.bus import lz4 as _lz4
+
+            data = _lz4.compress(body)
+        else:
+            data = body
         pos = _write_record(
             self._f,
             {

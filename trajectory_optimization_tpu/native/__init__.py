@@ -57,6 +57,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.POINTER(ctypes.c_uint8),
         ]
+        try:  # tolerate a stale prebuilt .so missing newer entry points
+            lib.lz4_block_decode.restype = ctypes.c_int64
+            lib.lz4_block_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ]
+        except AttributeError:
+            lib.lz4_block_decode = None
         _lib = lib
         return _lib
 
@@ -150,3 +158,24 @@ def occupancy_grid_native(
         grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return grid.astype(np.float64)
+
+
+def lz4_block_decode_native(src: bytes, dst: np.ndarray, dst_pos: int):
+    """Decode one LZ4 block into ``dst`` (uint8, C-contiguous) at ``dst_pos``.
+
+    Returns the new write position, or None when the native library is
+    unavailable (callers fall back to the pure-Python decoder in bus.lz4).
+    Raises ValueError on malformed input / insufficient capacity.
+    """
+    lib = _load()
+    if lib is None or lib.lz4_block_decode is None:
+        return None
+    s = np.frombuffer(src, dtype=np.uint8)
+    new_pos = lib.lz4_block_decode(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(s),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(dst_pos), int(dst.shape[0]),
+    )
+    if new_pos < 0:
+        raise ValueError("malformed LZ4 block (or output buffer too small)")
+    return int(new_pos)

@@ -121,4 +121,59 @@ void occupancy_grid(const float *pts, int64_t n, float resolution, float x0,
   }
 }
 
+// LZ4 *block* decoder (format per the public LZ4 block spec): sequences of
+// [token][literals][2-byte LE match offset][ext match len]. Written from the
+// spec for decoding lz4-compressed rosbag chunks (the reference's session
+// bag is lz4, launch/rosbag_info.txt); decompression only — the bag writer
+// emits spec-valid stored blocks and needs no encoder. Decodes into dst AT
+// dst_pos so block-DEPENDENT frames (matches reaching into prior blocks'
+// output) work by construction. Returns the new dst_pos, or -1 on malformed
+// input / insufficient dst capacity.
+int64_t lz4_block_decode(const uint8_t *src, int64_t src_len, uint8_t *dst,
+                         int64_t dst_pos, int64_t dst_cap) {
+  int64_t ip = 0, op = dst_pos;
+  while (ip < src_len) {
+    const uint8_t token = src[ip++];
+    // literal run
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= src_len) return -1;
+        b = src[ip++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > src_len || op + lit > dst_cap) return -1;
+    std::memcpy(dst + op, src + ip, static_cast<size_t>(lit));
+    ip += lit;
+    op += lit;
+    if (ip == src_len) break;  // last sequence carries literals only
+    // match
+    if (ip + 2 > src_len) return -1;
+    const int64_t offset = src[ip] | (src[ip + 1] << 8);
+    ip += 2;
+    if (offset == 0 || offset > op) return -1;
+    int64_t mlen = (token & 0x0F);
+    if (mlen == 15) {
+      uint8_t b;
+      do {
+        if (ip >= src_len) return -1;
+        b = src[ip++];
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (op + mlen > dst_cap) return -1;
+    const uint8_t *m = dst + op - offset;
+    if (offset >= mlen) {  // disjoint: bulk copy
+      std::memcpy(dst + op, m, static_cast<size_t>(mlen));
+    } else {  // overlapping match replicates a pattern byte-by-byte
+      for (int64_t k = 0; k < mlen; ++k) dst[op + k] = m[k];
+    }
+    op += mlen;
+  }
+  return op;
+}
+
 }  // extern "C"
