@@ -137,6 +137,10 @@ def decompress(data: bytes) -> bytes:
     while ip + 4 <= len(view):
         (magic,) = struct.unpack_from("<I", view, ip)
         ip += 4
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            (skip,) = struct.unpack_from("<I", view, ip)
+            ip += 4 + skip
+            continue
         if magic != _MAGIC:
             raise ValueError(f"not an LZ4 frame (magic {magic:#x})")
         flg = view[ip]
