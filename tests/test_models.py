@@ -50,6 +50,10 @@ def test_waypoint_stride_matches_reference_formula(path10):
     # cloud-10 path has dense waypoints => stride > 1 with the 0.5 m default
     mean_d = np.mean(np.linalg.norm(np.diff(path10, axis=0), axis=1))
     assert waypoint_stride(path10, 0.5) == int(0.5 / mean_d) + 1
+    # degenerate paths from real replays (review finding, reproduced):
+    # single waypoint -> int(NaN) crash; coincident waypoints -> div by zero
+    assert waypoint_stride(np.zeros((1, 3))) == 1
+    assert waypoint_stride(np.zeros((5, 3))) == 1
 
 
 def test_traj_loss_matches_oracle(cloud10, path10):

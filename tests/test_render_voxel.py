@@ -112,6 +112,22 @@ def test_occupancy_grid_parity_and_jit():
     assert (g == gj).mean() > 0.999  # f32 cell-boundary quantization only
 
 
+def test_occupancy_grid_upper_bound_edge():
+    """Points inside the bounds filter but past the truncated grid dims
+    (e.g. y=49.95 -> iy == dims[1]) must be dropped like the native twin —
+    not raise (host path) or alias into the next x-row (jit flat-index
+    path). Review findings 1-2, both reproduced before the fix."""
+    # second point sits mid-cell (z=0.0 is exactly a cell edge, where f32
+    # and f64 quantization legitimately differ)
+    pts = np.array([[0.0, 49.95, 0.0], [10.01, 0.04, 0.07]])
+    g = occupancy_grid(pts)  # raised IndexError before the fix
+    gj = np.asarray(occupancy_grid_jit(jnp.asarray(pts, jnp.float32)))
+    assert g[int(10.01 / 0.15), int(50.04 / 0.15), int(4.57 / 0.15)] == 1
+    # the edge point contributes nowhere — especially not to (1, 0, z)
+    assert g.sum() == 1 and gj.sum() == 1
+    np.testing.assert_array_equal(np.argwhere(g == 1), np.argwhere(gj == 1))
+
+
 def test_native_voxel_matches_numpy():
     from trajectory_optimization_tpu.native import native_available, voxel_downsample_native
 

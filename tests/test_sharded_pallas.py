@@ -74,6 +74,36 @@ def test_sharded_gradients_match_single(setup):
     np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_1), rtol=2e-3, atol=2e-3)
 
 
+def test_sharded_nocache_fallback_matches(setup, monkeypatch):
+    """Per-shard score caches beyond SCORE_CACHE_MAX_BYTES fall back to the
+    fused no-cache kernels (review finding: the sharded path used to
+    materialize unconditionally). Forcing the cap to 0 must leave forward
+    AND gradients identical to the cached path / single-device kernel."""
+    import trajectory_optimization_tpu.parallel.sharded_pallas as sp
+
+    mesh, pts, quats, poses = setup
+    monkeypatch.setattr(sp, "SCORE_CACHE_MAX_BYTES", 0)
+    g = jnp.asarray(
+        np.random.default_rng(1).normal(size=(pts.shape[0],)).astype(np.float32)
+    )
+
+    def f_sharded(quats, poses):
+        lo = sharded_fused_lo_sum(
+            mesh, pts, quats, poses, INTR.matrix(), INTR.width, INTR.height
+        )
+        return jnp.sum(lo * g)
+
+    def f_single(quats, poses):
+        lo = fused_lo_sum(pts, quats, poses, INTR.matrix(), INTR.width, INTR.height)
+        return jnp.sum(lo * g)
+
+    (v_s, (gq_s, gt_s)) = jax.value_and_grad(f_sharded, argnums=(0, 1))(quats, poses)
+    (v_1, (gq_1, gt_1)) = jax.value_and_grad(f_single, argnums=(0, 1))(quats, poses)
+    np.testing.assert_allclose(float(v_s), float(v_1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt_s), np.asarray(gt_1), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_1), rtol=2e-3, atol=2e-3)
+
+
 def test_sharded_small_shard_tile(cloud10, path10):
     """Flexible tile rows: one 8-row tile per shard (the dryrun shape)."""
     mesh = make_mesh(8)

@@ -84,6 +84,10 @@ def _record_dtype(fields: Sequence[FieldSpec], point_step: int) -> np.dtype:
 
 def decode(cloud: WireCloud) -> np.ndarray:
     """WireCloud → (height, width) structured array (zero-copy where possible)."""
+    if cloud.is_bigendian:
+        # essentially extinct on real robots; fail loudly rather than parse
+        # every float byte-swapped into denormal garbage
+        raise NotImplementedError("big-endian PointCloud2 decoding is unsupported")
     dt = _record_dtype(cloud.fields, cloud.point_step)
     arr = np.frombuffer(cloud.data, dtype=dt, count=cloud.height * cloud.width)
     return arr.reshape(cloud.height, cloud.width)

@@ -44,7 +44,13 @@ class Bus:
 
     ERROR_TOPIC = "/__errors__"
 
-    def __init__(self, error_policy: str = "isolate"):
+    def __init__(self, error_policy: str = "isolate", history: int = 0):
+        """``history`` > 0 retains that many messages per topic for
+        :meth:`history` — a debug feature, OFF by default: retaining 100
+        messages pins heavy payloads (a six-camera rig's on-device images
+        would hold ~14 GB of HBM; 1M-point clouds ~1.6 GB host RAM per
+        topic). ``latest()``/latch semantics keep one message per topic
+        regardless."""
         if error_policy not in ("isolate", "raise"):
             raise ValueError(f"unknown error_policy {error_policy!r}")
         self.error_policy = error_policy
@@ -52,8 +58,9 @@ class Bus:
         self._subs: Dict[str, List[Subscription]] = collections.defaultdict(list)
         self._latched: Dict[str, object] = {}
         self._lock = threading.RLock()
+        self._history_len = int(history)
         self._history: Dict[str, collections.deque] = collections.defaultdict(
-            lambda: collections.deque(maxlen=100)
+            lambda: collections.deque(maxlen=self._history_len)
         )
 
     def subscribe(
@@ -70,7 +77,8 @@ class Bus:
     def publish(self, topic: str, msg) -> None:
         with self._lock:
             self._latched[topic] = msg
-            self._history[topic].append(msg)
+            if self._history_len:
+                self._history[topic].append(msg)
             subs = list(self._subs.get(topic, ()))
         for sub in subs:
             try:

@@ -248,9 +248,14 @@ def _decode_pointcloud2(buf: bytes) -> CloudMsg:
         fields.append(FieldSpec(name, offset, datatype, count))
     is_bigendian = bool(r.u8())
     point_step = r.u32()
-    r.u32()  # row_step (redundant with point_step * width)
+    row_step = r.u32()
     data = r.raw(r.u32())
     is_dense = bool(r.u8())
+    if height > 1 and row_step > width * point_step and len(data) >= height * row_step:
+        # organized cloud with per-row padding: the codec assumes contiguous
+        # point_step records, so strip the row tails here
+        rows = np.frombuffer(data, np.uint8, height * row_step).reshape(height, row_step)
+        data = rows[:, : width * point_step].tobytes()
     wire = WireCloud(
         header=h,
         height=height,
@@ -415,6 +420,10 @@ def _decode_image(buf: bytes) -> ImageMsg:
     img = None
     if spec is not None and height > 0 and width > 0:
         dt, ch = spec
+        row_bytes = width * ch * np.dtype(dt).itemsize
+        if step > row_bytes and len(raw) == height * step:
+            # row-padded image (aligned camera drivers): strip the padding
+            raw = np.frombuffer(raw, np.uint8).reshape(height, step)[:, :row_bytes].tobytes()
         arr = np.frombuffer(raw, dt)
         if arr.size == height * width * ch:
             img = arr.reshape(height, width, ch) if ch > 1 else arr.reshape(height, width)

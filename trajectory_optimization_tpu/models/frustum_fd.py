@@ -44,7 +44,7 @@ def look_at_view_transform(
     x = x / jnp.maximum(jnp.linalg.norm(x), 1e-9)
     y = jnp.cross(z, x)
     R = jnp.stack([x, y, z], axis=1)  # columns = camera axes
-    T = -C @ R
+    T = -jnp.matmul(C, R, precision="highest")  # bf16 here skews pixels ~4 px
     return R, T
 
 
@@ -65,10 +65,10 @@ def binary_visibility_count(
     K = intr.matrix()
     d, e, a = dist_elev_azim[0], dist_elev_azim[1], dist_elev_azim[2]
     R, T = look_at_view_transform(d, e, a)
-    cam = (points - T) @ R  # Rᵀ(p − T) in row-vector form
+    cam = jnp.matmul(points - T, R, precision="highest")  # Rᵀ(p − T), row-vector form
     zc = cam[:, 2]
     dist_mask = (zc > min_dist) & (zc < max_dist)
-    ph = cam @ K.T
+    ph = jnp.matmul(cam, K.T, precision="highest")  # strict border tests need f32
     u = ph[:, 0] / ph[:, 2]
     v = ph[:, 1] / ph[:, 2]
     fov_mask = (

@@ -58,7 +58,11 @@ def waypoint_stride(poses0: np.ndarray, vis_wps_dist: float = 0.5) -> int:
     to setup time is exact.
     """
     poses0 = np.asarray(poses0)
+    if len(poses0) < 2:  # single-waypoint path: nothing to stride over
+        return 1
     mean_d = float(np.mean(np.linalg.norm(poses0[1:] - poses0[:-1], axis=-1)))
+    if not np.isfinite(mean_d) or mean_d <= 0.0:
+        return 1  # coincident waypoints (stationary robot): use every one
     return int(vis_wps_dist / mean_d) + 1
 
 

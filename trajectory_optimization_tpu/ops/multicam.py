@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from trajectory_optimization_tpu.ops.geometry import to_camera_frame
+from trajectory_optimization_tpu.ops.geometry import frustum_cull, to_camera_frame
 from trajectory_optimization_tpu.ops.scores import waypoint_scores
 
 
@@ -52,18 +52,16 @@ def multicam_frustum_masks(
     min_dist: float = 1.0,
     max_dist: float = 15.0,
 ) -> jnp.ndarray:
-    """(C, N) boolean hard-frustum masks for C cameras, one batched pass."""
+    """(C, N) boolean hard-frustum masks for C cameras, one batched pass.
+
+    The frustum semantics live in ONE place — geometry.frustum_cull (batched
+    over the leading camera axis) — so the fused rig path and the serial
+    per-camera path cannot diverge.
+    """
     cam = to_camera_frame(points, cam_quats, cam_trans)  # (C, N, 3)
-    z = cam[..., 2]
-    ph = jnp.matmul(cam, K.T, precision="highest")
-    u = ph[..., 0] / ph[..., 2]
-    v = ph[..., 1] / ph[..., 2]
-    return (
-        (z > min_dist) & (z < max_dist)
-        & (ph[..., 2] > 0)
-        & (u > 1) & (u < img_width - 1)
-        & (v > 1) & (v < img_height - 1)
-    )
+    return frustum_cull(
+        cam, K, img_width, img_height, min_dist=min_dist, max_dist=max_dist
+    )[0]
 
 
 def combined_coverage(

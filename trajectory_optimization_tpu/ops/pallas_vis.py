@@ -668,47 +668,62 @@ def _fused_bwd(img_wh, dist_lims, eps, res, g):
             wp, kp, norm2, planes, valid_plane, g_plane, scores, consts, eps, tr=tr
         )
     else:
-        WG, n_wg, W_pad = _group_shape(W)
-        wp_p = _pad_wp(wp, W_pad)
-        norm_p = _pad_norm(norm, W_pad)
-        n_tiles = M // TILE_ROWS
-        rows = _slot_rows(WG * BWD_SLOTS)
-        partials = pl.pallas_call(
-            functools.partial(_bwd_kernel, WG=WG, consts=consts, eps=eps),
-            grid=(n_tiles, n_wg),
-            in_specs=[
-                _smem_spec(wp_p.shape),
-                _smem_spec(kp.shape),
-                _smem_spec(norm_p.shape),
-                _plane_spec(),
-                _plane_spec(),
-                _plane_spec(),
-                _plane_spec(),
-                _plane_spec(),
-            ],
-            out_specs=_slots_spec(rows),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, n_wg, rows, LANES), jnp.float32),
-            interpret=_is_cpu(),
-        )(wp_p, kp, norm_p, planes[0], planes[1], planes[2], valid_plane, g_plane)
-
-        acc = _reduce_slots(partials, BWD_SLOTS, WG, W)
-        direct = acc[:, 0:12]
-        min_ch = acc[:, 12:24]
-        max_ch = acc[:, 24:36]
-        c_m = acc[:, 36]
-        c_M = acc[:, 37]
-        cnt_min = jnp.maximum(acc[:, 38], 1.0)
-        cnt_max = jnp.maximum(acc[:, 39], 1.0)
-
-        # total per-w camera-plane sums: direct + tie-split min/max pathways
-        sums = (
-            direct
-            + min_ch * (c_m / cnt_min)[:, None]
-            + max_ch * (c_M / cnt_max)[:, None]
-        ).reshape(W, 3, 4)  # [c, (Σdc, Σdc·px, Σdc·py, Σdc·pz)]
+        acc = run_bwd_fused_acc(wp, kp, norm, planes, valid_plane, g_plane, consts, eps)
+        sums = fused_acc_to_sums(acc, W)
 
     dwp = sums_to_param_grads(wp, sums)
     return dwp, jnp.zeros_like(kp), jnp.zeros_like(planes), jnp.zeros_like(valid_plane)
+
+
+def run_bwd_fused_acc(wp, kp, norm, planes, valid_plane, g_plane, consts, eps, *, tr=TILE_ROWS):
+    """No-score-cache backward: one fused kernel recomputing scores, returning
+    the (W, 40) per-waypoint accumulator (direct/min/max channels + tie
+    cotangents + counts). Every entry is a SUM over points, so sharded
+    callers may psum it across point shards before :func:`fused_acc_to_sums`.
+    """
+    W = wp.shape[0]
+    M = planes.shape[1]
+    WG, n_wg, W_pad = _group_shape(W)
+    wp_p = _pad_wp(wp, W_pad)
+    norm_p = _pad_norm(norm, W_pad)
+    n_tiles = M // tr
+    rows = _slot_rows(WG * BWD_SLOTS)
+    partials = pl.pallas_call(
+        functools.partial(_bwd_kernel, WG=WG, consts=consts, eps=eps),
+        grid=(n_tiles, n_wg),
+        in_specs=[
+            _smem_spec(wp_p.shape),
+            _smem_spec(kp.shape),
+            _smem_spec(norm_p.shape),
+            _plane_spec(tr),
+            _plane_spec(tr),
+            _plane_spec(tr),
+            _plane_spec(tr),
+            _plane_spec(tr),
+        ],
+        out_specs=_slots_spec(rows),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_wg, rows, LANES), jnp.float32),
+        interpret=_is_cpu(),
+    )(wp_p, kp, norm_p, planes[0], planes[1], planes[2], valid_plane, g_plane)
+
+    return _reduce_slots(partials, BWD_SLOTS, WG, W)
+
+
+def fused_acc_to_sums(acc, W):
+    """(W, 40) accumulator → (W, 3, 4) camera-plane sums: direct channel plus
+    the tie-split min/max pathways weighted by their global cotangents."""
+    direct = acc[:, 0:12]
+    min_ch = acc[:, 12:24]
+    max_ch = acc[:, 24:36]
+    c_m = acc[:, 36]
+    c_M = acc[:, 37]
+    cnt_min = jnp.maximum(acc[:, 38], 1.0)
+    cnt_max = jnp.maximum(acc[:, 39], 1.0)
+    return (
+        direct
+        + min_ch * (c_m / cnt_min)[:, None]
+        + max_ch * (c_M / cnt_max)[:, None]
+    ).reshape(W, 3, 4)  # [c, (Σdc, Σdc·px, Σdc·py, Σdc·pz)]
 
 
 _fused_lo_sum_planes.defvjp(_fused_fwd, _fused_bwd)

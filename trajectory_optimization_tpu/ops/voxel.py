@@ -116,6 +116,11 @@ def occupancy_grid(
             int(round((z[1] - z[0]) / resolution)),
         )
     )
+    # int()-truncated dims can be one cell short of the bounds filter (e.g.
+    # y=49.95 → iy = dims[1] with the defaults): drop edge points like the
+    # native twin does instead of raising IndexError
+    inb = (idx[:, 0] < grid.shape[0]) & (idx[:, 1] < grid.shape[1]) & (idx[:, 2] < grid.shape[2])
+    idx = idx[inb]
     grid[idx[:, 0], idx[:, 1], idx[:, 2]] = 1
     return grid
 
@@ -140,6 +145,13 @@ def occupancy_grid_jit(
         & (pc[:, 2] >= z[0]) & (pc[:, 2] < z[1])
     )
     idx = ((pc - jnp.array([x[0], y[0], z[0]])) / resolution).astype(jnp.int32)
+    # per-axis guard BEFORE flattening: an index == dims[k] (possible at the
+    # upper bound with truncated dims) would otherwise alias into the next
+    # row via the flat arithmetic and silently mark the wrong voxel
+    keep = (
+        keep
+        & (idx[:, 0] < dims[0]) & (idx[:, 1] < dims[1]) & (idx[:, 2] < dims[2])
+    )
     flat = (idx[:, 0] * dims[1] + idx[:, 1]) * dims[2] + idx[:, 2]
     flat = jnp.where(keep, flat, dims[0] * dims[1] * dims[2])  # dropped
     grid = jnp.zeros((dims[0] * dims[1] * dims[2],), jnp.float32)

@@ -31,11 +31,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from trajectory_optimization_tpu.ops import quat as quat_ops
 from trajectory_optimization_tpu.ops.pallas_vis import (
     LANES,
+    SCORE_CACHE_MAX_BYTES,
     TILE_ROWS_CACHE,
     _consts,
     _pad_wp,
+    fused_acc_to_sums,
     make_norm,
     run_bwd_apply,
+    run_bwd_fused_acc,
     run_bwd_stats,
     run_pass_a,
     run_pass_b,
@@ -86,25 +89,42 @@ def _sharded_fwd(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
     waypoints). With wps=1 both collectives are identities and this is pure
     point sharding."""
     consts = _consts(img_wh, dist_lims, eps)
-    tr = _tile_rows_for(planes.shape[1] // mesh.shape["pts"])
+    m_local = planes.shape[1] // mesh.shape["pts"]
+    tr = _tile_rows_for(m_local)
+    # honor the single-device HBM budget PER SHARD: past it, fall back to the
+    # fused no-cache kernels (recompute scores) instead of materializing the
+    # (W_local, M_local, LANES) cache and its backward residency
+    w_local = -(-wp.shape[0] // mesh.shape.get("wps", 1))
+    cache = w_local * m_local * LANES * 4 <= SCORE_CACHE_MAX_BYTES
 
     def local(wp, kp, planes_l, valid_l):
         mins, maxs, scores = run_pass_a(
-            wp, kp, planes_l, valid_l, consts, cache_scores=True, tr=tr
+            wp, kp, planes_l, valid_l, consts, cache_scores=cache, tr=tr
         )
         m = jax.lax.pmin(mins, "pts")  # (W_local,) all-reduce over ICI
         mx = jax.lax.pmax(maxs, "pts")
         norm = make_norm(m, mx)
         lo = run_pass_b(wp, kp, norm, planes_l, scores, consts, eps, tr=tr)
         lo = jax.lax.psum(lo, "wps")  # Σ over the waypoint shards
-        return lo, norm, scores
+        if cache:
+            return lo, norm, scores
+        return lo, norm
 
-    lo, norm, scores = _shmap(
-        mesh,
-        local,
-        in_specs=(P("wps"), P(), P(None, "pts"), P("pts")),
-        out_specs=(P("pts"), P("wps"), P("wps", "pts")),
-    )(wp, kp, planes, valid_plane)
+    if cache:
+        lo, norm, scores = _shmap(
+            mesh,
+            local,
+            in_specs=(P("wps"), P(), P(None, "pts"), P("pts")),
+            out_specs=(P("pts"), P("wps"), P("wps", "pts")),
+        )(wp, kp, planes, valid_plane)
+    else:
+        lo, norm = _shmap(
+            mesh,
+            local,
+            in_specs=(P("wps"), P(), P(None, "pts"), P("pts")),
+            out_specs=(P("pts"), P("wps")),
+        )(wp, kp, planes, valid_plane)
+        scores = None
     return lo, (wp, kp, planes, valid_plane, norm, scores)
 
 
@@ -126,13 +146,30 @@ def _sharded_bwd(mesh, img_wh, dist_lims, eps, res, g):
         sums = jax.lax.psum(sums, "pts")  # (W_local, 3, 4) all-reduce
         return sums_to_param_grads(wp, sums)
 
-    dwp = _shmap(
-        mesh,
-        local,
-        in_specs=(P("wps"), P(), P("wps"), P(None, "pts"), P("pts"), P("pts"),
-                  P("wps", "pts")),
-        out_specs=P("wps"),
-    )(wp, kp, norm, planes, valid_plane, g_plane, scores)
+    def local_nocache(wp, kp, norm, planes_l, valid_l, g_l):
+        # fused no-cache kernel on the local slice; every accumulator entry
+        # is a per-point sum, so one psum recovers the global (W, 40) acc
+        acc = run_bwd_fused_acc(
+            wp, kp, norm, planes_l, valid_l, g_l, consts, eps, tr=tr
+        )
+        acc = jax.lax.psum(acc, "pts")
+        return sums_to_param_grads(wp, fused_acc_to_sums(acc, wp.shape[0]))
+
+    if scores is not None:
+        dwp = _shmap(
+            mesh,
+            local,
+            in_specs=(P("wps"), P(), P("wps"), P(None, "pts"), P("pts"), P("pts"),
+                      P("wps", "pts")),
+            out_specs=P("wps"),
+        )(wp, kp, norm, planes, valid_plane, g_plane, scores)
+    else:
+        dwp = _shmap(
+            mesh,
+            local_nocache,
+            in_specs=(P("wps"), P(), P("wps"), P(None, "pts"), P("pts"), P("pts")),
+            out_specs=P("wps"),
+        )(wp, kp, norm, planes, valid_plane, g_plane)
     return dwp, jnp.zeros_like(kp), jnp.zeros_like(planes), jnp.zeros_like(valid_plane)
 
 
