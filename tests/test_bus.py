@@ -191,6 +191,23 @@ def test_frame_graph_time_indexed_lookup():
     np.testing.assert_allclose(t, [4, 0, 0], atol=1e-9)
 
 
+def test_bus_history_opt_in():
+    """History retention is opt-in (review finding: the default 100-message
+    deque pinned heavy payloads — device images, million-point clouds)."""
+    from trajectory_optimization_tpu.bus.core import Bus
+
+    b = Bus()
+    b.publish("/t", 1)
+    b.publish("/t", 2)
+    assert b.history("/t") == []  # off by default
+    assert b.latest("/t") == 2  # latch semantics unchanged
+
+    b2 = Bus(history=3)
+    for i in range(5):
+        b2.publish("/t", i)
+    assert b2.history("/t") == [2, 3, 4]
+
+
 def test_frame_graph_listens_to_tf_topics():
     """FrameGraph.listen = the tf.TransformListener role: TransformMsg
     traffic on /tf and /tf_static populates the buffer (so replayed bags
