@@ -46,6 +46,24 @@ def _sample_messages():
             ("/cam0/info", info), ("/cam0/image", img), ("/tf", tf)]
 
 
+def test_decode_compressed_image_passthrough():
+    """The reference bag's sensor_msgs/CompressedImage streams decode to an
+    ImageMsg carrying the raw codec payload (no image codec in this image)."""
+    from trajectory_optimization_tpu.bus.messages import Header
+    from trajectory_optimization_tpu.bus.rosbag import _Writer, _decode_compressed_image
+
+    w = _Writer()
+    w.header(Header(stamp=3.5, frame_id="camera_0", seq=7))
+    w.string("jpeg")
+    blob = bytes(range(64))
+    w.u32(len(blob))
+    w.raw(blob)
+    msg = _decode_compressed_image(w.bytes())
+    assert msg.encoding == "jpeg"
+    assert msg.header.frame_id == "camera_0" and msg.header.stamp == 3.5
+    assert bytes(msg.data) == blob
+
+
 @pytest.mark.parametrize("compression", ["none", "bz2"])
 def test_bag_roundtrip_all_types(tmp_path, compression):
     msgs = _sample_messages()

@@ -479,8 +479,23 @@ def _encode_tf(msgs: Sequence[TransformMsg]) -> bytes:
     return w.bytes()
 
 
+def _decode_compressed_image(buf: bytes) -> ImageMsg:
+    """sensor_msgs/CompressedImage (the reference bag's 6×1040 camera
+    streams): header, format string ('jpeg'/'png'/...), byte blob. No image
+    codec is available in this environment, so the payload is delivered
+    as-is (1-D uint8) with the wire format as the encoding — consumers with
+    a codec decode it; the visibility pipeline renders its own images and
+    never needs to."""
+    r = _Reader(buf)
+    h = r.header()
+    fmt = r.string()
+    data = np.frombuffer(r.raw(r.u32()), np.uint8)
+    return ImageMsg(h, data, encoding=fmt or "compressed")
+
+
 _DECODERS = {
     "sensor_msgs/PointCloud2": _decode_pointcloud2,
+    "sensor_msgs/CompressedImage": _decode_compressed_image,
     "geometry_msgs/PoseStamped": _decode_pose_stamped,
     "nav_msgs/Path": _decode_path,
     "nav_msgs/Odometry": _decode_odometry,
