@@ -219,7 +219,9 @@ def _time_device_fn(fn, args, fetch, n_iters=20, n_warmup=2):
             out = fn(*args)
         np.asarray(fetch(out))
         times.append((time.perf_counter() - t0 - rtt) / n_iters)
-    return float(np.median(times)) * 1e3
+    # min, not median: link hiccups only ever ADD time, and a noisy prefix
+    # measurement makes the (longer-prefix − shorter-prefix) deltas negative
+    return float(np.min(times)) * 1e3
 
 
 def bench_pass_breakdown(pts_np, poses_np):
