@@ -16,8 +16,8 @@ This module provides three tiers:
    point pursues a witness direction for the hull support function, refined
    per pass by Agmon–Motzkin relaxation against its current blocker; winners
    of the support argmax are marked visible (margin-gated against f32 ties).
-   Each pass is an (N, N) matmul on the MXU, evaluated in row blocks so
-   memory stays O(block·N). Recall ≥ 0.99 vs Qhull's visible set on the
+   Each pass is an (N, N) support sweep fused into its reductions on the
+   VPU, evaluated in row blocks so memory stays O(block·N). Recall ≥ 0.99 vs Qhull's visible set on the
    sample cloud with zero false positives (tests/test_hpr.py); jittable.
 
 3. :func:`hpr_mask_soft` — differentiable relaxation of (2): replaces the
@@ -111,7 +111,8 @@ def hpr_mask_approx(
     argmaxⱼ p'ⱼ·dᵢ defines the violated constraint (p'ᵢ − p'_b)·d > 0, and dᵢ
     is projected λ=1.9 of the way onto its boundary (the Polyak step for the
     separation margin — converges linearly for true vertices, unlike fixed
-    jitter sampling). Each pass is one (block, N) matmul chain on the MXU.
+    jitter sampling). Each pass is a (block, N) fused support sweep (see
+    row_block for why it is NOT a matmul).
 
     Narrowing: after ``full_passes`` all-point passes, ~95% of vertices are
     already found and their probe rows are idle (they just keep winning
@@ -164,11 +165,20 @@ def hpr_mask_approx(
         d_p = jnp.pad(d_rows, ((0, n_pad), (0, 0)))
         nb = (m + n_pad) // block
 
+        # support-weighted flipped points, broadcast once for all blocks
+        sx, sy, sz = (rho * u[:, 0])[None], (rho * u[:, 1])[None], (rho * u[:, 2])[None]
+
         def row_block(i):
             db = jax.lax.dynamic_slice(d_p, (i * block, 0), (block, 3))
-            # full-f32 matmul: support margins are O(0.5%) of ρ'; the TPU's
-            # default bf16 contraction would scramble the argmax
-            proj = jnp.matmul(db, u.T, precision="highest") * rho
+            # ELEMENTWISE broadcast, not a matmul: a K=3 contraction is
+            # MXU-hostile, and a matmul output is its own fusion root on TPU
+            # so the (block, N) proj tile (165 MB at N=40k) hit HBM once per
+            # reduction — measured 35 ms/pass, exactly the traffic bound. As
+            # an elementwise producer it fuses INTO the reductions and never
+            # materializes (~10 ms/pass, 244 → 76 ms for the default 16-pass
+            # schedule; same f32 precision as the precision="highest"
+            # matmul it replaces — recall 0.9906 / 0 FP on the chip).
+            proj = db[:, 0:1] * sx + db[:, 1:2] * sy + db[:, 2:3] * sz
             win = jnp.argmax(proj, axis=1)
             maxv = jnp.max(proj, axis=1)
             col = jax.lax.broadcasted_iota(jnp.int32, proj.shape, 1)
