@@ -32,6 +32,21 @@ def _first_leaf(state):
     return jax.tree_util.tree_leaves(state)[0]
 
 
+def _fetch_rtt():
+    """Link round trip for a small dependent fetch: dispatch + host copy of a
+    FRESH array each probe (re-fetching the same jax.Array returns its cached
+    host copy in microseconds and reads ~0). Min of 3 — hiccups only add."""
+    import jax.numpy as jnp
+
+    rtts = []
+    for i in range(3):
+        x = jnp.zeros(8) + i
+        t0 = time.perf_counter()
+        np.asarray(x)
+        rtts.append(time.perf_counter() - t0)
+    return min(rtts)
+
+
 def _steps_per_sec(step_fn, state, n_steps, n_warmup=3, repeats=3):
     """Median-of-`repeats` steps/s with a REAL device sync: fetch bytes to host.
 
@@ -44,9 +59,7 @@ def _steps_per_sec(step_fn, state, n_steps, n_warmup=3, repeats=3):
     for _ in range(n_warmup):
         state = step_fn(state)
     np.asarray(_first_leaf(state))  # true sync
-    t0 = time.perf_counter()
-    np.asarray(_first_leaf(state))
-    rtt = time.perf_counter() - t0
+    rtt = _fetch_rtt()
 
     rates = []
     for _ in range(repeats):
@@ -144,19 +157,11 @@ def _scan_rate(loss_fn, tx, params, n_steps):
     trip (dispatch + scalar fetch of a fresh array, ~30 ms here and weather-
     dependent) measured and subtracted — it would otherwise sit inside every
     timed window and dominate short ones."""
-    import jax.numpy as jnp
-
     from trajectory_optimization_tpu.opt.engine import _optimize_scan
 
     out, _ = _optimize_scan(loss_fn, tx, params, n_steps)  # compile + warm
     np.asarray(_first_leaf(out))
-    rtts = []
-    for i in range(3):
-        x = jnp.zeros(8) + i  # fresh value: dispatch + fetch = one round trip
-        t0 = time.perf_counter()
-        np.asarray(x)
-        rtts.append(time.perf_counter() - t0)
-    rtt = min(rtts)
+    rtt = _fetch_rtt()
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -202,16 +207,15 @@ def bench_traj_scan(pts_np, poses_np, n_steps=200, lr_pose=0.1, lr_quat=0.02):
 
 
 def _time_device_fn(fn, args, fetch, n_iters=20, n_warmup=2):
-    """Median ms/call of a jitted device fn; `fetch(out)` picks a small leaf
-    whose host fetch forces completion (same sync discipline as
-    _steps_per_sec)."""
+    """Min-of-3-windows ms/call of a jitted device fn; `fetch(out)` picks a
+    small leaf whose host fetch forces completion (same sync discipline as
+    _steps_per_sec; the window's one real fetch RTT is probed with fresh
+    arrays and subtracted)."""
     out = None
     for _ in range(n_warmup):
         out = fn(*args)
     np.asarray(fetch(out))
-    t0 = time.perf_counter()
-    np.asarray(fetch(out))
-    rtt = time.perf_counter() - t0
+    rtt = _fetch_rtt()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

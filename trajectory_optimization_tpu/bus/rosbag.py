@@ -439,6 +439,14 @@ def _decode_image(buf: bytes) -> ImageMsg:
 
 def _encode_image(msg: ImageMsg) -> bytes:
     data = np.ascontiguousarray(msg.data)
+    if data.ndim < 2:
+        # a 1-D payload is a compressed passthrough (see
+        # _decode_compressed_image) — emitting it as sensor_msgs/Image would
+        # produce a spec-invalid record (width=0); fail loudly instead
+        raise ValueError(
+            "cannot re-encode a compressed-passthrough ImageMsg "
+            f"(encoding={msg.encoding!r}, 1-D payload) as sensor_msgs/Image"
+        )
     h = int(data.shape[0]) if data.ndim >= 1 else 0
     wpx = int(data.shape[1]) if data.ndim >= 2 else 0
     ch = int(np.prod(data.shape[2:])) if data.ndim > 2 else 1

@@ -227,7 +227,7 @@ def hpr_mask_approx(
     return mask
 
 
-@partial(jax.jit, static_argnames=("r_param", "block", "sharpness", "tau"))
+@partial(jax.jit, static_argnames=("r_param", "sharpness", "tau"))
 def hpr_mask_soft(
     points: jnp.ndarray,
     r_param: float = 2.0,
@@ -250,12 +250,16 @@ def hpr_mask_soft(
     Qhull call on detached tensors; `src/tools.py:61-62`). For a
     high-fidelity non-differentiable mask use :func:`hpr_mask_approx`.
 
-    ``block`` is retained for API compatibility but unused: the (N, N)
-    dominance tile is an elementwise producer that XLA fuses into the
-    logsumexp, so no blocking is needed to bound memory — and the previous
-    ``lax.map`` blocking crashed this environment's TPU compiler when
-    TRANSPOSED (the gradient) past ~10 blocks, while the fused unblocked
-    form compiles and runs fwd+bwd at 40k points (verified on chip).
+    ``block`` is retained for API compatibility but unused (and deliberately
+    NOT a jit static arg, so different values cannot trigger spurious
+    recompiles): the (N, N) dominance tile is an elementwise producer that
+    XLA fuses into the logsumexp, so no blocking is needed to bound memory —
+    and the previous ``lax.map`` blocking crashed this environment's TPU
+    compiler when TRANSPOSED (the gradient) past ~10 blocks, while the fused
+    unblocked form compiles and runs fwd+bwd at 40k points (verified on
+    chip). Fusion is verified on TPU; on other backends very large N may
+    materialize O(N²) — soft HPR is O(N²) compute regardless, so cap N
+    (~50k) either way.
     """
     del block
     n = points.shape[0]
