@@ -15,6 +15,10 @@ import numpy as np
 
 
 def main():
+    from trajectory_optimization_tpu.bus.launch import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs reload executables
+
     from trajectory_optimization_tpu.ops.hpr import (
         hpr_mask_approx,
         hpr_mask_exact,

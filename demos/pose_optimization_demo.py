@@ -21,6 +21,10 @@ import numpy as np
 
 
 def main(argv=None):
+    from trajectory_optimization_tpu.bus.launch import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs reload executables
+
     from trajectory_optimization_tpu.bus.core import Bus
     from trajectory_optimization_tpu.bus.messages import CloudMsg, Header, OdometryMsg
     from trajectory_optimization_tpu.models.pose import PoseProblem, init_pose_params, pose_forward

@@ -53,6 +53,10 @@ def plot_scene(
 
 
 def main(argv=None):
+    from trajectory_optimization_tpu.bus.launch import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs reload executables
+
     import jax.numpy as jnp
 
     from trajectory_optimization_tpu.models.traj import (
