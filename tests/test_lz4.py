@@ -62,6 +62,83 @@ def test_block_malformed_rejected():
             lz4_block_decode_native(bytes([0x04]) + struct.pack("<H", 9), dst, 0)
 
 
+def _lz4_compress_block(data: bytes) -> bytes:
+    """Minimal spec-conforming greedy LZ4 block ENCODER (tests only): finds
+    matches via a 4-byte hash table, honors the end-of-block rules (last 5
+    bytes literal, no match starting within 12 of the end). Exists to
+    property-test the decoder on realistic match structures the hand
+    vectors cannot cover."""
+    n = len(data)
+    out = bytearray()
+    table = {}
+    anchor = 0
+    i = 0
+
+    def emit(lit: bytes, match_len: int = -1, offset: int = 0):
+        lit_len = len(lit)
+        tok_lit = min(lit_len, 15)
+        tok_mat = min(match_len - 4, 15) if match_len >= 4 else 0
+        out.append((tok_lit << 4) | tok_mat)
+        rest = lit_len - 15
+        while rest >= 0:
+            out.append(min(rest, 255))
+            if rest < 255:
+                break
+            rest -= 255
+        out.extend(lit)
+        if match_len >= 4:
+            out.extend(offset.to_bytes(2, "little"))
+            rest = match_len - 4 - 15
+            while rest >= 0:
+                out.append(min(rest, 255))
+                if rest < 255:
+                    break
+                rest -= 255
+
+    while i < n - 12:
+        key = data[i : i + 4]
+        j = table.get(key, -1)
+        table[key] = i
+        if j >= 0 and i - j <= 0xFFFF and data[j : j + 4] == key:
+            m = 4
+            limit = n - 5  # last 5 bytes must stay literal
+            while i + m < limit and data[j + m] == data[i + m]:
+                m += 1
+            emit(data[anchor:i], m, i - j)
+            i += m
+            anchor = i
+        else:
+            i += 1
+    emit(data[anchor:])  # trailing literals-only sequence
+    return bytes(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_block_decoder_property_vs_encoder(seed):
+    """Random compressible payloads through a real greedy encoder: both
+    decoders must reproduce the original bytes exactly (covers arbitrary
+    offsets, overlapping matches, extended literal and match lengths)."""
+    rng = np.random.default_rng(seed)
+    chunks = []
+    for _ in range(60):
+        kind = rng.integers(0, 3)
+        if kind == 0:  # repeated motif -> long matches, small offsets
+            motif = rng.integers(0, 256, rng.integers(1, 9), dtype=np.uint8).tobytes()
+            chunks.append(motif * int(rng.integers(2, 120)))
+        elif kind == 1:  # noise -> literals
+            chunks.append(rng.integers(0, 256, rng.integers(1, 400), dtype=np.uint8).tobytes())
+        else:  # re-reference earlier content -> far offsets
+            prev = b"".join(chunks)
+            if prev:
+                k = int(rng.integers(1, min(len(prev), 300) + 1))
+                s = int(rng.integers(0, len(prev) - k + 1))
+                chunks.append(prev[s : s + k])
+    data = b"".join(chunks)
+    comp = _lz4_compress_block(data)
+    assert len(comp) < len(data)  # it actually compressed
+    assert _decode_block(comp, len(data)) == data
+
+
 def test_xxh32_known_vectors():
     assert lz4._xxh32(b"") == 0x02CC5D05
     assert lz4._xxh32(b"abc") == 0x32D153FF
