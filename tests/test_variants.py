@@ -48,6 +48,36 @@ def test_binary_visibility_count_nonzero(centered_cloud):
     assert all(c >= 0 and c == int(c) for c in counts)
 
 
+def test_binary_visibility_count_matches_f64_oracle(centered_cloud):
+    """Exact count parity vs an independent float64 pipeline: the border
+    tests are strict inequalities, so this pins the precision='highest'
+    matmuls (review finding — bf16 skews pixels ~4 px and flips them;
+    verified exact on TPU: 9078 == 9078 on the full cloud)."""
+    import math
+
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    pts64 = np.asarray(centered_cloud, np.float64)
+    intr = default_intrinsics()
+    for dea in ([8.0, 10.0, 60.0], [10.0, 25.0, 140.0]):
+        d, e, a = dea
+        er, ar = math.radians(e), math.radians(a)
+        C = np.array([d * math.cos(er) * math.sin(ar), d * math.sin(er),
+                      d * math.cos(er) * math.cos(ar)])
+        z = -C / np.linalg.norm(C)
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x /= max(np.linalg.norm(x), 1e-9)
+        R = np.stack([x, np.cross(z, x), z], axis=1)
+        cam = (pts64 - (-C @ R)) @ R
+        ph = cam @ np.asarray(intr.matrix(), np.float64).T
+        u, v = ph[:, 0] / ph[:, 2], ph[:, 1] / ph[:, 2]
+        want = int(((cam[:, 2] > 1.0) & (cam[:, 2] < 10.0) & (ph[:, 2] > 0)
+                    & (u > 1) & (u < intr.width - 1)
+                    & (v > 1) & (v < intr.height - 1)).sum())
+        got = int(binary_visibility_count(jnp.asarray(dea, jnp.float32), centered_cloud))
+        assert got == want, (dea, got, want)
+
+
 def test_fd_gradients_are_reward_differences(centered_cloud):
     pts = centered_cloud
     x = jnp.array([10.0, 30.0, 10.0])
