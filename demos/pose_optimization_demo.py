@@ -8,6 +8,10 @@ and camera odometry to the scene bus every `pub_sample` iterations; print
 mean optimization and publication times.
 
 Run: python demos/pose_optimization_demo.py [opt_steps=400] [lr_pose=0.1] ...
+Pass ``soft_hpr=1`` for occlusion-aware optimization: differentiable Katz
+HPR *inside* the loss (the reference's own TODO — its Qhull HPR runs on
+detached tensors and cannot be differentiated; ~99 ms/step at 40k points
+on a v5e chip).
 """
 import os
 import sys
@@ -48,7 +52,10 @@ def main(argv=None):
     trans0 = np.array([[6.0, 2.0, 0.0]], np.float32)
     q0 = np.asarray(quat_ops.random(jax.random.PRNGKey(int(args.get("seed", 0))), 1))
 
-    problem = PoseProblem(img_width=intr.width, img_height=intr.height, min_dist=1.0, max_dist=5.0)
+    problem = PoseProblem(
+        img_width=intr.width, img_height=intr.height, min_dist=1.0, max_dist=5.0,
+        soft_hpr=bool(int(args.get("soft_hpr", 0))),
+    )
     P, K = jnp.asarray(pts_np), intr.matrix()
 
     def loss_fn(params):
