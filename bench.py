@@ -425,7 +425,12 @@ def bench_node_throughput(pts_np, poses_np, n_msgs=20, pipeline_depth=1):
 
 
 def main():
+    from trajectory_optimization_tpu.bus.launch import enable_compilation_cache
     from trajectory_optimization_tpu.utils.data import load_point_cloud, load_path
+
+    # compiles are warmed up before every timed window, so the persistent
+    # cache changes wall time only (a full cold bench spends minutes in XLA)
+    enable_compilation_cache()
 
     pts = load_point_cloud("data/points/point_cloud_10.npz")
     path = load_path("data/paths/path_poses_10.npz")
