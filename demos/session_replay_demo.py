@@ -24,10 +24,12 @@ import numpy as np
 
 def synth_session(pts, path, duration: float, tf_hz: float, img_scale: float = 1.0):
     """Messages mirroring the reference session's topic structure/rates."""
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
     from trajectory_optimization_tpu.bus.messages import (
         CameraInfoMsg,
         CloudMsg,
         Header,
+        ImageMsg,
         PathMsg,
         TransformMsg,
     )
@@ -65,13 +67,28 @@ def synth_session(pts, path, duration: float, tf_hz: float, img_scale: float = 1
         msgs.append(("/final_cost_cloud", CloudMsg(Header(stamp=t, frame_id="map"), pts)))
         msgs.append(("/path", PathMsg.straight(path, frame_id="map", stamp=t + 0.02)))
 
-    # six camera_info topics at 0.9 Hz each
+    # six camera_info + CompressedImage (JPEG) topics at 0.9 Hz each —
+    # the reference bag's /viz/camera_*/image/compressed streams
+    # (launch/rosbag_info.txt:30-41), encoded with the framework's own
+    # from-spec codec and decoded back to pixels on replay
+    frames = []
+    yy, xx = np.mgrid[0:img_h, 0:img_w]
+    for i in range(6):
+        frame = np.stack([
+            (xx * 255 // max(img_w, 1) + i * 40) % 256,
+            (yy * 255 // max(img_h, 1)) % 256,
+            ((xx + yy) // 4 + i * 17) % 256,
+        ], axis=-1).astype(np.uint8)
+        frames.append(np.frombuffer(encode_jpeg(frame, quality=85), np.uint8))
     for k in range(int(duration * 0.9)):
         t = k / 0.9 + 0.3
         for i in range(6):
             msgs.append((f"/viz/camera_{i}/camera_info", CameraInfoMsg(
                 Header(stamp=t, frame_id=f"camera_{i}"),
                 width=img_w, height=img_h, K=K)))
+            msgs.append((f"/viz/camera_{i}/image/compressed", ImageMsg(
+                Header(stamp=t, frame_id=f"camera_{i}"),
+                frames[i], encoding="jpeg")))
     msgs.sort(key=lambda m: m[1].header.stamp)
     return msgs
 
@@ -121,6 +138,9 @@ def main(argv=None):
     launch = Launch(bus, {"pc_processor": proc, "traj_opt": traj}, [])
     optimized = []
     bus.subscribe("/path/optimized", optimized.append)
+    camera_frames = []
+    for i in range(6):
+        bus.subscribe(f"/viz/camera_{i}/image/compressed", camera_frames.append)
 
     # cold pass (includes per-bucket jit compiles), then warm — the
     # steady-state rate a session-length bag (the reference's is 1225 s)
@@ -136,10 +156,14 @@ def main(argv=None):
               f"realtime factor {factors[-1]:.1f}x")
 
     rigs = proc.n_batched + proc.n_serial
+    n_px = sum(1 for m in camera_frames if getattr(m.data, "ndim", 0) == 3)
     print(f"rig evaluations: {proc.n_batched} batched / {proc.n_serial} serial; "
-          f"optimized paths: {len(optimized)}; bus errors: {len(bus.errors)}")
+          f"optimized paths: {len(optimized)}; "
+          f"camera frames decoded: {n_px}/{len(camera_frames)}; "
+          f"bus errors: {len(bus.errors)}")
     assert not bus.errors, bus.errors[:2]
     assert optimized and rigs > 0
+    assert camera_frames and n_px == len(camera_frames)
     return factors[-1]
 
 

@@ -1,0 +1,311 @@
+"""From-spec JPEG/PNG codecs (bus.jpeg, bus.png, native jpeg_decode).
+
+The reference's real session bag carries its six camera streams as
+sensor_msgs/CompressedImage JPEG (reference launch/rosbag_info.txt:15) and
+decodes them with cv_bridge/cv2 (src/tools.py:199-204). Fixtures in
+tests/data/imgcodec were encoded once with PIL/cv2 (libjpeg/libpng) and
+committed together with those libraries' own decoded output as oracles, so
+this file needs no image library at runtime. Live PIL/cv2 oracle sweeps
+run additionally when available.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from trajectory_optimization_tpu.bus.jpeg import (
+    JpegError,
+    UnsupportedJpegError,
+    decode_jpeg,
+    probe_jpeg,
+)
+from trajectory_optimization_tpu.bus.png import (
+    PngError,
+    UnsupportedPngError,
+    decode_png,
+    probe_png,
+)
+from trajectory_optimization_tpu.native import jpeg_decode_native, native_available
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "data", "imgcodec")
+
+
+def _fixture(name):
+    with open(os.path.join(FIXDIR, name), "rb") as f:
+        data = f.read()
+    oracles = np.load(os.path.join(FIXDIR, "oracles.npz"))
+    return data, oracles[name]
+
+
+JPEG_FIXTURES = ["rgb_q85_420.jpg", "rgb_q90_444.jpg", "rgb_q75_422.jpg",
+                 "gray_q90.jpg", "rgb_rst.jpg"]
+
+
+@pytest.mark.parametrize("name", JPEG_FIXTURES)
+def test_jpeg_numpy_vs_committed_oracle(name):
+    """NumPy decoder matches libjpeg's decode of the same bytes within IDCT
+    rounding (the T.81 conformance criterion is much looser than this)."""
+    data, oracle = _fixture(name)
+    img = decode_jpeg(data)
+    assert img.shape == oracle.shape and img.dtype == np.uint8
+    diff = np.abs(img.astype(int) - oracle.astype(int))
+    assert diff.max() <= 4, f"max sample error {diff.max()}"
+    assert diff.mean() <= 0.5
+
+
+@pytest.mark.parametrize("name", JPEG_FIXTURES)
+def test_jpeg_native_matches_numpy(name):
+    """C++ and NumPy paths implement identical numerics (<=2 counts of
+    double-summation-order rounding ties)."""
+    if not native_available():
+        pytest.skip("no native toolchain")
+    data, _ = _fixture(name)
+    nat = jpeg_decode_native(data)
+    ref = decode_jpeg(data)
+    assert nat.shape == ref.shape
+    assert np.abs(nat.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_jpeg_probe():
+    data, oracle = _fixture("rgb_q85_420.jpg")
+    assert probe_jpeg(data) == (oracle.shape[0], oracle.shape[1], 3)
+    gdata, goracle = _fixture("gray_q90.jpg")
+    assert probe_jpeg(gdata) == (goracle.shape[0], goracle.shape[1], 1)
+
+
+def test_jpeg_progressive_raises_unsupported():
+    with open(os.path.join(FIXDIR, "progressive.jpg"), "rb") as f:
+        data = f.read()
+    with pytest.raises(UnsupportedJpegError):
+        decode_jpeg(data)
+    if native_available():
+        with pytest.raises(UnsupportedJpegError):
+            jpeg_decode_native(data)
+
+
+def test_jpeg_malformed_raises():
+    data, _ = _fixture("rgb_q85_420.jpg")
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\x00" + data)
+    with pytest.raises(JpegError):
+        decode_jpeg(data[:40])  # truncated before SOS
+    if native_available():
+        with pytest.raises(JpegError):
+            jpeg_decode_native(data[:40])
+
+
+@pytest.mark.parametrize("name", ["rgb.png", "depth16.png"])
+def test_png_exact(name):
+    """PNG is lossless: decode must be bit-exact against the source array."""
+    data, oracle = _fixture(name)
+    img = decode_png(data)
+    assert img.dtype == oracle.dtype
+    np.testing.assert_array_equal(img, oracle)
+
+
+def test_png_probe_and_errors():
+    data, oracle = _fixture("rgb.png")
+    assert probe_png(data) == (oracle.shape[0], oracle.shape[1], 3, 8)
+    with pytest.raises(PngError):
+        decode_png(data[:20])
+    with pytest.raises(PngError):
+        decode_png(b"nonsense")
+    # flip the IHDR interlace byte -> Adam7 is explicitly unsupported
+    adam7 = bytearray(data)
+    adam7[28] = 1
+    with pytest.raises(UnsupportedPngError):
+        decode_png(bytes(adam7))
+
+
+def test_compressed_image_record_decodes_to_pixels():
+    """A sensor_msgs/CompressedImage bag record now lands as ImageMsg
+    pixels (VERDICT r2 item 1); undecodable payloads keep the passthrough."""
+    from trajectory_optimization_tpu.bus.messages import Header
+    from trajectory_optimization_tpu.bus.rosbag import (
+        _Writer,
+        _decode_compressed_image,
+    )
+
+    data, oracle = _fixture("rgb_q85_420.jpg")
+    w = _Writer()
+    w.header(Header(stamp=3.5, frame_id="camera_0", seq=7))
+    w.string("bgr8; jpeg compressed bgr8")  # compressed_image_transport style
+    w.u32(len(data))
+    w.raw(data)
+    msg = _decode_compressed_image(w.bytes())
+    assert msg.encoding == "rgb8"
+    assert msg.data.shape == oracle.shape
+    assert np.abs(msg.data.astype(int) - oracle.astype(int)).max() <= 4
+
+    # 16-bit PNG depth stream
+    pdata, poracle = _fixture("depth16.png")
+    w = _Writer()
+    w.header(Header(stamp=4.0, frame_id="depth", seq=1))
+    w.string("16UC1; png compressed ")
+    w.u32(len(pdata))
+    w.raw(pdata)
+    msg = _decode_compressed_image(w.bytes())
+    assert msg.encoding == "mono16"
+    np.testing.assert_array_equal(msg.data, poracle)
+
+    # progressive JPEG -> honest compressed passthrough, bag read survives
+    with open(os.path.join(FIXDIR, "progressive.jpg"), "rb") as f:
+        prog = f.read()
+    w = _Writer()
+    w.header(Header(stamp=5.0, frame_id="camera_1", seq=2))
+    w.string("jpeg")
+    w.u32(len(prog))
+    w.raw(prog)
+    msg = _decode_compressed_image(w.bytes())
+    assert msg.encoding == "jpeg" and msg.data.ndim == 1
+
+
+def test_jpeg_encoder_roundtrip_self():
+    """Self-encoded fixtures: our encoder's streams decode with our own
+    decoder (both backends) to within quantization error of the source."""
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:45, 0:59]
+    img = np.stack([(xx * 4) % 256, (yy * 5) % 256, (xx + yy) % 256], -1)
+    img = np.clip(img + rng.integers(-10, 10, img.shape), 0, 255).astype(np.uint8)
+    data = encode_jpeg(img, quality=95)
+    out = decode_jpeg(data)
+    rms = np.sqrt(((out.astype(int) - img.astype(int)) ** 2).mean())
+    assert rms < 8.0, f"q95 roundtrip rms {rms}"
+    if native_available():
+        nat = jpeg_decode_native(data)
+        assert np.abs(nat.astype(int) - out.astype(int)).max() <= 2
+    # grayscale
+    gdata = encode_jpeg(img[:, :, 0], quality=95)
+    gout = decode_jpeg(gdata)
+    grms = np.sqrt(((gout.astype(int) - img[:, :, 0].astype(int)) ** 2).mean())
+    assert gout.ndim == 2 and grms < 6.0
+
+
+def test_png_encoder_roundtrip_exact():
+    from trajectory_optimization_tpu.bus.png import encode_png
+
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(rgb)), rgb)
+    g16 = rng.integers(0, 65536, (21, 29), dtype=np.uint16)
+    out = decode_png(encode_png(g16))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, g16)
+    rgba = rng.integers(0, 256, (10, 11, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(rgba)), rgba)
+
+
+def test_bag_roundtrip_compressed_streams(tmp_path):
+    """Bag->bag copy semantics for camera streams: baseline JPEG payloads
+    written as passthrough come back as decoded pixels; undecodable
+    payloads survive byte-identical (reference bag interop)."""
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
+    from trajectory_optimization_tpu.bus.messages import Header, ImageMsg
+    from trajectory_optimization_tpu.bus.rosbag import read_bag, write_bag
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    jpg = encode_jpeg(img, quality=92)
+    with open(os.path.join(FIXDIR, "progressive.jpg"), "rb") as f:
+        prog = f.read()
+    msgs = [
+        ("/viz/camera_0/image/compressed",
+         ImageMsg(Header(stamp=1.0, frame_id="camera_0"),
+                  np.frombuffer(jpg, np.uint8), encoding="jpeg")),
+        ("/viz/camera_1/image/compressed",
+         ImageMsg(Header(stamp=1.1, frame_id="camera_1"),
+                  np.frombuffer(prog, np.uint8), encoding="jpeg")),
+    ]
+    path = str(tmp_path / "cams.bag")
+    assert write_bag(path, msgs) == 2
+    out = list(read_bag(path))
+    assert len(out) == 2
+    by_topic = {topic: m for _, topic, m in out}
+    dec = by_topic["/viz/camera_0/image/compressed"]
+    assert dec.encoding == "rgb8" and dec.data.shape == img.shape
+    rms = np.sqrt(((dec.data.astype(int) - img.astype(int)) ** 2).mean())
+    assert rms < 30.0  # random noise at q92: quantization error only
+    keep = by_topic["/viz/camera_1/image/compressed"]
+    assert keep.encoding == "jpeg" and bytes(keep.data) == prog
+
+
+# ---------------------------------------------------------------------------
+# live library-oracle sweeps (stronger coverage where PIL/cv2 exist)
+# ---------------------------------------------------------------------------
+
+PIL = pytest.importorskip("PIL.Image", reason="PIL oracle not available")
+
+
+def _structured_image(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 // w), (yy * 255 // h), ((xx + yy) % 256)], -1)
+    img = img + rng.integers(-20, 20, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality", [95, 80, 50])
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+def test_jpeg_vs_live_pil_oracle(quality, subsampling):
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(quality * 10 + subsampling)
+    # odd dims exercise MCU edge cropping on every sampling layout
+    img = _structured_image(rng, 61, 83)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, "JPEG", quality=quality, subsampling=subsampling)
+    data = b.getvalue()
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB")).astype(int)
+    mine = decode_jpeg(data).astype(int)
+    assert np.abs(mine - ref).max() <= 4
+    if native_available():
+        nat = jpeg_decode_native(data).astype(int)
+        assert np.abs(nat - ref).max() <= 4
+
+
+def test_encoders_vs_live_pil_decode():
+    """Independent-implementation check: PIL (libjpeg/libpng) decodes our
+    encoders' streams and agrees with our own decode."""
+    import io
+
+    from PIL import Image
+
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
+    from trajectory_optimization_tpu.bus.png import encode_png
+
+    rng = np.random.default_rng(21)
+    img = _structured_image(rng, 37, 51)
+    data = encode_jpeg(img, quality=88)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB")).astype(int)
+    mine = decode_jpeg(data).astype(int)
+    assert np.abs(mine - pil).max() <= 4
+    pdata = encode_png(img)
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(io.BytesIO(pdata)).convert("RGB")), img)
+    g16 = rng.integers(0, 65536, (19, 27), dtype=np.uint16)
+    p16 = np.asarray(Image.open(io.BytesIO(encode_png(g16))))
+    np.testing.assert_array_equal(p16, g16)
+
+
+def test_png_vs_live_roundtrip():
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    img = _structured_image(rng, 41, 53)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, "PNG")
+    np.testing.assert_array_equal(decode_png(b.getvalue()), img)
+    # RGBA and gray
+    rgba = rng.integers(0, 256, (17, 23, 4), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(rgba, "RGBA").save(b, "PNG")
+    np.testing.assert_array_equal(decode_png(b.getvalue()), rgba)
+    g = img[:, :, 0]
+    b = io.BytesIO()
+    Image.fromarray(g).save(b, "PNG")
+    np.testing.assert_array_equal(decode_png(b.getvalue()), g)

@@ -73,6 +73,7 @@ _MD5 = {
     "nav_msgs/Odometry": "cd5e73d190d741a2f92e81eda573aca7",
     "sensor_msgs/CameraInfo": "c9a58c1b0b154e0e6da7578cb991d214",
     "sensor_msgs/Image": "060021388200f6f0f447d0fcd9c64743",
+    "sensor_msgs/CompressedImage": "8f7a12909da2c9d3332d540a0977563f",
     "tf2_msgs/TFMessage": "94810edda583a504dfda3829e70d7eec",
     "tf/tfMessage": "94810edda583a504dfda3829e70d7eec",
 }
@@ -487,18 +488,83 @@ def _encode_tf(msgs: Sequence[TransformMsg]) -> bytes:
     return w.bytes()
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_compressed_payload(raw: bytes):
+    """Decode a CompressedImage payload blob to pixels.
+
+    Sniffs the container by magic (format strings in the wild range from
+    'jpeg' to 'bgr8; jpeg compressed bgr8'). JPEG goes through the
+    framework's own from-spec baseline decoder — C++ (native.jpeg_decode)
+    when built, NumPy (bus.jpeg) otherwise, identical numerics. PNG goes
+    through bus.png. Returns (array, encoding) or (None, None) when the
+    payload is not decodable here (progressive JPEG, foreign container):
+    callers keep the compressed passthrough in that case.
+
+    Colour note: both codecs emit true colour order (a BGR frame encoded
+    by cv2/compressed_image_transport is colour-converted by the encoder,
+    so spec-correct decoding yields RGB regardless of the format string's
+    'compressed bgr8' tail). Reference: src/tools.py:199-204 decodes the
+    same payloads via cv_bridge.
+    """
+    from trajectory_optimization_tpu.bus import jpeg as _jpeg
+    from trajectory_optimization_tpu.bus import png as _png
+
+    try:
+        if raw[:2] == b"\xff\xd8":
+            from trajectory_optimization_tpu.native import jpeg_decode_native
+
+            img = jpeg_decode_native(raw)
+            if img is None:
+                img = _jpeg.decode_jpeg(raw)
+            return img, ("rgb8" if img.ndim == 3 else "mono8")
+        if raw[:8] == _PNG_SIGNATURE:
+            img = _png.decode_png(raw)
+            if img.ndim == 2:
+                enc = "mono16" if img.dtype == np.uint16 else "mono8"
+            else:
+                enc = {3: "rgb8", 4: "rgba8", 2: "mono8"}.get(
+                    img.shape[-1], "rgb8")
+                if img.dtype == np.uint16 and img.shape[-1] == 3:
+                    enc = "16UC3"
+            return img, enc
+    except _jpeg.JpegError:
+        pass
+    except _png.PngError:
+        pass
+    return None, None
+
+
+def _encode_compressed_image(msg: ImageMsg) -> bytes:
+    """Re-emit a compressed-passthrough ImageMsg (1-D uint8 payload, wire
+    format in ``encoding``) as a sensor_msgs/CompressedImage record —
+    byte-identical to what the reader ingested."""
+    w = _Writer()
+    w.header(msg.header)
+    w.string(msg.encoding if msg.encoding != "compressed" else "")
+    raw = np.ascontiguousarray(msg.data, dtype=np.uint8).tobytes()
+    w.u32(len(raw))
+    w.raw(raw)
+    return w.bytes()
+
+
 def _decode_compressed_image(buf: bytes) -> ImageMsg:
     """sensor_msgs/CompressedImage (the reference bag's 6×1040 camera
-    streams): header, format string ('jpeg'/'png'/...), byte blob. No image
-    codec is available in this environment, so the payload is delivered
-    as-is (1-D uint8) with the wire format as the encoding — consumers with
-    a codec decode it; the visibility pipeline renders its own images and
-    never needs to."""
+    streams, launch/rosbag_info.txt:15): header, format string
+    ('jpeg'/'png'/...), byte blob. Decoded to pixels with the framework's
+    from-spec codecs (bus.jpeg / bus.png, C++ fast path in native);
+    payloads outside the supported subset are delivered as-is (1-D uint8)
+    with the wire format as the encoding, so no bag read ever aborts on
+    an exotic stream."""
     r = _Reader(buf)
     h = r.header()
     fmt = r.string()
-    data = np.frombuffer(r.raw(r.u32()), np.uint8)
-    return ImageMsg(h, data, encoding=fmt or "compressed")
+    raw = r.raw(r.u32())
+    img, enc = decode_compressed_payload(raw)
+    if img is not None:
+        return ImageMsg(h, img, encoding=enc)
+    return ImageMsg(h, np.frombuffer(raw, np.uint8), encoding=fmt or "compressed")
 
 
 _DECODERS = {
@@ -748,6 +814,12 @@ class BagWriter:
         if enc is None:
             raise TypeError(f"no bag encoder for {type(msg).__name__}")
         ros_type, encoder = enc
+        if isinstance(msg, ImageMsg) and np.asarray(msg.data).ndim == 1:
+            # compressed passthrough (progressive JPEG / foreign container
+            # kept verbatim by the reader): re-emit as CompressedImage so
+            # bag->bag copies of real sessions preserve the camera streams
+            ros_type, encoder = (
+                "sensor_msgs/CompressedImage", _encode_compressed_image)
         with self._lock:
             self._add_locked(topic, msg, ros_type, encoder)
 

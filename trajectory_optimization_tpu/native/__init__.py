@@ -65,6 +65,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ]
         except AttributeError:
             lib.lz4_block_decode = None
+        try:
+            lib.jpeg_probe.restype = ctypes.c_int32
+            lib.jpeg_probe.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.jpeg_decode.restype = ctypes.c_int64
+            lib.jpeg_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
+        except AttributeError:
+            lib.jpeg_probe = None
+            lib.jpeg_decode = None
         _lib = lib
         return _lib
 
@@ -158,6 +173,44 @@ def occupancy_grid_native(
         grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return grid.astype(np.float64)
+
+
+def jpeg_decode_native(data: bytes) -> Optional[np.ndarray]:
+    """Decode a baseline JPEG with the C++ from-spec decoder.
+
+    Returns (H, W) gray or (H, W, 3) RGB uint8; None when the native
+    library is unavailable (callers fall back to the NumPy decoder in
+    bus.jpeg — identical numerics). Raises the bus.jpeg exception types
+    on malformed / unsupported streams so callers handle one error
+    surface regardless of backend.
+    """
+    lib = _load()
+    if lib is None or getattr(lib, "jpeg_decode", None) is None:
+        return None
+    from trajectory_optimization_tpu.bus.jpeg import JpegError, UnsupportedJpegError
+
+    src = np.frombuffer(data, dtype=np.uint8)
+    sp = src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    nc = ctypes.c_int32()
+    rc = lib.jpeg_probe(sp, len(src), ctypes.byref(h), ctypes.byref(w),
+                        ctypes.byref(nc))
+    if rc == -2:
+        raise UnsupportedJpegError("non-baseline JPEG (native probe)")
+    if rc != 0:
+        raise JpegError("malformed JPEG (native probe)")
+    out = np.empty(h.value * w.value * nc.value, dtype=np.uint8)
+    n = lib.jpeg_decode(sp, len(src),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        out.shape[0])
+    if n == -2:
+        raise UnsupportedJpegError("non-baseline JPEG (native decode)")
+    if n < 0:
+        raise JpegError(f"malformed JPEG (native decode rc={n})")
+    if nc.value == 1:
+        return out.reshape(h.value, w.value)
+    return out.reshape(h.value, w.value, nc.value)
 
 
 def lz4_block_decode_native(src: bytes, dst: np.ndarray, dst_pos: int):

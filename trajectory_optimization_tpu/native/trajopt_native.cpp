@@ -11,6 +11,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <unordered_map>
 #include <vector>
 
@@ -174,6 +175,524 @@ int64_t lz4_block_decode(const uint8_t *src, int64_t src_len, uint8_t *dst,
     op += mlen;
   }
   return op;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Baseline JPEG (ITU-T T.81) decoder — native fast path for
+// sensor_msgs/CompressedImage payloads (the reference bag's six camera
+// streams, launch/rosbag_info.txt:15). Written from the spec; numerics are
+// pinned to bus/jpeg.py (the NumPy fallback): libjpeg 16.16 fixed-point
+// YCbCr->RGB, triangular "fancy" factor-2 chroma upsampling, double IDCT
+// with round-half-up. Baseline sequential only (SOF0/SOF1, 8-bit, 1 or 3
+// components, restart markers); progressive returns "unsupported" and the
+// caller keeps the compressed passthrough.
+
+namespace jpeg {
+
+constexpr int kErrMalformed = -1;
+constexpr int kErrUnsupported = -2;
+constexpr int kErrCapacity = -3;
+
+const uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct Huff {
+  std::vector<uint8_t> lut_len, lut_val;  // 16-bit peek LUT
+  bool valid = false;
+  int build(const uint8_t *counts, const uint8_t *values) {
+    lut_len.assign(1 << 16, 0);
+    lut_val.assign(1 << 16, 0);
+    uint32_t code = 0;
+    int k = 0;
+    for (int length = 1; length <= 16; ++length) {
+      for (int i = 0; i < counts[length - 1]; ++i) {
+        if (code >= (1u << length)) return kErrMalformed;
+        const uint32_t lo = code << (16 - length);
+        const uint32_t hi = lo + (1u << (16 - length));
+        for (uint32_t c = lo; c < hi; ++c) {
+          lut_len[c] = static_cast<uint8_t>(length);
+          lut_val[c] = values[k];
+        }
+        ++code;
+        ++k;
+      }
+      code <<= 1;
+    }
+    valid = true;
+    return 0;
+  }
+};
+
+struct Component {
+  int cid = 0, h = 1, v = 1, tq = 0, td = 0, ta = 0;
+  int nbx = 0, nby = 0;
+  std::vector<int32_t> coef;  // (nbx*nby) x 64, zigzag order
+};
+
+struct Decoder {
+  const uint8_t *buf;
+  int64_t n;
+  int32_t qt[4][64];
+  bool qt_ok[4] = {false, false, false, false};
+  Huff hdc[4], hac[4];
+  Component comps[3];
+  int ncomp = 0;
+  int height = 0, width = 0;
+  int restart_interval = 0;
+  int64_t scan_pos = -1;
+
+  Decoder(const uint8_t *b, int64_t len) : buf(b), n(len) {}
+
+  int u16(int64_t i) const { return (buf[i] << 8) | buf[i + 1]; }
+
+  // Parse headers up to (and including) SOS. Returns 0 or a kErr*.
+  int parse_headers() {
+    if (n < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return kErrMalformed;
+    int64_t i = 2;
+    bool sof_seen = false;
+    while (i < n) {
+      if (buf[i] != 0xFF) return kErrMalformed;
+      while (i < n && buf[i] == 0xFF) ++i;  // fill bytes
+      if (i >= n) return kErrMalformed;
+      const int marker = buf[i++];
+      if (marker == 0xD9) return kErrMalformed;  // EOI before SOS
+      if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) continue;
+      if (i + 2 > n) return kErrMalformed;
+      const int seglen = u16(i);
+      if (seglen < 2 || i + seglen > n) return kErrMalformed;
+      const uint8_t *seg = buf + i + 2;
+      const int slen = seglen - 2;
+      i += seglen;
+
+      if (marker == 0xDB) {  // DQT
+        int p = 0;
+        while (p < slen) {
+          const int pq = seg[p] >> 4, tq = seg[p] & 15;
+          ++p;
+          if (tq > 3) return kErrMalformed;
+          if (pq == 0) {
+            if (p + 64 > slen) return kErrMalformed;
+            for (int k = 0; k < 64; ++k) qt[tq][k] = seg[p + k];
+            p += 64;
+          } else if (pq == 1) {
+            if (p + 128 > slen) return kErrMalformed;
+            for (int k = 0; k < 64; ++k)
+              qt[tq][k] = (seg[p + 2 * k] << 8) | seg[p + 2 * k + 1];
+            p += 128;
+          } else {
+            return kErrMalformed;
+          }
+          qt_ok[tq] = true;
+        }
+      } else if (marker == 0xC4) {  // DHT
+        int p = 0;
+        while (p + 17 <= slen) {
+          const int tc = seg[p] >> 4, th = seg[p] & 15;
+          if (th > 3 || tc > 1) return kErrMalformed;
+          int total = 0;
+          for (int k = 0; k < 16; ++k) total += seg[p + 1 + k];
+          if (p + 17 + total > slen) return kErrMalformed;
+          Huff &t = tc == 0 ? hdc[th] : hac[th];
+          const int rc = t.build(seg + p + 1, seg + p + 17);
+          if (rc) return rc;
+          p += 17 + total;
+        }
+      } else if (marker == 0xC0 || marker == 0xC1) {  // SOF0/1
+        if (sof_seen || slen < 6) return kErrMalformed;
+        sof_seen = true;
+        if (seg[0] != 8) return kErrUnsupported;
+        height = (seg[1] << 8) | seg[2];
+        width = (seg[3] << 8) | seg[4];
+        ncomp = seg[5];
+        if (height == 0 || width == 0) return kErrUnsupported;  // DNL
+        if (ncomp != 1 && ncomp != 3) return kErrUnsupported;
+        if (slen < 6 + 3 * ncomp) return kErrMalformed;
+        for (int c = 0; c < ncomp; ++c) {
+          comps[c].cid = seg[6 + 3 * c];
+          comps[c].h = seg[7 + 3 * c] >> 4;
+          comps[c].v = seg[7 + 3 * c] & 15;
+          comps[c].tq = seg[8 + 3 * c];
+          if (comps[c].h < 1 || comps[c].h > 4 || comps[c].v < 1 ||
+              comps[c].v > 4 || comps[c].tq > 3)
+            return kErrMalformed;
+        }
+      } else if (marker >= 0xC2 && marker <= 0xCF && marker != 0xC4 &&
+                 marker != 0xC8 && marker != 0xCC) {
+        return kErrUnsupported;  // progressive / lossless / arithmetic
+      } else if (marker == 0xDD) {  // DRI
+        if (slen < 2) return kErrMalformed;
+        restart_interval = (seg[0] << 8) | seg[1];
+      } else if (marker == 0xDA) {  // SOS
+        if (!sof_seen || slen < 1) return kErrMalformed;
+        const int ns = seg[0];
+        if (ns != ncomp) return kErrUnsupported;  // non-interleaved
+        if (slen < 1 + 2 * ns) return kErrMalformed;
+        for (int s = 0; s < ns; ++s) {
+          const int cs = seg[1 + 2 * s], tdta = seg[2 + 2 * s];
+          bool found = false;
+          for (int c = 0; c < ncomp; ++c) {
+            if (comps[c].cid == cs) {
+              comps[c].td = tdta >> 4;
+              comps[c].ta = tdta & 15;
+              found = true;
+              break;
+            }
+          }
+          if (!found) return kErrMalformed;
+        }
+        scan_pos = i;
+        return 0;
+      }
+      // else APPn/COM/DNL skipped
+    }
+    return kErrMalformed;
+  }
+
+  // De-stuff the entropy-coded segment, split at restart markers.
+  int split_scan(std::vector<std::vector<uint8_t>> &chunks) const {
+    chunks.clear();
+    chunks.emplace_back();
+    int64_t i = scan_pos;
+    while (i < n) {
+      const uint8_t b = buf[i];
+      if (b == 0xFF) {
+        const uint8_t m = (i + 1 < n) ? buf[i + 1] : 0xD9;
+        if (m == 0x00) {
+          chunks.back().push_back(0xFF);
+          i += 2;
+          continue;
+        }
+        if (m >= 0xD0 && m <= 0xD7) {
+          chunks.emplace_back();
+          i += 2;
+          continue;
+        }
+        break;  // real marker terminates the scan
+      }
+      chunks.back().push_back(b);
+      ++i;
+    }
+    return 0;
+  }
+
+  static int32_t extend(int v, int s) {
+    return v < (1 << (s - 1)) ? v - ((1 << s) - 1) : v;
+  }
+
+  int decode_scan() {
+    int hmax = 1, vmax = 1;
+    for (int c = 0; c < ncomp; ++c) {
+      hmax = comps[c].h > hmax ? comps[c].h : hmax;
+      vmax = comps[c].v > vmax ? comps[c].v : vmax;
+    }
+    const int mcus_x = (width + 8 * hmax - 1) / (8 * hmax);
+    const int mcus_y = (height + 8 * vmax - 1) / (8 * vmax);
+    for (int c = 0; c < ncomp; ++c) {
+      Component &cc = comps[c];
+      cc.nbx = mcus_x * cc.h;
+      cc.nby = mcus_y * cc.v;
+      cc.coef.assign(static_cast<size_t>(cc.nbx) * cc.nby * 64, 0);
+      if (!qt_ok[cc.tq] || !hdc[cc.td].valid || !hac[cc.ta].valid)
+        return kErrMalformed;
+    }
+    std::vector<std::vector<uint8_t>> chunks;
+    split_scan(chunks);
+    const int64_t n_mcus = static_cast<int64_t>(mcus_x) * mcus_y;
+    const int64_t interval = restart_interval ? restart_interval : n_mcus;
+
+    int64_t mcu = 0;
+    size_t chunk_idx = 0;
+    while (mcu < n_mcus) {
+      if (chunk_idx >= chunks.size()) return kErrMalformed;
+      const std::vector<uint8_t> &data = chunks[chunk_idx++];
+      const int64_t nbytes = static_cast<int64_t>(data.size());
+      uint64_t acc = 0;
+      int nbits = 0;
+      int64_t bpos = 0;
+      int32_t preds[3] = {0, 0, 0};
+      const int64_t stop = mcu + interval < n_mcus ? mcu + interval : n_mcus;
+      while (mcu < stop) {
+        const int64_t my = mcu / mcus_x, mx = mcu % mcus_x;
+        for (int ci = 0; ci < ncomp; ++ci) {
+          Component &c = comps[ci];
+          const uint8_t *dlen = hdc[c.td].lut_len.data();
+          const uint8_t *dval = hdc[c.td].lut_val.data();
+          const uint8_t *alen = hac[c.ta].lut_len.data();
+          const uint8_t *aval = hac[c.ta].lut_val.data();
+          for (int by = 0; by < c.v; ++by) {
+            const int64_t row = (my * c.v + by) * c.nbx + mx * c.h;
+            for (int bx = 0; bx < c.h; ++bx) {
+              int32_t *blk = c.coef.data() + (row + bx) * 64;
+              // --- DC ---
+              while (nbits < 16) {
+                acc = (acc << 8) | (bpos < nbytes ? data[bpos] : 0xFF);
+                ++bpos;
+                nbits += 8;
+              }
+              uint32_t peek = (acc >> (nbits - 16)) & 0xFFFF;
+              int ln = dlen[peek];
+              if (ln == 0) return kErrMalformed;
+              nbits -= ln;
+              const int s = dval[peek];
+              int32_t diff = 0;
+              if (s) {
+                while (nbits < s) {
+                  acc = (acc << 8) | (bpos < nbytes ? data[bpos] : 0xFF);
+                  ++bpos;
+                  nbits += 8;
+                }
+                const int v =
+                    static_cast<int>((acc >> (nbits - s)) & ((1u << s) - 1));
+                nbits -= s;
+                diff = extend(v, s);
+              }
+              preds[ci] += diff;
+              blk[0] = preds[ci];
+              // --- AC ---
+              int k = 1;
+              while (k < 64) {
+                while (nbits < 16) {
+                  acc = (acc << 8) | (bpos < nbytes ? data[bpos] : 0xFF);
+                  ++bpos;
+                  nbits += 8;
+                }
+                peek = (acc >> (nbits - 16)) & 0xFFFF;
+                ln = alen[peek];
+                if (ln == 0) return kErrMalformed;
+                nbits -= ln;
+                const int rs = aval[peek];
+                const int r = rs >> 4, sa = rs & 15;
+                if (sa == 0) {
+                  if (r != 15) break;  // EOB
+                  k += 16;             // ZRL
+                  continue;
+                }
+                k += r;
+                if (k > 63) return kErrMalformed;
+                while (nbits < sa) {
+                  acc = (acc << 8) | (bpos < nbytes ? data[bpos] : 0xFF);
+                  ++bpos;
+                  nbits += 8;
+                }
+                const int v =
+                    static_cast<int>((acc >> (nbits - sa)) & ((1u << sa) - 1));
+                nbits -= sa;
+                blk[k] = extend(v, sa);
+                ++k;
+              }
+            }
+          }
+          acc &= nbits ? ((1ull << nbits) - 1) : 0;
+        }
+        ++mcu;
+      }
+      if (bpos > nbytes + 4) return kErrMalformed;
+    }
+    return 0;
+  }
+
+  // Dequantize + de-zigzag + double-precision IDCT one component into an
+  // int32 sample plane (clipped 0..255), matching bus/jpeg.py bit-for-bit.
+  void reconstruct(const Component &c, std::vector<int32_t> &plane) const {
+    static double A[8][8];
+    static bool init = false;
+    if (!init) {
+      for (int x = 0; x < 8; ++x)
+        for (int u = 0; u < 8; ++u)
+          A[x][u] = (u == 0 ? std::sqrt(0.5) : 1.0) / 2.0 *
+                    std::cos((2 * x + 1) * u * M_PI / 16.0);
+      init = true;
+    }
+    const int pw = c.nbx * 8;
+    plane.assign(static_cast<size_t>(c.nby) * 8 * pw, 0);
+    const int32_t *q = qt[c.tq];
+    double B[8][8], tmp[8][8];
+    for (int byy = 0; byy < c.nby; ++byy) {
+      for (int bxx = 0; bxx < c.nbx; ++bxx) {
+        const int32_t *blk =
+            c.coef.data() + (static_cast<int64_t>(byy) * c.nbx + bxx) * 64;
+        for (int u = 0; u < 8; ++u)
+          for (int v = 0; v < 8; ++v) B[u][v] = 0.0;
+        for (int k = 0; k < 64; ++k) {
+          const int idx = kZigzag[k];
+          B[idx >> 3][idx & 7] = static_cast<double>(blk[k]) * q[k];
+        }
+        // tmp[u][y] = sum_v B[u][v] * A[y][v]
+        for (int u = 0; u < 8; ++u)
+          for (int y = 0; y < 8; ++y) {
+            double s = 0.0;
+            for (int v = 0; v < 8; ++v) s += B[u][v] * A[y][v];
+            tmp[u][y] = s;
+          }
+        for (int x = 0; x < 8; ++x)
+          for (int y = 0; y < 8; ++y) {
+            double s = 0.0;
+            for (int u = 0; u < 8; ++u) s += A[x][u] * tmp[u][y];
+            int32_t p = static_cast<int32_t>(std::floor(s + 0.5)) + 128;
+            p = p < 0 ? 0 : (p > 255 ? 255 : p);
+            plane[(static_cast<int64_t>(byy) * 8 + x) * pw + bxx * 8 + y] = p;
+          }
+      }
+    }
+  }
+
+  // libjpeg h2v1 fancy horizontal 2x upsample (integer-exact, bus/jpeg.py).
+  static void fancy_h2_row(const int32_t *in, int w, int32_t *out) {
+    out[0] = in[0];
+    out[2 * w - 1] = in[w - 1];
+    for (int i = 1; i < w; ++i) out[2 * i] = (3 * in[i] + in[i - 1] + 1) >> 2;
+    for (int i = 0; i < w - 1; ++i)
+      out[2 * i + 1] = (3 * in[i] + in[i + 1] + 2) >> 2;
+  }
+
+  // Upsample a cropped component plane to full (height x width), int32.
+  void upsample(const Component &c, const std::vector<int32_t> &plane,
+                int hmax, int vmax, std::vector<int32_t> &out) const {
+    const int pw = c.nbx * 8;
+    const int cw = (width * c.h + hmax - 1) / hmax;
+    const int chh = (height * c.v + vmax - 1) / vmax;
+    const int sh = (hmax % c.h == 0) ? hmax / c.h : 0;
+    const int sv = (vmax % c.v == 0) ? vmax / c.v : 0;
+    out.assign(static_cast<size_t>(height) * width, 0);
+    if (sh == 1 && sv == 1) {
+      for (int r = 0; r < height; ++r)
+        for (int col = 0; col < width; ++col)
+          out[static_cast<int64_t>(r) * width + col] =
+              plane[static_cast<int64_t>(r) * pw + col];
+    } else if (sh == 2 && sv == 1) {
+      std::vector<int32_t> row(2 * cw);
+      for (int r = 0; r < chh && r < height; ++r) {
+        fancy_h2_row(plane.data() + static_cast<int64_t>(r) * pw, cw,
+                     row.data());
+        for (int col = 0; col < width; ++col)
+          out[static_cast<int64_t>(r) * width + col] = row[col];
+      }
+    } else if (sh == 1 && sv == 2) {  // transpose of fancy_h2, per column
+      for (int r = 0; r < height; ++r) {
+        const int rr = r >> 1;
+        const int other = (r & 1) ? (rr + 1 < chh ? rr + 1 : rr)
+                                  : (rr > 0 ? rr - 1 : rr);
+        const bool edge = (r == 0) || (r == 2 * chh - 1);
+        const int bias = (r & 1) ? 2 : 1;
+        for (int col = 0; col < width; ++col) {
+          const int32_t a = plane[static_cast<int64_t>(rr) * pw + col];
+          const int32_t b = plane[static_cast<int64_t>(other) * pw + col];
+          out[static_cast<int64_t>(r) * width + col] =
+              edge ? a : ((3 * a + b + bias) >> 2);
+        }
+      }
+    } else if (sh == 2 && sv == 2) {
+      // column sums (3*near + other row), then horizontal triangular pass
+      std::vector<int32_t> cs(cw), row(2 * cw);
+      for (int r = 0; r < height; ++r) {
+        const int rr = r >> 1;
+        const int near = rr < chh ? rr : chh - 1;
+        int other = (r & 1) ? near + 1 : near - 1;
+        other = other < 0 ? 0 : (other >= chh ? chh - 1 : other);
+        const int64_t near_off = static_cast<int64_t>(near) * pw;
+        const int64_t other_off = static_cast<int64_t>(other) * pw;
+        for (int col = 0; col < cw; ++col)
+          cs[col] = 3 * plane[near_off + col] + plane[other_off + col];
+        row[0] = (cs[0] * 4 + 8) >> 4;
+        row[2 * cw - 1] = (cs[cw - 1] * 4 + 7) >> 4;
+        for (int i = 1; i < cw; ++i) row[2 * i] = (3 * cs[i] + cs[i - 1] + 8) >> 4;
+        for (int i = 0; i < cw - 1; ++i)
+          row[2 * i + 1] = (3 * cs[i] + cs[i + 1] + 7) >> 4;
+        for (int col = 0; col < width; ++col)
+          out[static_cast<int64_t>(r) * width + col] = row[col];
+      }
+    } else {  // non-dyadic: nearest neighbour
+      const int ph = c.nby * 8;
+      for (int r = 0; r < height; ++r) {
+        int yi = (r * c.v) / vmax;
+        yi = yi >= ph ? ph - 1 : yi;
+        for (int col = 0; col < width; ++col) {
+          int xi = (col * c.h) / hmax;
+          xi = xi >= pw ? pw - 1 : xi;
+          out[static_cast<int64_t>(r) * width + col] =
+              plane[static_cast<int64_t>(yi) * pw + xi];
+        }
+      }
+    }
+  }
+
+  int64_t emit(uint8_t *dst, int64_t cap) {
+    const int64_t need = static_cast<int64_t>(height) * width * ncomp;
+    if (cap < need) return kErrCapacity;
+    int hmax = 1, vmax = 1;
+    for (int c = 0; c < ncomp; ++c) {
+      hmax = comps[c].h > hmax ? comps[c].h : hmax;
+      vmax = comps[c].v > vmax ? comps[c].v : vmax;
+    }
+    if (ncomp == 1) {
+      std::vector<int32_t> plane;
+      reconstruct(comps[0], plane);
+      const int pw = comps[0].nbx * 8;
+      for (int r = 0; r < height; ++r)
+        for (int col = 0; col < width; ++col)
+          dst[static_cast<int64_t>(r) * width + col] = static_cast<uint8_t>(
+              plane[static_cast<int64_t>(r) * pw + col]);
+      return need;
+    }
+    std::vector<int32_t> planes[3], full[3];
+    for (int c = 0; c < 3; ++c) {
+      reconstruct(comps[c], planes[c]);
+      upsample(comps[c], planes[c], hmax, vmax, full[c]);
+    }
+    // libjpeg jdcolor.c 16.16 fixed-point YCbCr->RGB (bus/jpeg.py parity)
+    const int64_t npx = static_cast<int64_t>(height) * width;
+    for (int64_t i = 0; i < npx; ++i) {
+      const int32_t y = full[0][i];
+      const int32_t cb = full[1][i] - 128;
+      const int32_t cr = full[2][i] - 128;
+      int32_t r = y + ((91881 * cr + 32768) >> 16);
+      int32_t b = y + ((116130 * cb + 32768) >> 16);
+      int32_t g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16);
+      r = r < 0 ? 0 : (r > 255 ? 255 : r);
+      g = g < 0 ? 0 : (g > 255 ? 255 : g);
+      b = b < 0 ? 0 : (b > 255 ? 255 : b);
+      uint8_t *o = dst + i * 3;
+      o[0] = static_cast<uint8_t>(r);
+      o[1] = static_cast<uint8_t>(g);
+      o[2] = static_cast<uint8_t>(b);
+    }
+    return need;
+  }
+};
+
+}  // namespace jpeg
+
+extern "C" {
+
+// Parse a JPEG header: fills h/w/ncomp. Returns 0, or -1 malformed /
+// -2 unsupported (progressive, 12-bit, CMYK, ...).
+int32_t jpeg_probe(const uint8_t *src, int64_t len, int32_t *h, int32_t *w,
+                   int32_t *ncomp) {
+  jpeg::Decoder d(src, len);
+  const int rc = d.parse_headers();
+  if (rc) return rc;
+  *h = d.height;
+  *w = d.width;
+  *ncomp = d.ncomp;
+  return 0;
+}
+
+// Decode a baseline JPEG into dst (interleaved RGB8 for 3-component,
+// gray8 for 1-component). Returns bytes written, or -1 malformed /
+// -2 unsupported / -3 dst too small.
+int64_t jpeg_decode(const uint8_t *src, int64_t len, uint8_t *dst,
+                    int64_t cap) {
+  jpeg::Decoder d(src, len);
+  int rc = d.parse_headers();
+  if (rc) return rc;
+  rc = d.decode_scan();
+  if (rc) return rc;
+  return d.emit(dst, cap);
 }
 
 }  // extern "C"
