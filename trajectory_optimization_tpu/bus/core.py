@@ -62,6 +62,7 @@ class Bus:
         self._history: Dict[str, collections.deque] = collections.defaultdict(
             lambda: collections.deque(maxlen=self._history_len)
         )
+        self._taps: List[Callable] = []
 
     def subscribe(
         self, topic: str, callback: Callable, *, queue_size: int = 1, latch: bool = True
@@ -74,12 +75,35 @@ class Bus:
             callback(latched)
         return sub
 
+    def add_tap(self, fn: Callable) -> Callable:
+        """Register ``fn(topic, msg)`` to observe EVERY publish (no topic
+        filter) — the hook the cross-process bridge (bus.remote) exports
+        traffic through. Returns ``fn`` for later :meth:`remove_tap`.
+        Tap exceptions follow the bus error policy."""
+        with self._lock:
+            self._taps.append(fn)
+        return fn
+
+    def remove_tap(self, fn: Callable) -> None:
+        with self._lock:
+            if fn in self._taps:
+                self._taps.remove(fn)
+
     def publish(self, topic: str, msg) -> None:
         with self._lock:
             self._latched[topic] = msg
             if self._history_len:
                 self._history[topic].append(msg)
             subs = list(self._subs.get(topic, ()))
+            taps = list(self._taps)
+        for tap in taps:
+            try:
+                tap(topic, msg)
+            except Exception as e:  # noqa: BLE001 — isolation boundary
+                if self.error_policy == "raise":
+                    raise
+                event = {"topic": topic, "error": repr(e), "callback": repr(tap)}
+                self.errors.append(event)
         for sub in subs:
             try:
                 sub.callback(msg)

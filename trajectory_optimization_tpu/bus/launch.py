@@ -65,11 +65,33 @@ class Launch:
     bus: Bus
     nodes: Dict[str, object]
     feeders: List[object]
+    # set when the graph runs cross-process (processes=True presets):
+    broker: Optional[object] = None    # bus.remote.BusBroker
+    bridge: Optional[object] = None    # parent-side bus.remote.BusBridge
 
     def step(self) -> None:
         """One deterministic cycle: tick every feeder (callbacks fire inline)."""
         for f in self.feeders:
             f.tick()
+
+    def close(self) -> None:
+        """Tear down cross-process transport and node processes (no-op for
+        in-process graphs)."""
+        from trajectory_optimization_tpu.bus.remote import NodeProcess
+
+        if self.bridge is not None:
+            self.bridge.close()
+        if self.broker is not None:
+            self.broker.close()
+        for node in self.nodes.values():
+            if isinstance(node, NodeProcess):
+                node.terminate()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def spin(self, duration: float, rate: float = 1.0) -> None:
         """Threaded replay at ``rate`` Hz for ``duration`` seconds."""
@@ -91,10 +113,16 @@ def launch_trajectory_optimization(
     *,
     data_dir: str = "data/points",
     overrides: Optional[TrajOptNodeConfig] = None,
+    processes: bool = False,
 ) -> Launch:
     """`launch/trajectory_optimization.launch`: trajectory optimizer wired to
     cloud + path topics (subt-sim values: opt_steps 30, smooth_weight 28,
-    lr 0.12/0.05, `launch/trajectory_optimization.launch:44-49`)."""
+    lr 0.12/0.05, `launch/trajectory_optimization.launch:44-49`).
+
+    ``processes=True`` runs the optimizer as its own OS process bridged over
+    a unix socket (the reference's node-per-process runtime shape); the
+    returned handle's ``bus`` stays in the caller's process — publish inputs
+    and subscribe outputs there as usual, and ``close()`` when done."""
     enable_compilation_cache()
     bus = Bus()
     cfg = overrides or TrajOptNodeConfig(
@@ -106,26 +134,63 @@ def launch_trajectory_optimization(
         lr_quat=0.05,
         publish_rewards_cloud=True,
     )
+    if processes:
+        from trajectory_optimization_tpu.bus.remote import (
+            BusBridge,
+            BusBroker,
+            NodeProcess,
+        )
+
+        broker = BusBroker().start()
+        node = NodeProcess("TrajOptNode", cfg, broker.address)
+        bridge = BusBridge(bus, broker.address, name="launch-parent")
+        if not broker.wait_for_clients(2):
+            raise TimeoutError("trajectory node process did not attach")
+        return Launch(bus, {"traj_opt": node}, [], broker=broker, bridge=bridge)
     node = TrajOptNode(bus, cfg)
     return Launch(bus, {"traj_opt": node}, [])
 
 
-def launch_pose_optimization(*, data_dir: str = "data/points") -> Launch:
+def launch_pose_optimization(
+    *, data_dir: str = "data/points", processes: bool = False
+) -> Launch:
     """`launch/pose_optimization.launch`: cloud feeder + pose feeder + voxel
     filter + pose optimizer (opt_steps 200, lr 0.02/0.02,
-    `launch/pose_optimization.launch:55-59`)."""
+    `launch/pose_optimization.launch:55-59`).
+
+    ``processes=True`` reproduces the reference runtime shape — the voxel
+    filter and the optimizer each run as their own OS process
+    (launch/pose_optimization.launch:13-60 starts one process per
+    ``<node>``), bridged through a :class:`bus.remote.BusBroker`. Feeders
+    stay in the caller's process so ``Launch.step()`` still drives the whole
+    graph deterministically; optimized outputs arrive on the caller's bus.
+    Call ``close()`` (or use the handle as a context manager) to tear down.
+    """
     enable_compilation_cache()
     bus = Bus()
     feeder_c = CloudFeederNode(bus, CloudFeederConfig(output_topic="/pts_raw", data_dir=data_dir))
-    filt = VoxelFilterNode(
-        bus, VoxelFilterConfig(input_topic="/pts_raw", output_topic="/pts", leaf_size=0.15)
-    )
     feeder_p = PoseFeederNode(bus, PoseFeederConfig(output_topic="/pose"))
-    node = PoseOptNode(
-        bus,
-        PoseOptNodeConfig(pc_topic="/pts", pose_topic="/pose", opt_steps=200,
-                          lr_pose=0.02, lr_quat=0.02),
-    )
+    filt_cfg = VoxelFilterConfig(
+        input_topic="/pts_raw", output_topic="/pts", leaf_size=0.15)
+    opt_cfg = PoseOptNodeConfig(pc_topic="/pts", pose_topic="/pose",
+                                opt_steps=200, lr_pose=0.02, lr_quat=0.02)
+    if processes:
+        from trajectory_optimization_tpu.bus.remote import (
+            BusBridge,
+            BusBroker,
+            NodeProcess,
+        )
+
+        broker = BusBroker().start()
+        filt = NodeProcess("VoxelFilterNode", filt_cfg, broker.address)
+        node = NodeProcess("PoseOptNode", opt_cfg, broker.address)
+        bridge = BusBridge(bus, broker.address, name="launch-parent")
+        if not broker.wait_for_clients(3):
+            raise TimeoutError("node processes did not attach to the broker")
+        return Launch(bus, {"pose_opt": node, "voxel_filter": filt},
+                      [feeder_c, feeder_p], broker=broker, bridge=bridge)
+    filt = VoxelFilterNode(bus, filt_cfg)
+    node = PoseOptNode(bus, opt_cfg)
     return Launch(
         bus,
         {"pose_opt": node, "voxel_filter": filt},
