@@ -7,6 +7,7 @@ from trajectory_optimization_tpu.ops.hpr import (
     hpr_mask_approx,
     hpr_mask_exact,
     hpr_mask_soft,
+    hpr_mask_soft_binned,
     hpr_points_exact,
     spherical_flip,
 )
@@ -130,6 +131,145 @@ def test_soft_hpr_valid_mask(cam_cloud):
     # real points unaffected by padding; padded entries report ~0 visibility
     np.testing.assert_allclose(masked[:3000], plain, atol=3e-3)  # reduction-order drift through the sharp sigmoid
     assert masked[3000:].max() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# adversarial geometry (VERDICT r2 item 4): structured scenes vs the Qhull
+# oracle. The SubT-like scans this system targets are walls/corridors, not
+# the lumpy sample cloud the recall claim was originally validated on.
+# ---------------------------------------------------------------------------
+
+
+def _grid_plane(n, axis, value, span1, span2, jitter=0.0, seed=0):
+    """n×n grid on the plane axis=value; span1/span2 = (lo, hi) of the two
+    in-plane coordinates (in axis order, axis removed). Camera at origin."""
+    rng = np.random.default_rng(seed)
+    a1 = np.linspace(*span1, n, dtype=np.float32)
+    a2 = np.linspace(*span2, n, dtype=np.float32)
+    g1, g2 = np.meshgrid(a1, a2)
+    flat = np.stack([g1.ravel(), g2.ravel()], axis=1)
+    if jitter:
+        flat = flat + rng.normal(scale=jitter, size=flat.shape).astype(np.float32)
+    out = np.insert(flat, axis, np.float32(value), axis=1)
+    return out.astype(np.float32)
+
+
+def _scene_walls():
+    """Axis-aligned wall in front of a second wall (pure occlusion)."""
+    near = _grid_plane(60, 2, 3.0, (-3, 3), (-3, 3), jitter=0.01)
+    far = _grid_plane(60, 2, 7.0, (-6, 6), (-6, 6), jitter=0.01, seed=1)
+    return np.vstack([near, far])
+
+
+def _scene_corridor():
+    """Camera inside a corridor (two side walls + floor/ceiling) with a
+    thin occluder slab halfway down."""
+    walls = []
+    for i, (axis, value) in enumerate([(0, -1.2), (0, 1.2), (1, -1.0), (1, 1.0)]):
+        lateral = (-1.0, 1.0) if axis == 0 else (-1.2, 1.2)
+        w = _grid_plane(45, axis, value, lateral, (0.5, 9.5), jitter=0.01, seed=i)
+        walls.append(w)
+    occluder = _grid_plane(25, 2, 4.0, (-0.9, 0.9), (-0.8, 0.8), jitter=0.005, seed=11)
+    end_wall = _grid_plane(40, 2, 10.0, (-1.2, 1.2), (-1.0, 1.0), jitter=0.005, seed=12)
+    return np.vstack(walls + [occluder, end_wall])
+
+
+def _scene_plane_and_background():
+    """Dense foreground plane + sparse far background (density contrast)."""
+    rng = np.random.default_rng(3)
+    plane = _grid_plane(80, 2, 2.0, (-2, 2), (-2, 2), jitter=0.005)
+    back = rng.normal(size=(600, 3)).astype(np.float32)
+    back = back / np.linalg.norm(back, axis=1, keepdims=True) * 15.0
+    back[:, 2] = np.abs(back[:, 2]) + 5.0  # keep it behind the plane
+    return np.vstack([plane, back])
+
+
+def _scene_sphere_shell():
+    """Shell seen from outside: the near hemisphere is visible, the far
+    one hidden — the canonical Katz test case."""
+    rng = np.random.default_rng(4)
+    d = rng.normal(size=(6000, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return d * 2.0 + np.array([0.0, 0.0, 8.0], np.float32)
+
+
+_ADVERSARIAL_SCENES = {
+    "walls": _scene_walls,
+    "corridor": _scene_corridor,
+    "plane+background": _scene_plane_and_background,
+    "sphere-shell": _scene_sphere_shell,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ADVERSARIAL_SCENES))
+def test_approx_adversarial_geometry(name):
+    """hpr_mask_approx on structured scenes: recall ≥ 0.98 vs Qhull, and no
+    false positive deeper than 1e-4·2R inside the hull (the load-bearing
+    claim behind the pose HPR gate and PointsProcessor; reference semantics
+    `src/tools.py:56-85`).
+
+    Planar scenes (walls/corridor/plane) give exactly ZERO false positives.
+    Smooth curved silhouettes (the sphere shell) admit a handful of
+    *horizon-marginal* points — the visible/hidden boundary on a smooth rim
+    is ill-conditioned (an infinitesimal perturbation flips Qhull's own
+    verdict), and the measured offenders sit ≤6e-5·2R inside the hull. The
+    assertion pins that depth bound instead of pretending the boundary is
+    sharp."""
+    from scipy.spatial import ConvexHull
+
+    pts = _ADVERSARIAL_SCENES[name]().astype(np.float64)
+    truth = hpr_mask_exact(pts)
+    got = np.asarray(hpr_mask_approx(jnp.asarray(pts.astype(np.float32)))) > 0.5
+    recall = (got & truth).sum() / max(1, truth.sum())
+    assert recall >= 0.98, f"{name}: recall {recall:.4f}"
+    fp_idx = np.flatnonzero(got & ~truth)
+    assert len(fp_idx) <= 0.005 * max(1, truth.sum()), (
+        f"{name}: {len(fp_idx)} false positives")
+    if len(fp_idx):
+        norms = np.linalg.norm(pts, axis=1)
+        radius = norms.max() * 100.0
+        flipped = pts * (
+            (2.0 * (radius - norms) / np.maximum(norms, 1e-12)) + 1.0)[:, None]
+        hull = ConvexHull(np.vstack([flipped, np.zeros(3)]))
+        depth = (hull.equations[:, :3] @ flipped[fp_idx].T
+                 + hull.equations[:, 3:4]).max(0)
+        assert (depth > -1e-4 * 2.0 * radius).all(), (
+            f"{name}: non-marginal false positives, depth/2R "
+            f"{depth.min() / (2 * radius):.2e}")
+
+
+@pytest.mark.parametrize("name", sorted(_ADVERSARIAL_SCENES))
+def test_soft_binned_matches_dense_adversarial(name):
+    """The direction-binned soft HPR (hpr_mask_soft_binned) tracks the dense
+    O(N²) relaxation on structured geometry: ≤0.1% of points may flip near
+    the angular capture boundary, bulk mean error ≤1e-3."""
+    pts = jnp.asarray(_ADVERSARIAL_SCENES[name]())
+    dense = np.asarray(hpr_mask_soft(pts))
+    binned = np.asarray(hpr_mask_soft_binned(pts))
+    d = np.abs(dense - binned)
+    assert d.mean() <= 1e-3, f"{name}: mean {d.mean():.5f}"
+    assert (d > 0.05).mean() <= 1e-3, f"{name}: {(d > 0.05).sum()} flips"
+
+
+def test_soft_binned_bucketed_padding():
+    """Bucket-padded clouds (the serving path): padded entries report 0 and
+    do not perturb real points."""
+    from trajectory_optimization_tpu.utils.data import pad_points
+
+    pts = _scene_sphere_shell()
+    plain = np.asarray(hpr_mask_soft_binned(jnp.asarray(pts)))
+    padded, valid = pad_points(pts, 8192)
+    masked = np.asarray(
+        hpr_mask_soft_binned(jnp.asarray(padded), valid=jnp.asarray(valid)))
+    np.testing.assert_allclose(masked[: len(pts)], plain, atol=3e-3)
+    assert masked[len(pts):].max() < 1e-3
+
+
+def test_soft_binned_gradients():
+    pts = jnp.asarray(_scene_walls()[::4])
+    g = jax.grad(lambda p: jnp.sum(hpr_mask_soft_binned(p)))(pts)
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
 
 
 def test_pose_optimization_through_soft_hpr(cloud10):

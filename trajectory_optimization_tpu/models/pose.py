@@ -32,8 +32,10 @@ class PoseProblem:
     ``soft_hpr=True`` enables differentiable Katz occlusion *inside* the
     loss, recomputed per step on the camera-frame points — the capability the
     reference's TODO asked for (`src/tools.py:61-62`; its HPR is a detached
-    CPU Qhull call, and — bug — evaluated in the world frame). O(N²/block)
-    extra matmuls per step; use the precomputed ``occlusion_mask`` for large
+    CPU Qhull call, and — bug — evaluated in the world frame). Clouds over
+    32k points route through the direction-binned O(N·cap) relaxation
+    (ops.hpr.hpr_mask_soft_binned — verified on chip to 1M points); the
+    dense O(N²) form serves small clouds. ``occlusion_mask`` remains for
     clouds where a static world-frame gate suffices.
     """
 
@@ -89,10 +91,19 @@ def pose_forward(
     if problem.soft_hpr:
         # differentiable occlusion in the CAMERA frame, inside the loss
         from trajectory_optimization_tpu.ops.geometry import to_camera_frame
-        from trajectory_optimization_tpu.ops.hpr import hpr_mask_soft
+        from trajectory_optimization_tpu.ops.hpr import (
+            hpr_mask_soft,
+            hpr_mask_soft_binned,
+        )
 
         cam = to_camera_frame(points, params["quat"][0], params["trans"][0])
-        mask = hpr_mask_soft(cam, valid=valid) * mask
+        if points.shape[0] > 32768:
+            # direction-binned O(N·cap) relaxation: same formula, scales to
+            # the 1M north star (dense O(N²) tops out ~50k; see ops.hpr)
+            hpr = hpr_mask_soft_binned(cam, valid=valid)
+        else:
+            hpr = hpr_mask_soft(cam, valid=valid)
+        mask = hpr * mask
     if occlusion_mask is not None:
         mask = occlusion_mask * mask
     if valid is not None:

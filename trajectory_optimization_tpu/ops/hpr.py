@@ -293,3 +293,174 @@ def hpr_mask_soft(
     )  # finite sentinel: softmax weight underflows to 0, gradient stays clean
     smax = jax.nn.logsumexp(beta * dom, axis=1) / beta
     return jax.nn.sigmoid(beta * (rho + tau * scale - smax))
+
+
+def _binned_grids(r_param: float, tau: float, safety: float):
+    """Static lat/az binning layouts for :func:`hpr_mask_soft_binned`.
+
+    The Katz dominance term cosθᵢⱼ·ρⱼ only beats ρᵢ + τ·scale when
+    cosθ ≥ 1 − (1+τ)·maxnorm/2R, i.e. within θ_max ≈ √(2c) of radial
+    (c = (1+τ)·10^-r/2, padded by ``safety`` for the sigmoid tails) — for
+    the reference's r_param=2 that is ~7°. So dominance is local in
+    DIRECTION: bins of angular size Δ = 2θ_max, in four half-cell-staggered
+    grids (lat shift × az shift), guarantee any pair within (Δ/2, Δ/2)
+    shares a bin in at least one grid. Rings get ∝cos(lat) azimuth cells so
+    the cell's angular width is ~Δ at every latitude (no cube-map corner
+    distortion).
+
+    Returns (theta_max, list of (n_rings, delta, lat_shift, az_shift,
+    n_az array, ring offsets, n_bins)).
+    """
+    c = safety * (1.0 + tau) * 0.5 * 10.0 ** (-r_param)
+    theta_max = float(np.sqrt(2.0 * c))
+    delta = 2.0 * theta_max
+    grids = []
+    for lat_shift in (0.0, 0.5):
+        n_rings = int(np.ceil(np.pi / delta + lat_shift))
+        lat_centers = -np.pi / 2 + (np.arange(n_rings) + 0.5 - lat_shift) * delta
+        lat_centers = np.clip(lat_centers, -np.pi / 2, np.pi / 2)
+        n_az = np.maximum(
+            1, np.round(2.0 * np.pi * np.cos(lat_centers) / delta)
+        ).astype(np.int32)
+        offsets = np.concatenate([[0], np.cumsum(n_az)]).astype(np.int32)
+        for az_shift in (0.0, 0.5):
+            grids.append((n_rings, delta, lat_shift, az_shift, n_az,
+                          offsets[:-1], int(offsets[-1])))
+    return theta_max, grids
+
+
+@partial(jax.jit, static_argnames=("r_param", "sharpness", "tau", "cap", "safety"))
+def hpr_mask_soft_binned(
+    points: jnp.ndarray,
+    r_param: float = 2.0,
+    *,
+    sharpness: float = 200.0,
+    tau: float = 0.03,
+    cap: int = 1024,
+    safety: float = 3.0,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Differentiable HPR at scale: direction-binned dominance, O(N·cap).
+
+    Same smooth visibility as :func:`hpr_mask_soft` — σ(β(ρᵢ + τ·scale −
+    softmaxⱼ cosθᵢⱼ·ρⱼ)) — but each point only competes against members of
+    its own angular bin (see :func:`_binned_grids`: the coverer is always
+    within ~θ_max of radial, so far-angle pairs contribute only sigmoid
+    tail mass). Layout is TPU-shaped end to end:
+
+    - one sort per grid by (bin, ‖p‖): bin members become CONTIGUOUS with
+      the closest (strongest-covering, largest ρ) members first;
+    - a scan over fixed-size query tiles: each tile is a ``dynamic_slice``
+      of ``cap`` consecutive sorted queries against the first ``cap``
+      members of their bin — contiguous slices, so forward AND backward
+      lower to dynamic(-update)-slice, never a row scatter (60 ns/row
+      serialized on TPU, CLAUDE.md);
+    - per-grid soft maxima combine by elementwise max (union lower bound,
+      under-counts duplicated pairs by ≤ ln4/β — below f32 noise).
+
+    Approximation vs the dense form: exact to sigmoid-tail precision except
+    in bins holding more than ``cap`` points, where only the ``cap``
+    closest members act as coverers (the dropped ones are the farthest —
+    the weakest ρ). Agreement is pinned in tests/test_hpr.py.
+
+    ``valid`` follows the package convention: padded points contribute
+    nothing and report 0. Returns (N,) visibility in (0, 1).
+    """
+    n = points.shape[0]
+    cap = min(cap, n)
+    norms = jnp.linalg.norm(points, axis=-1)
+    if valid is not None:
+        v = valid > 0
+        norms_v = jnp.where(v, norms, 0.0)
+    else:
+        v = None
+        norms_v = norms
+    radius = jnp.maximum(jnp.max(norms_v), 1e-12) * 10.0 ** r_param
+    rho = 2.0 * radius - norms
+    scale = jax.lax.stop_gradient(jnp.maximum(jnp.max(norms_v), 1e-6))
+    beta = sharpness / scale
+    u = points / jnp.maximum(norms, 1e-12)[:, None]
+
+    # direction angles (routing only — visibility gradients flow through
+    # rho/u inside the tiles, not through the discrete bin assignment)
+    ud = jax.lax.stop_gradient(u)
+    lat = jnp.arcsin(jnp.clip(ud[:, 2], -1.0, 1.0))
+    az = jnp.arctan2(ud[:, 1], ud[:, 0]) + np.pi  # [0, 2π)
+
+    _, grids = _binned_grids(r_param, tau, safety)
+    smax = jnp.full((n,), -_BIG_SOFT, jnp.float32)
+    for n_rings, delta, lat_shift, az_shift, n_az_np, offs_np, n_bins in grids:
+        n_az = jnp.asarray(n_az_np)
+        offs = jnp.asarray(offs_np)
+        ring = jnp.clip(
+            jnp.floor((lat + np.pi / 2) / delta + lat_shift).astype(jnp.int32),
+            0, n_rings - 1)
+        cells = n_az[ring]
+        azbin = jnp.floor(az / (2.0 * np.pi) * cells + az_shift).astype(jnp.int32)
+        azbin = jnp.where(azbin >= cells, azbin - cells, azbin)  # wrap
+        bins = offs[ring] + azbin
+        if v is not None:
+            bins = jnp.where(v, bins, n_bins)  # padding -> overflow bin
+
+        # sort by (bin, distance): closest members of each bin first
+        frac = jnp.clip(norms / jnp.maximum(scale, 1e-12), 0.0, 1.0 - 1e-6)
+        key = bins * (1 << 20) + (frac * float(1 << 20)).astype(jnp.int32)
+        perm = jax.lax.stop_gradient(jnp.argsort(key))
+        inv_perm = jax.lax.stop_gradient(jnp.argsort(perm))
+        u_s = u[perm]
+        rho_s = rho[perm]
+        bin_s = bins[perm]
+
+        counts = jnp.bincount(bins, length=n_bins + 1)[:n_bins]
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])[:n_bins]
+        tiles_per_bin = -(-counts // cap)  # ceil; 0 for empty bins
+        tile_cum = jnp.concatenate(
+            [jnp.zeros((1,), tiles_per_bin.dtype), jnp.cumsum(tiles_per_bin)])
+        n_tiles_static = n_bins + -(-n // cap)
+
+        slot = jnp.arange(n_tiles_static)
+        tile_bin = jnp.clip(
+            jnp.searchsorted(tile_cum, slot, side="right") - 1, 0, n_bins - 1)
+        within = slot - tile_cum[tile_bin]
+        tile_ok = within < tiles_per_bin[tile_bin]
+        tile_qoff = jnp.clip(starts[tile_bin] + within * cap, 0, n - cap)
+        tile_coff = jnp.clip(starts[tile_bin], 0, n - cap)
+
+        @jax.checkpoint  # recompute the (cap, cap) tile in backward: saving
+        # it per scan step held n_tiles·cap² residuals (18+ GB at 64k pts on
+        # a 16 GB chip, measured OOM); remat keeps residuals O(cap)
+        def tile_smax(b, qoff, coff, u_s, rho_s, bin_s):
+            qu = jax.lax.dynamic_slice(u_s, (qoff, 0), (cap, 3))
+            cu = jax.lax.dynamic_slice(u_s, (coff, 0), (cap, 3))
+            crho = jax.lax.dynamic_slice(rho_s, (coff,), (cap,))
+            cbin = jax.lax.dynamic_slice(bin_s, (coff,), (cap,))
+            qi = qoff + jnp.arange(cap)
+            ci = coff + jnp.arange(cap)
+            # elementwise broadcast (K=3 matmul is MXU-hostile; fuses into
+            # the logsumexp like the dense path)
+            cos = (qu[:, 0:1] * cu[None, :, 0] + qu[:, 1:2] * cu[None, :, 1]
+                   + qu[:, 2:3] * cu[None, :, 2])
+            pair_ok = ((cbin[None, :] == b)
+                       & (qi[:, None] != ci[None, :]))
+            dom = jnp.where(pair_ok, jnp.maximum(cos, 0.0) * crho[None, :],
+                            -_BIG_SOFT)
+            return jax.nn.logsumexp(beta * dom, axis=1) / beta
+
+        def body(carry, tile, u_s=u_s, rho_s=rho_s, bin_s=bin_s):
+            b, qoff, coff, ok = tile
+            qbin = jax.lax.dynamic_slice(bin_s, (qoff,), (cap,))
+            s = tile_smax(b, qoff, coff, u_s, rho_s, bin_s)
+            cur = jax.lax.dynamic_slice(carry, (qoff,), (cap,))
+            upd = jnp.where((qbin == b) & ok, jnp.maximum(cur, s), cur)
+            return jax.lax.dynamic_update_slice(carry, upd, (qoff,)), None
+
+        smax_g = jnp.full((n,), -_BIG_SOFT, jnp.float32)
+        smax_g, _ = jax.lax.scan(
+            body, smax_g, (tile_bin, tile_qoff, tile_coff, tile_ok))
+        smax = jnp.maximum(smax, smax_g[inv_perm])
+
+    out = jax.nn.sigmoid(beta * (rho + tau * scale - smax))
+    if v is not None:
+        out = out * v.astype(jnp.float32)
+    return out
