@@ -415,13 +415,19 @@ def bench_node_throughput(pts_np, poses_np, n_msgs=20, pipeline_depth=1):
 
     send(0.0)  # warm up (compiles)
     node.flush()
+    rtt = _fetch_rtt()
     t0 = time.perf_counter()
     for i in range(n_msgs):
         send(float(i + 1) * 10.0)
     node.flush()  # the timed window includes draining in-flight results
     dt = time.perf_counter() - t0
     assert len(out) == n_msgs + 1, f"published {len(out)} of {n_msgs + 1}"
-    return n_msgs / dt
+    # a depth-1 callback pays ~2 link round trips (dispatch + result fetch);
+    # subtracting them estimates the framework cost a local-PCIe host sees
+    per_msg = dt / n_msgs
+    link_per_msg = 2.0 * rtt if pipeline_depth == 1 else 2.0 * rtt / pipeline_depth
+    rate_ex = 1.0 / max(per_msg - link_per_msg, 1e-9)
+    return n_msgs / dt, rate_ex, rtt
 
 
 def main():
@@ -434,6 +440,21 @@ def main():
 
     pts = load_point_cloud("data/points/point_cloud_10.npz")
     path = load_path("data/paths/path_poses_10.npz")
+
+    # label the environment cost up front (VERDICT r2 item 7): every device
+    # dispatch AND device->host fetch in this environment crosses a tunneled
+    # link; serving-mode rates below INCLUDE that, production scan rates
+    # amortize it away. This is environment latency, not framework cost.
+    import jax.numpy as _jnp
+
+    np.asarray(_jnp.zeros(8))  # init backend before probing
+    link_rtt = _fetch_rtt()
+    print(
+        f"[bench] link RTT (dispatch+fetch round trip, tunneled TPU): "
+        f"{link_rtt * 1e3:.1f} ms — environment latency; serving-mode and "
+        f"msgs/s figures include it, scan/production figures amortize it",
+        file=sys.stderr,
+    )
 
     # headline: the reference workload through the production (scan) loop —
     # the reference's 400-step sample workload, measured over a 2000-step
@@ -513,19 +534,24 @@ def main():
 
     # serving: full node callback (decode, pad, optimize 30 steps, publish)
     try:
-        rate_node = bench_node_throughput(pts, path)
+        rate_node, rate_node_ex, rtt_n = bench_node_throughput(pts, path)
         print(
-            f"[bench] TrajOptNode end-to-end (30-step callbacks): {rate_node:.2f} msgs/s",
+            f"[bench] TrajOptNode end-to-end (30-step callbacks): "
+            f"{rate_node:.2f} msgs/s wall; ~{rate_node_ex:.2f} msgs/s "
+            f"excluding the ~2x{rtt_n * 1e3:.0f} ms link RTT each callback "
+            f"pays in this environment",
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] node throughput failed: {e}", file=sys.stderr)
 
     try:
-        rate_node_p = bench_node_throughput(pts, path, pipeline_depth=3)
+        rate_node_p, rate_node_p_ex, rtt_p = bench_node_throughput(
+            pts, path, pipeline_depth=3)
         print(
             f"[bench] TrajOptNode pipelined (depth 3, 30-step callbacks): "
-            f"{rate_node_p:.2f} msgs/s",
+            f"{rate_node_p:.2f} msgs/s wall; ~{rate_node_p_ex:.2f} msgs/s "
+            f"excluding amortized link RTT",
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
@@ -538,6 +564,10 @@ def main():
                 "value": round(rate_ref, 2),
                 "unit": "steps/s",
                 "vs_baseline": round(rate_ref / 8.0, 2),
+                # environment latency label (VERDICT r2 item 7): serving-mode
+                # stderr figures include this per-dispatch link cost; the
+                # headline scan metric amortizes it
+                "link_rtt_ms": round(link_rtt * 1e3, 1),
             }
         )
     )

@@ -747,6 +747,16 @@ def fused_lo_sum(
     Drop-in equivalent of models.traj's score→normalize→clip→log-odds→sum
     chain; differentiable w.r.t. quats/trans. img/dist limits must be static
     Python floats (they are baked into the kernel); K may be traced.
+
+    Gradient accuracy bound (pinned in
+    tests/test_pallas_vis.py::test_large_w_grad_vs_f64_oracle): at W=128
+    the hand-derived backward stays within relnorm 2e-3 of an f64 oracle
+    and within 3× of XLA autodiff's own f32 error (measured 4.4e-4 vs
+    5.9e-4 at N=4k — the Pallas backward is CLOSER to truth than autodiff).
+    The Pallas-vs-XLA f32 relnorm itself grows to ~3e-2 at W≥128/N=256k —
+    that is clip-boundary tail rounding (~1e6 log-odds derivative near the
+    1−eps ceiling), NOT kernel error; a real backward regression shows up
+    two orders above these bounds.
     """
     N = points.shape[0]
     W = quats.shape[0]
