@@ -231,6 +231,53 @@ def test_bag_roundtrip_compressed_streams(tmp_path):
     assert keep.encoding == "jpeg" and bytes(keep.data) == prog
 
 
+@pytest.mark.parametrize("backend", ["numpy", "native"])
+def test_jpeg_fuzz_mutations(backend):
+    """Robustness: random byte mutations of a valid stream must decode or
+    raise JpegError — never crash, hang, or read out of bounds (the native
+    path runs in-process; a bounds bug here is a segfault, and one was
+    found this way: SOS table ids 4-15 indexed a 4-entry array)."""
+    if backend == "native" and not native_available():
+        pytest.skip("no native toolchain")
+    data, _ = _fixture("rgb_q85_420.jpg")
+    rng = np.random.default_rng(99)
+    decode = decode_jpeg if backend == "numpy" else jpeg_decode_native
+    for trial in range(150):
+        buf = bytearray(data)
+        for _ in range(rng.integers(1, 6)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        try:
+            out = decode(bytes(buf))
+            assert out.dtype == np.uint8 and out.ndim in (2, 3)
+        except JpegError:
+            pass  # malformed/unsupported is the expected failure mode
+    # truncations at every region of the stream
+    for cut in range(2, len(data), max(1, len(data) // 64)):
+        try:
+            decode(data[:cut])
+        except JpegError:
+            pass
+
+
+def test_png_fuzz_mutations():
+    data, _ = _fixture("rgb.png")
+    rng = np.random.default_rng(100)
+    for trial in range(150):
+        buf = bytearray(data)
+        for _ in range(rng.integers(1, 6)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        try:
+            out = decode_png(bytes(buf))
+            assert out.ndim in (2, 3)
+        except PngError:
+            pass
+    for cut in range(1, len(data), max(1, len(data) // 64)):
+        try:
+            decode_png(data[:cut])
+        except PngError:
+            pass
+
+
 # ---------------------------------------------------------------------------
 # live library-oracle sweeps (stronger coverage where PIL/cv2 exist)
 # ---------------------------------------------------------------------------

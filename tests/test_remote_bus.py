@@ -91,6 +91,72 @@ def test_bridge_export_filter_and_internal_topics():
         bb.close()
 
 
+def test_broker_survives_client_churn():
+    """A client dying mid-stream (the reference's crashing-ROS-node case)
+    must not take down the broker or the surviving subscribers."""
+    with BusBroker() as broker:
+        a, b = Bus(), Bus()
+        ba = BusBridge(a, broker.address, name="A")
+        bb = BusBridge(b, broker.address, name="B")
+        c = Bus()
+        bc = BusBridge(c, broker.address, name="C")
+        assert broker.wait_for_clients(3, timeout=10)
+        got_b, got_c = [], []
+        b.subscribe("/p", got_b.append)
+        c.subscribe("/p", got_c.append)
+
+        def send(stamp):
+            a.publish("/p", PoseMsg(Header(stamp=stamp, frame_id="m"),
+                                    [stamp, 0, 0], [0, 0, 0, 1]))
+
+        send(1.0)
+        assert _wait(lambda: got_b and got_c, 10)
+        # C dies abruptly (socket close, no goodbye)
+        bc._sock.close()
+        for k in range(20):
+            send(2.0 + k)
+        assert _wait(lambda: len(got_b) >= 21, 10), len(got_b)
+        time.sleep(0.2)
+        assert broker.n_clients() == 2  # C reaped
+        # B still healthy and ordered
+        stamps = [m.header.stamp for m in got_b]
+        assert stamps == sorted(stamps)
+        ba.close()
+        bb.close()
+
+
+def test_broker_drop_oldest_backpressure():
+    """A slow subscriber loses its OLDEST frames (ROS queue_size semantics)
+    instead of deadlocking the broker (bounded outbox)."""
+    with BusBroker(queue_size=4) as broker:
+        a, b = Bus(), Bus()
+        ba = BusBridge(a, broker.address, name="A")
+        blocked = []
+        block = [True]
+
+        def slow_cb(m):
+            while block[0]:
+                time.sleep(0.01)
+            blocked.append(m)
+
+        b.subscribe("/p", slow_cb)
+        bb = BusBridge(b, broker.address, name="B")
+        assert broker.wait_for_clients(2, timeout=10)
+        for k in range(40):
+            a.publish("/p", PoseMsg(Header(stamp=float(k), frame_id="m"),
+                                    [float(k), 0, 0], [0, 0, 0, 1]))
+        time.sleep(0.3)
+        block[0] = False
+        assert _wait(lambda: ba.n_sent == 40, 10)
+        assert _wait(lambda: len(blocked) >= 2, 10)
+        time.sleep(0.5)
+        # far fewer than 40 delivered; the NEWEST survived
+        assert len(blocked) < 40
+        assert blocked[-1].header.stamp == 39.0
+        ba.close()
+        bb.close()
+
+
 @pytest.mark.slow
 def test_trajopt_node_cross_process(cloud10, path10):
     """launch_trajectory_optimization(processes=True): the optimizer runs in

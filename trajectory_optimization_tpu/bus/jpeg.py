@@ -327,7 +327,11 @@ def _decode_scan(buf, pos, comps, qt, huff_dc, huff_ac, height, width,
                                 diff = _extend(v, s)
                             else:
                                 diff = 0
-                            preds[ci] += diff
+                            # int32 wrap: corrupt streams can run the DC
+                            # predictor arbitrarily high (fuzz-found); the
+                            # native path wraps identically
+                            preds[ci] = ((preds[ci] + diff + 0x80000000)
+                                         & 0xFFFFFFFF) - 0x80000000
                             blk[0] = preds[ci]
                             # --- AC ---
                             k = 1
@@ -375,11 +379,19 @@ def _decode_scan(buf, pos, comps, qt, huff_dc, huff_ac, height, width,
 def _reconstruct(c: _Component, qtbl: np.ndarray) -> np.ndarray:
     """Dequantize + de-zigzag + IDCT one component into its sample plane."""
     deq = c.coef * qtbl[None, :]
-    blocks = np.zeros((deq.shape[0], 64), dtype=np.float64)
-    blocks[:, _ZIGZAG] = deq
-    blocks = blocks.reshape(-1, 8, 8)
-    # separable IDCT, double precision: A @ B @ A.T
-    spatial = np.einsum("xu,nuv,yv->nxy", _A, blocks, _A, optimize=True)
+    # DC-only blocks (very common for chroma / smooth regions): the IDCT
+    # is the constant DC/8 — skip the 1024-flop transform. Same shortcut
+    # in the C++ path (native jpeg::reconstruct) keeps the backends matched.
+    dc_only = ~np.any(deq[:, 1:], axis=1)
+    full = np.flatnonzero(~dc_only)
+    spatial = np.empty((deq.shape[0], 8, 8), dtype=np.float64)
+    spatial[dc_only] = (deq[dc_only, 0] * 0.125)[:, None, None]
+    if full.size:
+        blocks = np.zeros((full.size, 64), dtype=np.float64)
+        blocks[:, _ZIGZAG] = deq[full]
+        blocks = blocks.reshape(-1, 8, 8)
+        # separable IDCT, double precision: A @ B @ A.T
+        spatial[full] = np.einsum("xu,nuv,yv->nxy", _A, blocks, _A, optimize=True)
     pix = np.floor(spatial + 0.5).astype(np.int32) + 128
     np.clip(pix, 0, 255, out=pix)
     plane = (

@@ -202,11 +202,12 @@ const uint8_t kZigzag[64] = {
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
 struct Huff {
-  std::vector<uint8_t> lut_len, lut_val;  // 16-bit peek LUT
+  // 16-bit peek LUT, one load per symbol: entry = (code_len << 8) | value
+  // (code_len == 0 marks an invalid prefix)
+  std::vector<uint16_t> lut;
   bool valid = false;
   int build(const uint8_t *counts, const uint8_t *values) {
-    lut_len.assign(1 << 16, 0);
-    lut_val.assign(1 << 16, 0);
+    lut.assign(1 << 16, 0);
     uint32_t code = 0;
     int k = 0;
     for (int length = 1; length <= 16; ++length) {
@@ -214,10 +215,9 @@ struct Huff {
         if (code >= (1u << length)) return kErrMalformed;
         const uint32_t lo = code << (16 - length);
         const uint32_t hi = lo + (1u << (16 - length));
-        for (uint32_t c = lo; c < hi; ++c) {
-          lut_len[c] = static_cast<uint8_t>(length);
-          lut_val[c] = values[k];
-        }
+        const uint16_t entry =
+            static_cast<uint16_t>((length << 8) | values[k]);
+        for (uint32_t c = lo; c < hi; ++c) lut[c] = entry;
         ++code;
         ++k;
       }
@@ -334,6 +334,8 @@ struct Decoder {
         if (slen < 1 + 2 * ns) return kErrMalformed;
         for (int s = 0; s < ns; ++s) {
           const int cs = seg[1 + 2 * s], tdta = seg[2 + 2 * s];
+          // table ids index the 4-entry hdc/hac arrays — reject out-of-range
+          if ((tdta >> 4) > 3 || (tdta & 15) > 3) return kErrMalformed;
           bool found = false;
           for (int c = 0; c < ncomp; ++c) {
             if (comps[c].cid == cs) {
@@ -414,58 +416,68 @@ struct Decoder {
       uint64_t acc = 0;
       int nbits = 0;
       int64_t bpos = 0;
-      int32_t preds[3] = {0, 0, 0};
+      // int64 accumulate + wrapping cast: corrupt streams can run the
+      // DC predictor past int32 (fuzz-found); matches the NumPy path
+      int64_t preds[3] = {0, 0, 0};
+      // bulk refill: the chunk is already de-stuffed, so 4 bytes load at
+      // once except near the end (pad with 1-bits per T.81 past EOS)
+      auto refill = [&](int need) {
+        while (nbits < need) {
+          if (bpos + 4 <= nbytes && nbits <= 31) {
+            acc = (acc << 32) |
+                  (static_cast<uint64_t>(data[bpos]) << 24) |
+                  (static_cast<uint64_t>(data[bpos + 1]) << 16) |
+                  (static_cast<uint64_t>(data[bpos + 2]) << 8) |
+                  static_cast<uint64_t>(data[bpos + 3]);
+            bpos += 4;
+            nbits += 32;
+          } else {
+            acc = (acc << 8) | (bpos < nbytes ? data[bpos] : 0xFF);
+            ++bpos;
+            nbits += 8;
+          }
+        }
+      };
       const int64_t stop = mcu + interval < n_mcus ? mcu + interval : n_mcus;
       while (mcu < stop) {
         const int64_t my = mcu / mcus_x, mx = mcu % mcus_x;
         for (int ci = 0; ci < ncomp; ++ci) {
           Component &c = comps[ci];
-          const uint8_t *dlen = hdc[c.td].lut_len.data();
-          const uint8_t *dval = hdc[c.td].lut_val.data();
-          const uint8_t *alen = hac[c.ta].lut_len.data();
-          const uint8_t *aval = hac[c.ta].lut_val.data();
+          const uint16_t *dlut = hdc[c.td].lut.data();
+          const uint16_t *alut = hac[c.ta].lut.data();
           for (int by = 0; by < c.v; ++by) {
             const int64_t row = (my * c.v + by) * c.nbx + mx * c.h;
             for (int bx = 0; bx < c.h; ++bx) {
               int32_t *blk = c.coef.data() + (row + bx) * 64;
               // --- DC ---
-              while (nbits < 16) {
-                acc = (acc << 8) | (bpos < nbytes ? data[bpos] : 0xFF);
-                ++bpos;
-                nbits += 8;
-              }
+              refill(16);
               uint32_t peek = (acc >> (nbits - 16)) & 0xFFFF;
-              int ln = dlen[peek];
+              uint16_t entry = dlut[peek];
+              int ln = entry >> 8;
               if (ln == 0) return kErrMalformed;
               nbits -= ln;
-              const int s = dval[peek];
+              const int s = entry & 0xFF;
               int32_t diff = 0;
               if (s) {
-                while (nbits < s) {
-                  acc = (acc << 8) | (bpos < nbytes ? data[bpos] : 0xFF);
-                  ++bpos;
-                  nbits += 8;
-                }
+                refill(s);
                 const int v =
                     static_cast<int>((acc >> (nbits - s)) & ((1u << s) - 1));
                 nbits -= s;
                 diff = extend(v, s);
               }
-              preds[ci] += diff;
-              blk[0] = preds[ci];
+              preds[ci] = static_cast<int32_t>(
+                  static_cast<uint32_t>(preds[ci] + diff));
+              blk[0] = static_cast<int32_t>(preds[ci]);
               // --- AC ---
               int k = 1;
               while (k < 64) {
-                while (nbits < 16) {
-                  acc = (acc << 8) | (bpos < nbytes ? data[bpos] : 0xFF);
-                  ++bpos;
-                  nbits += 8;
-                }
+                refill(16);
                 peek = (acc >> (nbits - 16)) & 0xFFFF;
-                ln = alen[peek];
+                entry = alut[peek];
+                ln = entry >> 8;
                 if (ln == 0) return kErrMalformed;
                 nbits -= ln;
-                const int rs = aval[peek];
+                const int rs = entry & 0xFF;
                 const int r = rs >> 4, sa = rs & 15;
                 if (sa == 0) {
                   if (r != 15) break;  // EOB
@@ -474,11 +486,7 @@ struct Decoder {
                 }
                 k += r;
                 if (k > 63) return kErrMalformed;
-                while (nbits < sa) {
-                  acc = (acc << 8) | (bpos < nbytes ? data[bpos] : 0xFF);
-                  ++bpos;
-                  nbits += 8;
-                }
+                refill(sa);
                 const int v =
                     static_cast<int>((acc >> (nbits - sa)) & ((1u << sa) - 1));
                 nbits -= sa;
@@ -498,45 +506,78 @@ struct Decoder {
 
   // Dequantize + de-zigzag + double-precision IDCT one component into an
   // int32 sample plane (clipped 0..255), matching bus/jpeg.py bit-for-bit.
-  void reconstruct(const Component &c, std::vector<int32_t> &plane) const {
+  // The plane is fully overwritten, so it is allocated UNinitialized
+  // (profiled: zero-filling the three 8 MB planes cost ~40% as much as
+  // the whole IDCT).
+  void reconstruct(const Component &c, std::unique_ptr<int32_t[]> &plane_up) const {
     static double A[8][8];
+    static double AT[8][8];
     static bool init = false;
     if (!init) {
       for (int x = 0; x < 8; ++x)
         for (int u = 0; u < 8; ++u)
           A[x][u] = (u == 0 ? std::sqrt(0.5) : 1.0) / 2.0 *
                     std::cos((2 * x + 1) * u * M_PI / 16.0);
+      for (int x = 0; x < 8; ++x)
+        for (int u = 0; u < 8; ++u) AT[u][x] = A[x][u];
       init = true;
     }
     const int pw = c.nbx * 8;
-    plane.assign(static_cast<size_t>(c.nby) * 8 * pw, 0);
+    plane_up.reset(new int32_t[static_cast<size_t>(c.nby) * 8 * pw]);
+    int32_t *plane = plane_up.get();
     const int32_t *q = qt[c.tq];
     double B[8][8], tmp[8][8];
     for (int byy = 0; byy < c.nby; ++byy) {
       for (int bxx = 0; bxx < c.nbx; ++bxx) {
         const int32_t *blk =
             c.coef.data() + (static_cast<int64_t>(byy) * c.nbx + bxx) * 64;
+        bool dc_only = true;
+        for (int k = 1; k < 64; ++k) {
+          if (blk[k]) {
+            dc_only = false;
+            break;
+          }
+        }
+        if (dc_only) {
+          // IDCT of a DC-only block is the constant DC/8 (same shortcut
+          // as bus/jpeg.py::_reconstruct, keeping the backends matched)
+          const double dcv = static_cast<double>(blk[0]) * q[0] * 0.125;
+          int32_t p = static_cast<int32_t>(std::floor(dcv + 0.5)) + 128;
+          p = p < 0 ? 0 : (p > 255 ? 255 : p);
+          for (int x = 0; x < 8; ++x)
+            for (int y = 0; y < 8; ++y)
+              plane[(static_cast<int64_t>(byy) * 8 + x) * pw + bxx * 8 + y] = p;
+          continue;
+        }
         for (int u = 0; u < 8; ++u)
           for (int v = 0; v < 8; ++v) B[u][v] = 0.0;
         for (int k = 0; k < 64; ++k) {
           const int idx = kZigzag[k];
           B[idx >> 3][idx & 7] = static_cast<double>(blk[k]) * q[k];
         }
-        // tmp[u][y] = sum_v B[u][v] * A[y][v]
-        for (int u = 0; u < 8; ++u)
-          for (int y = 0; y < 8; ++y) {
-            double s = 0.0;
-            for (int v = 0; v < 8; ++v) s += B[u][v] * A[y][v];
-            tmp[u][y] = s;
+        // tmp[u][y] = sum_v B[u][v] * A[y][v]; saxpy form over contiguous y
+        // so -O3 auto-vectorizes both stages (A is transposed once, below)
+        for (int u = 0; u < 8; ++u) {
+          for (int y = 0; y < 8; ++y) tmp[u][y] = 0.0;
+          for (int v = 0; v < 8; ++v) {
+            const double b = B[u][v];
+            const double *at = AT[v];
+            for (int y = 0; y < 8; ++y) tmp[u][y] += b * at[y];
           }
-        for (int x = 0; x < 8; ++x)
+        }
+        for (int x = 0; x < 8; ++x) {
+          double srow[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+          for (int u = 0; u < 8; ++u) {
+            const double a = A[x][u];
+            const double *t = tmp[u];
+            for (int y = 0; y < 8; ++y) srow[y] += a * t[y];
+          }
           for (int y = 0; y < 8; ++y) {
-            double s = 0.0;
-            for (int u = 0; u < 8; ++u) s += A[x][u] * tmp[u][y];
-            int32_t p = static_cast<int32_t>(std::floor(s + 0.5)) + 128;
+            int32_t p = static_cast<int32_t>(std::floor(srow[y] + 0.5)) + 128;
             p = p < 0 ? 0 : (p > 255 ? 255 : p);
             plane[(static_cast<int64_t>(byy) * 8 + x) * pw + bxx * 8 + y] = p;
           }
+        }
       }
     }
   }
@@ -550,73 +591,60 @@ struct Decoder {
       out[2 * i + 1] = (3 * in[i] + in[i + 1] + 2) >> 2;
   }
 
-  // Upsample a cropped component plane to full (height x width), int32.
-  void upsample(const Component &c, const std::vector<int32_t> &plane,
-                int hmax, int vmax, std::vector<int32_t> &out) const {
+  // Fill ONE upsampled output row of component c into out[width]
+  // (integer-exact per-row forms of the libjpeg fancy upsamplers above;
+  // row streaming avoids materializing three full-size planes — profiled
+  // at ~half of emit()'s cost). scratch must hold >= 3*width + 8 ints.
+  void upsample_row(const Component &c, const int32_t *plane, int hmax,
+                    int vmax, int r, int32_t *out, int32_t *scratch) const {
     const int pw = c.nbx * 8;
     const int cw = (width * c.h + hmax - 1) / hmax;
     const int chh = (height * c.v + vmax - 1) / vmax;
     const int sh = (hmax % c.h == 0) ? hmax / c.h : 0;
     const int sv = (vmax % c.v == 0) ? vmax / c.v : 0;
-    out.assign(static_cast<size_t>(height) * width, 0);
     if (sh == 1 && sv == 1) {
-      for (int r = 0; r < height; ++r)
-        for (int col = 0; col < width; ++col)
-          out[static_cast<int64_t>(r) * width + col] =
-              plane[static_cast<int64_t>(r) * pw + col];
+      const int32_t *row = plane + static_cast<int64_t>(r) * pw;
+      for (int col = 0; col < width; ++col) out[col] = row[col];
     } else if (sh == 2 && sv == 1) {
-      std::vector<int32_t> row(2 * cw);
-      for (int r = 0; r < chh && r < height; ++r) {
-        fancy_h2_row(plane.data() + static_cast<int64_t>(r) * pw, cw,
-                     row.data());
-        for (int col = 0; col < width; ++col)
-          out[static_cast<int64_t>(r) * width + col] = row[col];
-      }
+      int32_t *row = scratch;
+      fancy_h2_row(plane + static_cast<int64_t>(r) * pw, cw, row);
+      for (int col = 0; col < width; ++col) out[col] = row[col];
     } else if (sh == 1 && sv == 2) {  // transpose of fancy_h2, per column
-      for (int r = 0; r < height; ++r) {
-        const int rr = r >> 1;
-        const int other = (r & 1) ? (rr + 1 < chh ? rr + 1 : rr)
-                                  : (rr > 0 ? rr - 1 : rr);
-        const bool edge = (r == 0) || (r == 2 * chh - 1);
-        const int bias = (r & 1) ? 2 : 1;
-        for (int col = 0; col < width; ++col) {
-          const int32_t a = plane[static_cast<int64_t>(rr) * pw + col];
-          const int32_t b = plane[static_cast<int64_t>(other) * pw + col];
-          out[static_cast<int64_t>(r) * width + col] =
-              edge ? a : ((3 * a + b + bias) >> 2);
-        }
-      }
+      const int rr = r >> 1;
+      const int other = (r & 1) ? (rr + 1 < chh ? rr + 1 : rr)
+                                : (rr > 0 ? rr - 1 : rr);
+      const bool edge = (r == 0) || (r == 2 * chh - 1);
+      const int bias = (r & 1) ? 2 : 1;
+      const int32_t *pa = plane + static_cast<int64_t>(rr) * pw;
+      const int32_t *pb = plane + static_cast<int64_t>(other) * pw;
+      for (int col = 0; col < width; ++col)
+        out[col] = edge ? pa[col] : ((3 * pa[col] + pb[col] + bias) >> 2);
     } else if (sh == 2 && sv == 2) {
       // column sums (3*near + other row), then horizontal triangular pass
-      std::vector<int32_t> cs(cw), row(2 * cw);
-      for (int r = 0; r < height; ++r) {
-        const int rr = r >> 1;
-        const int near = rr < chh ? rr : chh - 1;
-        int other = (r & 1) ? near + 1 : near - 1;
-        other = other < 0 ? 0 : (other >= chh ? chh - 1 : other);
-        const int64_t near_off = static_cast<int64_t>(near) * pw;
-        const int64_t other_off = static_cast<int64_t>(other) * pw;
-        for (int col = 0; col < cw; ++col)
-          cs[col] = 3 * plane[near_off + col] + plane[other_off + col];
-        row[0] = (cs[0] * 4 + 8) >> 4;
-        row[2 * cw - 1] = (cs[cw - 1] * 4 + 7) >> 4;
-        for (int i = 1; i < cw; ++i) row[2 * i] = (3 * cs[i] + cs[i - 1] + 8) >> 4;
-        for (int i = 0; i < cw - 1; ++i)
-          row[2 * i + 1] = (3 * cs[i] + cs[i + 1] + 7) >> 4;
-        for (int col = 0; col < width; ++col)
-          out[static_cast<int64_t>(r) * width + col] = row[col];
-      }
+      int32_t *cs = scratch;
+      int32_t *row = scratch + cw;
+      const int rr = r >> 1;
+      const int near = rr < chh ? rr : chh - 1;
+      int other = (r & 1) ? near + 1 : near - 1;
+      other = other < 0 ? 0 : (other >= chh ? chh - 1 : other);
+      const int32_t *pn = plane + static_cast<int64_t>(near) * pw;
+      const int32_t *po = plane + static_cast<int64_t>(other) * pw;
+      for (int col = 0; col < cw; ++col) cs[col] = 3 * pn[col] + po[col];
+      row[0] = (cs[0] * 4 + 8) >> 4;
+      row[2 * cw - 1] = (cs[cw - 1] * 4 + 7) >> 4;
+      for (int i = 1; i < cw; ++i) row[2 * i] = (3 * cs[i] + cs[i - 1] + 8) >> 4;
+      for (int i = 0; i < cw - 1; ++i)
+        row[2 * i + 1] = (3 * cs[i] + cs[i + 1] + 7) >> 4;
+      for (int col = 0; col < width; ++col) out[col] = row[col];
     } else {  // non-dyadic: nearest neighbour
       const int ph = c.nby * 8;
-      for (int r = 0; r < height; ++r) {
-        int yi = (r * c.v) / vmax;
-        yi = yi >= ph ? ph - 1 : yi;
-        for (int col = 0; col < width; ++col) {
-          int xi = (col * c.h) / hmax;
-          xi = xi >= pw ? pw - 1 : xi;
-          out[static_cast<int64_t>(r) * width + col] =
-              plane[static_cast<int64_t>(yi) * pw + xi];
-        }
+      int yi = (r * c.v) / vmax;
+      yi = yi >= ph ? ph - 1 : yi;
+      const int32_t *row = plane + static_cast<int64_t>(yi) * pw;
+      for (int col = 0; col < width; ++col) {
+        int xi = (col * c.h) / hmax;
+        xi = xi >= pw ? pw - 1 : xi;
+        out[col] = row[xi];
       }
     }
   }
@@ -630,7 +658,7 @@ struct Decoder {
       vmax = comps[c].v > vmax ? comps[c].v : vmax;
     }
     if (ncomp == 1) {
-      std::vector<int32_t> plane;
+      std::unique_ptr<int32_t[]> plane;
       reconstruct(comps[0], plane);
       const int pw = comps[0].nbx * 8;
       for (int r = 0; r < height; ++r)
@@ -639,27 +667,34 @@ struct Decoder {
               plane[static_cast<int64_t>(r) * pw + col]);
       return need;
     }
-    std::vector<int32_t> planes[3], full[3];
-    for (int c = 0; c < 3; ++c) {
-      reconstruct(comps[c], planes[c]);
-      upsample(comps[c], planes[c], hmax, vmax, full[c]);
-    }
-    // libjpeg jdcolor.c 16.16 fixed-point YCbCr->RGB (bus/jpeg.py parity)
-    const int64_t npx = static_cast<int64_t>(height) * width;
-    for (int64_t i = 0; i < npx; ++i) {
-      const int32_t y = full[0][i];
-      const int32_t cb = full[1][i] - 128;
-      const int32_t cr = full[2][i] - 128;
-      int32_t r = y + ((91881 * cr + 32768) >> 16);
-      int32_t b = y + ((116130 * cb + 32768) >> 16);
-      int32_t g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16);
-      r = r < 0 ? 0 : (r > 255 ? 255 : r);
-      g = g < 0 ? 0 : (g > 255 ? 255 : g);
-      b = b < 0 ? 0 : (b > 255 ? 255 : b);
-      uint8_t *o = dst + i * 3;
-      o[0] = static_cast<uint8_t>(r);
-      o[1] = static_cast<uint8_t>(g);
-      o[2] = static_cast<uint8_t>(b);
+    std::unique_ptr<int32_t[]> planes[3];
+    for (int c = 0; c < 3; ++c) reconstruct(comps[c], planes[c]);
+    // row-streamed upsample + libjpeg 16.16 fixed-point YCbCr->RGB
+    // (bus/jpeg.py parity) — no full-size intermediate planes
+    std::vector<int32_t> yrow(width), cbrow(width), crrow(width),
+        scratch(3 * static_cast<size_t>(width) + 8);
+    for (int r = 0; r < height; ++r) {
+      upsample_row(comps[0], planes[0].get(), hmax, vmax, r, yrow.data(),
+                   scratch.data());
+      upsample_row(comps[1], planes[1].get(), hmax, vmax, r, cbrow.data(),
+                   scratch.data());
+      upsample_row(comps[2], planes[2].get(), hmax, vmax, r, crrow.data(),
+                   scratch.data());
+      uint8_t *o = dst + static_cast<int64_t>(r) * width * 3;
+      for (int col = 0; col < width; ++col) {
+        const int32_t y = yrow[col];
+        const int32_t cb = cbrow[col] - 128;
+        const int32_t cr = crrow[col] - 128;
+        int32_t rr = y + ((91881 * cr + 32768) >> 16);
+        int32_t bb = y + ((116130 * cb + 32768) >> 16);
+        int32_t gg = y + ((-22554 * cb - 46802 * cr + 32768) >> 16);
+        rr = rr < 0 ? 0 : (rr > 255 ? 255 : rr);
+        gg = gg < 0 ? 0 : (gg > 255 ? 255 : gg);
+        bb = bb < 0 ? 0 : (bb > 255 ? 255 : bb);
+        o[col * 3] = static_cast<uint8_t>(rr);
+        o[col * 3 + 1] = static_cast<uint8_t>(gg);
+        o[col * 3 + 2] = static_cast<uint8_t>(bb);
+      }
     }
     return need;
   }
