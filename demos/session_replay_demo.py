@@ -164,6 +164,23 @@ def main(argv=None):
     assert not bus.errors, bus.errors[:2]
     assert optimized and rigs > 0
     assert camera_frames and n_px == len(camera_frames)
+
+    # the paper's qualitative check: render the cloud from camera_0's TF
+    # pose beside the real (decoded) frame — same machinery a real-session
+    # bag uses (reference src/pc_processor.py:190-197 + rviz image views)
+    from visualize import rendered_vs_real
+
+    frame = next(m for m in reversed(camera_frames)
+                 if m.header.frame_id == "camera_0")
+    cloud = bus.latest("/dynamic_point_cloud")
+    info = bus.latest("/viz/camera_0/camera_info")
+    K = np.asarray(info.K, np.float32).reshape(3, 3)
+    out_png = os.path.join(tempfile.gettempdir(), "rendered_vs_real.png")
+    _, ncc = rendered_vs_real(
+        proc.frames, np.asarray(cloud.points)[:, :3], cloud.header.frame_id,
+        "camera_0", K, np.asarray(frame.data),
+        time=frame.header.stamp, out=out_png)
+    print(f"rendered-vs-real (camera_0): ncc {ncc:+.3f} -> {out_png}")
     return factors[-1]
 
 

@@ -52,6 +52,64 @@ def plot_scene(
     return out
 
 
+def rendered_vs_real(
+    frames,
+    cloud_world: np.ndarray,
+    cloud_frame: str,
+    camera_frame: str,
+    K,
+    real_img: np.ndarray,
+    *,
+    time: float = None,
+    znear: float = 1.0,
+    zfar: float = 10.0,
+    out: str = None,
+):
+    """The paper's qualitative evaluation: render the cloud from a camera's
+    TF pose and put it beside the real (decoded) camera frame.
+
+    The reference does this manually in rviz with the six
+    `/viz/camera_*/image/compressed` streams (`src/pc_processor.py:190-197`
+    renders; the bag supplies the real frames). Here the camera pose comes
+    from the live :class:`bus.frames.FrameGraph` (TF), the real frame from
+    the from-spec JPEG decoder, and the render from ops.render — end to end
+    through this framework's own machinery.
+
+    Returns (side_by_side_uint8, ncc): the concatenated image and the
+    zero-mean normalized cross-correlation of the grayscale pair (1.0 =
+    identical; real-vs-splat typically lands well below). When ``out`` is
+    given the pair is written as PNG with the framework's own encoder.
+    """
+    import jax.numpy as jnp
+
+    from trajectory_optimization_tpu.bus.png import encode_png
+    from trajectory_optimization_tpu.ops.render import render_point_cloud
+
+    h, w = real_img.shape[:2]
+    cam_pts = frames.transform_points(
+        np.asarray(cloud_world, np.float32), camera_frame, cloud_frame, time)
+    img = render_point_cloud(
+        jnp.asarray(cam_pts), jnp.asarray(np.asarray(K, np.float32)),
+        int(h), int(w), znear=znear, zfar=zfar)
+    rendered = np.asarray(
+        np.clip(np.asarray(img) * 255.0, 0, 255)).astype(np.uint8)
+    if real_img.ndim == 2:
+        real_rgb = np.repeat(real_img[:, :, None], 3, axis=2)
+    else:
+        real_rgb = real_img[:, :, :3]
+    side = np.concatenate([real_rgb, rendered], axis=1)
+    a = real_rgb.mean(axis=2).astype(np.float64)
+    b = rendered.mean(axis=2).astype(np.float64)
+    a -= a.mean()
+    b -= b.mean()
+    denom = np.sqrt((a * a).sum() * (b * b).sum())
+    ncc = float((a * b).sum() / denom) if denom > 0 else 0.0
+    if out:
+        with open(out, "wb") as f:
+            f.write(encode_png(side))
+    return side, ncc
+
+
 def main(argv=None):
     from trajectory_optimization_tpu.bus.launch import enable_compilation_cache
 

@@ -91,6 +91,25 @@ def test_bridge_export_filter_and_internal_topics():
         bb.close()
 
 
+def test_bridge_over_tcp():
+    """TCP addresses work identically to unix sockets (the multi-host
+    transport mode; a (host, port) broker spans machines)."""
+    with BusBroker(("127.0.0.1", 0)) as broker:
+        assert isinstance(broker.address, tuple) and broker.address[1] > 0
+        a, b = Bus(), Bus()
+        ba = BusBridge(a, broker.address, name="A")
+        bb = BusBridge(b, broker.address, name="B")
+        assert broker.wait_for_clients(2, timeout=10)
+        got = []
+        b.subscribe("/p", got.append)
+        a.publish("/p", PoseMsg(Header(stamp=1.0, frame_id="m"), [1, 2, 3],
+                                [0, 0, 0, 1]))
+        assert _wait(lambda: got, 10)
+        np.testing.assert_allclose(got[0].position, [1.0, 2.0, 3.0])
+        ba.close()
+        bb.close()
+
+
 def test_broker_survives_client_churn():
     """A client dying mid-stream (the reference's crashing-ROS-node case)
     must not take down the broker or the surviving subscribers."""
