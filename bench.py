@@ -384,6 +384,47 @@ def bench_pose_scan(pts_np, n_steps=200):
     return _scan_rate(loss_fn, tx, params, n_steps)
 
 
+def bench_soft_hpr_pose_step(n=262_144, n_steps=10):
+    """Occlusion-aware pose step: differentiable Katz HPR recomputed INSIDE
+    the loss every step (the reference's own TODO, src/tools.py:61-62 —
+    impossible there at any scale) at 256k points via the direction-binned
+    relaxation. Returns ms/step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem,
+        init_pose_params,
+        pose_forward,
+    )
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * [6, 6, 2] + [5, 0, 1])
+    intr = default_intrinsics()
+    prob = PoseProblem(img_width=intr.width, img_height=intr.height, soft_hpr=True)
+    params = init_pose_params(
+        np.zeros((1, 3), np.float32), np.array([[1.0, 0, 0, 0]], np.float32))
+    K = intr.matrix()
+    tx = optax.adam(0.02)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(lambda q: pose_forward(q, pts, K, prob)[0])(p)
+        u, s2 = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s2
+
+    st = tx.init(params)
+    p, s = step(params, st)  # compile + warm
+    rtt = _fetch_rtt()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        p, s = step(p, s)
+    np.asarray(p["trans"])
+    return (time.perf_counter() - t0 - rtt) / n_steps * 1e3
+
+
 def bench_node_throughput(pts_np, poses_np, n_msgs=20, pipeline_depth=1):
     """Messages/s through the full TrajOptNode path: time-sync pairing,
     padding/bucketing, a 30-step on-device optimization, output publishing.
@@ -516,6 +557,16 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] sharded step failed: {e}", file=sys.stderr)
+
+    try:
+        ms_occl = bench_soft_hpr_pose_step()
+        print(
+            f"[bench] occlusion-aware pose step (differentiable binned HPR "
+            f"in-loss, 256k pts): {ms_occl:.0f} ms/step",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] soft-HPR pose step failed: {e}", file=sys.stderr)
 
     rate_pose = bench_pose(pts)
     print(

@@ -146,9 +146,16 @@ class PoseOptimizer:
         lr_pose: float = 0.1,
         lr_quat: float = 0.0,
         use_hpr: bool = False,
+        soft_hpr: bool = False,
     ):
+        """``use_hpr`` gates the loss with a hard occlusion mask computed
+        once at the initial pose (the reference's behavior). ``soft_hpr``
+        instead differentiates THROUGH Katz occlusion recomputed every step
+        (the reference's TODO) — clouds over 32k points use the
+        direction-binned O(N·cap) relaxation, verified on chip to 1M."""
         self.intr = intrinsics or default_intrinsics()
-        self.problem_kw = dict(min_dist=min_dist, max_dist=max_dist)
+        self.problem_kw = dict(min_dist=min_dist, max_dist=max_dist,
+                               soft_hpr=soft_hpr)
         self.opt_cfg = OptimizerConfig(lr_pose=lr_pose, lr_quat=lr_quat)
         self.use_hpr = use_hpr
 

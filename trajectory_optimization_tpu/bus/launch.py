@@ -200,14 +200,31 @@ def launch_pose_optimization(
 
 def launch_pointcloud_processor(
     cam_info_topics=("/viz/camera_0/camera_info",),
+    *,
+    processes: bool = False,
 ) -> Launch:
     """`launch/pointcloud_processor.launch`: multi-camera visibility
-    processor (frustum cull → HPR → render per camera)."""
+    processor (frustum cull → HPR → render per camera).
+    ``processes=True`` runs the processor as its own OS process (see
+    :func:`launch_pose_optimization`)."""
     enable_compilation_cache()
     bus = Bus()
-    node = PointsProcessorNode(
-        bus, PointsProcessorConfig(cam_info_topics=tuple(cam_info_topics))
-    )
+    cfg = PointsProcessorConfig(cam_info_topics=tuple(cam_info_topics))
+    if processes:
+        from trajectory_optimization_tpu.bus.remote import (
+            BusBridge,
+            BusBroker,
+            NodeProcess,
+        )
+
+        broker = BusBroker().start()
+        node = NodeProcess("PointsProcessorNode", cfg, broker.address)
+        bridge = BusBridge(bus, broker.address, name="launch-parent")
+        if not broker.wait_for_clients(2):
+            raise TimeoutError("processor node process did not attach")
+        return Launch(bus, {"pc_processor": node}, [], broker=broker,
+                      bridge=bridge)
+    node = PointsProcessorNode(bus, cfg)
     return Launch(bus, {"pc_processor": node}, [])
 
 
