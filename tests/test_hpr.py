@@ -265,6 +265,20 @@ def test_soft_binned_bucketed_padding():
     assert masked[len(pts):].max() < 1e-3
 
 
+def test_soft_binned_large_r_param():
+    """r_param=4 makes the binning ~20x finer (n_bins in the thousands);
+    the sort key must not overflow int32 (review-found: a fixed 1<<20
+    shift silently interleaved unrelated bins past 2047 bins)."""
+    pts = jnp.asarray(_scene_sphere_shell()[:3000])
+    dense = np.asarray(hpr_mask_soft(pts, r_param=4.0))
+    # small cap: fine binnings leave ~2 points/bin, so big query tiles
+    # would burn (cap x cap) work per nearly-empty bin (CI time)
+    binned = np.asarray(hpr_mask_soft_binned(pts, r_param=4.0, cap=64))
+    d = np.abs(dense - binned)
+    assert d.mean() <= 1e-3 and (d > 0.05).mean() <= 2e-3, (
+        d.mean(), (d > 0.05).sum())
+
+
 def test_soft_binned_gradients():
     pts = jnp.asarray(_scene_walls()[::4])
     g = jax.grad(lambda p: jnp.sum(hpr_mask_soft_binned(p)))(pts)

@@ -92,6 +92,29 @@ def test_jpeg_malformed_raises():
     if native_available():
         with pytest.raises(JpegError):
             jpeg_decode_native(data[:40])
+    # truncated SEGMENTS must also surface as JpegError, not IndexError —
+    # decode_compressed_payload's bag-read error contract depends on it
+    for bad in (
+        b"\xff\xd8\xff\xc0\x00\x02\xff\xd9",        # empty SOF
+        b"\xff\xd8\xff\xda\x00\x02\xff\xd9",        # empty SOS
+        b"\xff\xd8\xff\xdd\x00\x03\x01\xff\xd9",    # short DRI
+        b"\xff\xd8\xff\xdb\x00\x04\x01\x02\xff\xd9",  # odd 16-bit DQT
+    ):
+        with pytest.raises(JpegError):
+            decode_jpeg(bad)
+        with pytest.raises(JpegError):
+            probe_jpeg(bad)
+
+
+def test_png_short_ihdr_raises_pngerror():
+    import struct
+
+    bad = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 12) + b"IHDR"
+           + b"\x00" * 12 + b"\x00" * 4)
+    with pytest.raises(PngError):
+        decode_png(bad)
+    with pytest.raises(PngError):
+        probe_png(bad)
 
 
 @pytest.mark.parametrize("name", ["rgb.png", "depth16.png"])
@@ -229,6 +252,45 @@ def test_bag_roundtrip_compressed_streams(tmp_path):
     assert rms < 30.0  # random noise at q92: quantization error only
     keep = by_topic["/viz/camera_1/image/compressed"]
     assert keep.encoding == "jpeg" and bytes(keep.data) == prog
+
+    # bag -> bag copy: decoded pixels re-compress into their original
+    # container (CompressedImage at compressed size), not raw Image
+    copy_path = str(tmp_path / "copy.bag")
+    assert write_bag(copy_path, [(t, m) for _, t, m in out]) == 2
+    assert os.path.getsize(copy_path) < 4 * os.path.getsize(path)
+    out2 = {topic: m for _, topic, m in read_bag(copy_path)}
+    dec2 = out2["/viz/camera_0/image/compressed"]
+    assert dec2.encoding == "rgb8" and dec2.data.shape == img.shape
+    rms2 = np.sqrt(((dec2.data.astype(int) - img.astype(int)) ** 2).mean())
+    assert rms2 < 35.0  # one extra q90 transcode generation
+    assert bytes(out2["/viz/camera_1/image/compressed"].data) == prog
+
+
+def test_bag_image_decoding_toggle(tmp_path):
+    """set_image_decoding(False) restores passthrough delivery (replays
+    that only need clouds/paths skip the decode cost)."""
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
+    from trajectory_optimization_tpu.bus.messages import Header, ImageMsg
+    from trajectory_optimization_tpu.bus.rosbag import (
+        read_bag,
+        set_image_decoding,
+        write_bag,
+    )
+
+    rng = np.random.default_rng(14)
+    jpg = encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    path = str(tmp_path / "img.bag")
+    write_bag(path, [("/cam", ImageMsg(Header(stamp=1.0, frame_id="c"),
+                                       np.frombuffer(jpg, np.uint8),
+                                       encoding="jpeg"))])
+    prev = set_image_decoding(False)
+    try:
+        [(_, _, m)] = list(read_bag(path))
+        assert m.data.ndim == 1 and bytes(m.data) == jpg
+    finally:
+        set_image_decoding(prev)
+    [(_, _, m)] = list(read_bag(path))
+    assert m.data.ndim == 3 and m.wire_format == "jpeg"
 
 
 @pytest.mark.parametrize("backend", ["numpy", "native"])

@@ -22,6 +22,7 @@ libjpeg's constants, double-precision separable IDCT with round-half-up.
 """
 from __future__ import annotations
 
+import struct
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -101,13 +102,24 @@ def probe_jpeg(buf: bytes) -> Tuple[int, int, int]:
 
     Raises JpegError / UnsupportedJpegError like :func:`decode_jpeg`.
     """
-    hdr = _parse(memoryview(bytes(buf)), headers_only=True)
-    return hdr
+    return _parse_guarded(memoryview(bytes(buf)), headers_only=True)
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode a baseline JPEG to uint8 (H, W) grayscale or (H, W, 3) RGB."""
-    return _parse(memoryview(bytes(buf)), headers_only=False)
+    return _parse_guarded(memoryview(bytes(buf)), headers_only=False)
+
+
+def _parse_guarded(buf, headers_only: bool):
+    """Every malformed-stream failure mode surfaces as JpegError — truncated
+    segments otherwise leak IndexError/struct.error past the callers'
+    error contract (decode_compressed_payload catches JpegError only)."""
+    try:
+        return _parse(buf, headers_only=headers_only)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, struct.error) as e:
+        raise JpegError(f"malformed stream: {e}") from e
 
 
 def _parse(buf, headers_only: bool):

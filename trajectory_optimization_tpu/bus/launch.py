@@ -109,6 +109,28 @@ class Launch:
         t.join()
 
 
+def _attach_process_graph(bus, broker, procs, n_clients: int):
+    """Bridge the parent bus to a broker and wait for worker readiness;
+    on ANY failure tear everything down (broker threads, UDS file, bridge
+    socket, spawned processes) before re-raising — otherwise a worker that
+    crashes on import leaks all of them with no handle to close them by."""
+    from trajectory_optimization_tpu.bus.remote import BusBridge
+
+    bridge = None
+    try:
+        bridge = BusBridge(bus, broker.address, name="launch-parent")
+        if not broker.wait_for_clients(n_clients):
+            raise TimeoutError("node processes did not attach to the broker")
+        return bridge
+    except BaseException:
+        if bridge is not None:
+            bridge.close()
+        for p in procs:
+            p.terminate()
+        broker.close()
+        raise
+
+
 def launch_trajectory_optimization(
     *,
     data_dir: str = "data/points",
@@ -135,17 +157,11 @@ def launch_trajectory_optimization(
         publish_rewards_cloud=True,
     )
     if processes:
-        from trajectory_optimization_tpu.bus.remote import (
-            BusBridge,
-            BusBroker,
-            NodeProcess,
-        )
+        from trajectory_optimization_tpu.bus.remote import BusBroker, NodeProcess
 
         broker = BusBroker().start()
         node = NodeProcess("TrajOptNode", cfg, broker.address)
-        bridge = BusBridge(bus, broker.address, name="launch-parent")
-        if not broker.wait_for_clients(2):
-            raise TimeoutError("trajectory node process did not attach")
+        bridge = _attach_process_graph(bus, broker, [node], 2)
         return Launch(bus, {"traj_opt": node}, [], broker=broker, bridge=bridge)
     node = TrajOptNode(bus, cfg)
     return Launch(bus, {"traj_opt": node}, [])
@@ -175,18 +191,12 @@ def launch_pose_optimization(
     opt_cfg = PoseOptNodeConfig(pc_topic="/pts", pose_topic="/pose",
                                 opt_steps=200, lr_pose=0.02, lr_quat=0.02)
     if processes:
-        from trajectory_optimization_tpu.bus.remote import (
-            BusBridge,
-            BusBroker,
-            NodeProcess,
-        )
+        from trajectory_optimization_tpu.bus.remote import BusBroker, NodeProcess
 
         broker = BusBroker().start()
         filt = NodeProcess("VoxelFilterNode", filt_cfg, broker.address)
         node = NodeProcess("PoseOptNode", opt_cfg, broker.address)
-        bridge = BusBridge(bus, broker.address, name="launch-parent")
-        if not broker.wait_for_clients(3):
-            raise TimeoutError("node processes did not attach to the broker")
+        bridge = _attach_process_graph(bus, broker, [filt, node], 3)
         return Launch(bus, {"pose_opt": node, "voxel_filter": filt},
                       [feeder_c, feeder_p], broker=broker, bridge=bridge)
     filt = VoxelFilterNode(bus, filt_cfg)
@@ -211,17 +221,11 @@ def launch_pointcloud_processor(
     bus = Bus()
     cfg = PointsProcessorConfig(cam_info_topics=tuple(cam_info_topics))
     if processes:
-        from trajectory_optimization_tpu.bus.remote import (
-            BusBridge,
-            BusBroker,
-            NodeProcess,
-        )
+        from trajectory_optimization_tpu.bus.remote import BusBroker, NodeProcess
 
         broker = BusBroker().start()
         node = NodeProcess("PointsProcessorNode", cfg, broker.address)
-        bridge = BusBridge(bus, broker.address, name="launch-parent")
-        if not broker.wait_for_clients(2):
-            raise TimeoutError("processor node process did not attach")
+        bridge = _attach_process_graph(bus, broker, [node], 2)
         return Launch(bus, {"pc_processor": node}, [], broker=broker,
                       bridge=bridge)
     node = PointsProcessorNode(bus, cfg)

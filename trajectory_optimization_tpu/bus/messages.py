@@ -144,11 +144,16 @@ class ImageMsg:
     array — renderer nodes publish device arrays so the device→host image
     transfer is paid only by consumers that actually read pixels
     (``np.asarray(msg.data)``), not on every publish.
+
+    ``wire_format`` records the CompressedImage container the pixels were
+    decoded from ('jpeg'/'png'), if any — the bag writer uses it to
+    re-encode the stream instead of ballooning it into raw Image records.
     """
 
     header: Header
     data: "np.ndarray"
     encoding: str = "bgr8"
+    wire_format: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,9 +52,24 @@ def _chunks(buf: bytes):
     raise PngError("missing IEND")
 
 
+def _guard(fn, *args):
+    """Surface every malformed-stream failure as PngError (short IHDR and
+    friends otherwise leak struct.error past callers catching PngError)."""
+    try:
+        return fn(*args)
+    except PngError:
+        raise
+    except (IndexError, ValueError, struct.error) as e:
+        raise PngError(f"malformed stream: {e}") from e
+
+
 def probe_png(buf: bytes):
     """Return (height, width, channels, bit_depth) from IHDR."""
-    for ctype, data in _chunks(bytes(buf)):
+    return _guard(_probe_png, bytes(buf))
+
+
+def _probe_png(buf: bytes):
+    for ctype, data in _chunks(buf):
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data)
@@ -76,9 +91,21 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
-    """Undo per-scanline filtering -> (height, stride) uint8."""
+    """Undo per-scanline filtering -> (height, stride) uint8.
+
+    C++ fast path when built (native.png_unfilter — the Sub/Average/Paeth
+    recurrences are serial per byte, ~seconds per 2MP frame in Python);
+    identical pure-Python fallback below."""
     if len(raw) != height * (stride + 1):
         raise PngError("decompressed size mismatch")
+    from trajectory_optimization_tpu.native import png_unfilter_native
+
+    try:
+        native = png_unfilter_native(raw, height, stride, bpp)
+    except ValueError as e:
+        raise PngError(str(e)) from e
+    if native is not None:
+        return native
     data = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
     filters = data[:, 0]
     rows = data[:, 1:].astype(np.int32)
@@ -116,7 +143,10 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    buf = bytes(buf)
+    return _guard(_decode_png, bytes(buf))
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
     ihdr = None
     palette = None
     idat = []
@@ -166,9 +196,6 @@ def decode_png(buf: bytes) -> np.ndarray:
     return img
 
 
-_CRC_TABLE = None
-
-
 def _crc32(data: bytes) -> int:
     return zlib.crc32(data) & 0xFFFFFFFF
 
@@ -188,13 +215,13 @@ def encode_png(img: np.ndarray, *, level: int = 6) -> bytes:
     img = np.asarray(img)
     if img.ndim == 2:
         channels, color = 1, 0
-    elif img.ndim == 3 and img.shape[2] in (1, 3, 4):
+    elif img.ndim == 3 and img.shape[2] in (1, 2, 3, 4):
         channels = img.shape[2]
         if channels == 1:
             img = img[..., 0]
             color = 0
         else:
-            color = 2 if channels == 3 else 6
+            color = {2: 4, 3: 2, 4: 6}[channels]  # 4 = grey+alpha
     else:
         raise ValueError(f"cannot encode shape {img.shape} as PNG")
     if img.dtype == np.uint8:

@@ -208,8 +208,8 @@ class BusBroker:
                     with self._client_event:
                         client.name = name
                         self._client_event.notify_all()
-        except (OSError, ValueError):
-            pass
+        except (OSError, ValueError, IndexError, struct.error):
+            pass  # malformed frame or dead socket: reap the client quietly
         finally:
             with self._lock:
                 if client in self._clients:
@@ -399,7 +399,7 @@ class BusBridge:
                     self.n_received += 1
                 finally:
                     self._injecting.current = None
-        except (OSError, ValueError):
+        except (OSError, ValueError, IndexError, struct.error):
             pass
         finally:
             self._closed.set()

@@ -490,6 +490,22 @@ def _encode_tf(msgs: Sequence[TransformMsg]) -> bytes:
 
 _PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# Module-level switch for eager CompressedImage decoding on bag reads.
+# True (default): camera streams land as pixels. Set False via
+# set_image_decoding() when replaying a bag only for clouds/paths — the
+# pure-NumPy fallback costs ~1.4 s per 2MP frame without the C++ library,
+# and decoding frames nobody reads is wasted work either way.
+_DECODE_IMAGES = True
+
+
+def set_image_decoding(enabled: bool) -> bool:
+    """Toggle eager CompressedImage decoding on bag reads; returns the
+    previous setting (process-wide, like the codec registry itself)."""
+    global _DECODE_IMAGES
+    prev = _DECODE_IMAGES
+    _DECODE_IMAGES = bool(enabled)
+    return prev
+
 
 def decode_compressed_payload(raw: bytes):
     """Decode a CompressedImage payload blob to pixels.
@@ -518,22 +534,23 @@ def decode_compressed_payload(raw: bytes):
             img = jpeg_decode_native(raw)
             if img is None:
                 img = _jpeg.decode_jpeg(raw)
-            return img, ("rgb8" if img.ndim == 3 else "mono8")
+            return img, ("rgb8" if img.ndim == 3 else "mono8"), "jpeg"
         if raw[:8] == _PNG_SIGNATURE:
             img = _png.decode_png(raw)
+            wide = img.dtype == np.uint16
             if img.ndim == 2:
-                enc = "mono16" if img.dtype == np.uint16 else "mono8"
+                enc = "mono16" if wide else "mono8"
             else:
-                enc = {3: "rgb8", 4: "rgba8", 2: "mono8"}.get(
+                enc = {3: "rgb8", 4: "rgba8", 2: "8UC2"}.get(
                     img.shape[-1], "rgb8")
-                if img.dtype == np.uint16 and img.shape[-1] == 3:
-                    enc = "16UC3"
-            return img, enc
+                if wide:
+                    enc = {3: "16UC3", 2: "16UC2"}.get(img.shape[-1], enc)
+            return img, enc, "png"
     except _jpeg.JpegError:
         pass
     except _png.PngError:
         pass
-    return None, None
+    return None, None, None
 
 
 def _encode_compressed_image(msg: ImageMsg) -> bytes:
@@ -549,6 +566,31 @@ def _encode_compressed_image(msg: ImageMsg) -> bytes:
     return w.bytes()
 
 
+def _encode_transcoded_image(msg: ImageMsg) -> bytes:
+    """Re-compress decoded camera pixels back into their original container
+    so bag→bag copies keep CompressedImage streams at compressed size
+    (transcoded, not byte-identical: the reader decoded them to pixels).
+    Without this, copying the reference's six-camera session would balloon
+    each ~300 KB JPEG frame into a ~6 MB raw Image record on a topic still
+    named .../image/compressed."""
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
+    from trajectory_optimization_tpu.bus.png import encode_png
+
+    data = np.asarray(msg.data)
+    if msg.wire_format == "jpeg":
+        blob = encode_jpeg(data, quality=90)
+        fmt = "jpeg"
+    else:
+        blob = encode_png(data)
+        fmt = "png"
+    w = _Writer()
+    w.header(msg.header)
+    w.string(fmt)
+    w.u32(len(blob))
+    w.raw(blob)
+    return w.bytes()
+
+
 def _decode_compressed_image(buf: bytes) -> ImageMsg:
     """sensor_msgs/CompressedImage (the reference bag's 6×1040 camera
     streams, launch/rosbag_info.txt:15): header, format string
@@ -561,9 +603,10 @@ def _decode_compressed_image(buf: bytes) -> ImageMsg:
     h = r.header()
     fmt = r.string()
     raw = r.raw(r.u32())
-    img, enc = decode_compressed_payload(raw)
-    if img is not None:
-        return ImageMsg(h, img, encoding=enc)
+    if _DECODE_IMAGES:
+        img, enc, wire = decode_compressed_payload(raw)
+        if img is not None:
+            return ImageMsg(h, img, encoding=enc, wire_format=wire)
     return ImageMsg(h, np.frombuffer(raw, np.uint8), encoding=fmt or "compressed")
 
 
@@ -814,12 +857,18 @@ class BagWriter:
         if enc is None:
             raise TypeError(f"no bag encoder for {type(msg).__name__}")
         ros_type, encoder = enc
-        if isinstance(msg, ImageMsg) and np.asarray(msg.data).ndim == 1:
-            # compressed passthrough (progressive JPEG / foreign container
-            # kept verbatim by the reader): re-emit as CompressedImage so
-            # bag->bag copies of real sessions preserve the camera streams
-            ros_type, encoder = (
-                "sensor_msgs/CompressedImage", _encode_compressed_image)
+        if isinstance(msg, ImageMsg):
+            if np.asarray(msg.data).ndim == 1:
+                # compressed passthrough (progressive JPEG / foreign
+                # container kept verbatim by the reader): re-emit
+                # byte-identical as CompressedImage
+                ros_type, encoder = (
+                    "sensor_msgs/CompressedImage", _encode_compressed_image)
+            elif msg.wire_format in ("jpeg", "png"):
+                # pixels decoded from a compressed stream: re-compress
+                # into the original container on the way out
+                ros_type, encoder = (
+                    "sensor_msgs/CompressedImage", _encode_transcoded_image)
         with self._lock:
             self._add_locked(topic, msg, ros_type, encoder)
 

@@ -80,6 +80,15 @@ def _load() -> Optional[ctypes.CDLL]:
         except AttributeError:
             lib.jpeg_probe = None
             lib.jpeg_decode = None
+        try:
+            lib.png_unfilter.restype = ctypes.c_int32
+            lib.png_unfilter.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+        except AttributeError:
+            lib.png_unfilter = None
         _lib = lib
         return _lib
 
@@ -211,6 +220,28 @@ def jpeg_decode_native(data: bytes) -> Optional[np.ndarray]:
     if nc.value == 1:
         return out.reshape(h.value, w.value)
     return out.reshape(h.value, w.value, nc.value)
+
+
+def png_unfilter_native(raw: bytes, height: int, stride: int,
+                        bpp: int) -> Optional[np.ndarray]:
+    """Undo PNG scanline filtering natively -> (height, stride) uint8.
+
+    Returns None when the native library is unavailable (bus.png falls
+    back to its NumPy/Python loops). Raises ValueError on a bad filter
+    byte, matching the fallback's PngError site.
+    """
+    lib = _load()
+    if lib is None or getattr(lib, "png_unfilter", None) is None:
+        return None
+    src = np.frombuffer(raw, dtype=np.uint8)
+    out = np.empty((height, stride), dtype=np.uint8)
+    rc = lib.png_unfilter(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(height), int(stride), int(bpp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise ValueError("bad PNG filter type")
+    return out
 
 
 def lz4_block_decode_native(src: bytes, dst: np.ndarray, dst_pos: int):

@@ -177,6 +177,62 @@ int64_t lz4_block_decode(const uint8_t *src, int64_t src_len, uint8_t *dst,
   return op;
 }
 
+// PNG scanline unfiltering (RFC 2083 §6): the serial Sub/Average/Paeth
+// recurrences are a per-byte Python loop in bus/png.py (~seconds per 16-bit
+// depth frame); this is the native fast path behind it. raw holds
+// height*(stride+1) bytes (filter byte + scanline); out receives
+// height*stride. Returns 0, or -1 on an unknown filter type.
+int32_t png_unfilter(const uint8_t *raw, int64_t height, int64_t stride,
+                     int32_t bpp, uint8_t *out) {
+  if (height <= 0 || stride <= 0 || bpp <= 0) return -1;
+  for (int64_t r = 0; r < height; ++r) {
+    const uint8_t f = raw[r * (stride + 1)];
+    const uint8_t *in = raw + r * (stride + 1) + 1;
+    uint8_t *cur = out + r * stride;
+    const uint8_t *up = r > 0 ? cur - stride : nullptr;
+    switch (f) {
+      case 0:
+        std::memcpy(cur, in, static_cast<size_t>(stride));
+        break;
+      case 1:  // Sub
+        for (int64_t x = 0; x < stride; ++x)
+          cur[x] = static_cast<uint8_t>(in[x] + (x >= bpp ? cur[x - bpp] : 0));
+        break;
+      case 2:  // Up
+        if (up) {
+          for (int64_t x = 0; x < stride; ++x)
+            cur[x] = static_cast<uint8_t>(in[x] + up[x]);
+        } else {
+          std::memcpy(cur, in, static_cast<size_t>(stride));
+        }
+        break;
+      case 3:  // Average
+        for (int64_t x = 0; x < stride; ++x) {
+          const int left = x >= bpp ? cur[x - bpp] : 0;
+          const int above = up ? up[x] : 0;
+          cur[x] = static_cast<uint8_t>(in[x] + ((left + above) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t x = 0; x < stride; ++x) {
+          const int a = x >= bpp ? cur[x - bpp] : 0;
+          const int b = up ? up[x] : 0;
+          const int c = (up && x >= bpp) ? up[x - bpp] : 0;
+          const int p = a + b - c;
+          const int pa = p > a ? p - a : a - p;
+          const int pb = p > b ? p - b : b - p;
+          const int pc = p > c ? p - c : c - p;
+          const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          cur[x] = static_cast<uint8_t>(in[x] + pred);
+        }
+        break;
+      default:
+        return -1;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -402,9 +402,18 @@ def hpr_mask_soft_binned(
         if v is not None:
             bins = jnp.where(v, bins, n_bins)  # padding -> overflow bin
 
-        # sort by (bin, distance): closest members of each bin first
+        # sort by (bin, distance): closest members of each bin first.
+        # frac gets the int32 bits left over after the bin id — a fixed
+        # 1<<20 shift overflowed int32 once n_bins > 2047 (large r_param),
+        # silently interleaving unrelated bins
+        frac_bits = 30 - max(1, int(n_bins + 1)).bit_length()
+        if frac_bits < 8:
+            raise ValueError(
+                f"binning too fine for an int32 sort key ({n_bins} bins); "
+                f"lower safety/raise r_param")
         frac = jnp.clip(norms / jnp.maximum(scale, 1e-12), 0.0, 1.0 - 1e-6)
-        key = bins * (1 << 20) + (frac * float(1 << 20)).astype(jnp.int32)
+        key = bins * (1 << frac_bits) + (
+            frac * float(1 << frac_bits)).astype(jnp.int32)
         perm = jax.lax.stop_gradient(jnp.argsort(key))
         inv_perm = jax.lax.stop_gradient(jnp.argsort(perm))
         u_s = u[perm]
