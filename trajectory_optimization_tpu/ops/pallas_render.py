@@ -234,9 +234,14 @@ def render_point_cloud_pallas(
         ty0c = jnp.clip(ty0, 0, tiles_y - 1)
         tx0c = jnp.clip(tx0, 0, tiles_x - 1)
         bin_ids = jnp.where(ok, ty0c * tiles_x + tx0c, n_tiles)
-        order = jnp.argsort(bin_ids)
-        sorted_ids = bin_ids[order]
-        sorted_entries = entries[order]
+        # one multi-operand sort carries the entries with the key — a
+        # row-granular (N, 8) gather after argsort costs as much as the
+        # sort itself on TPU (same fix as ops.hpr's binned routing)
+        sorted_cols = jax.lax.sort(
+            (bin_ids, *(entries[:, i] for i in range(entries.shape[1]))),
+            num_keys=1)
+        sorted_ids = sorted_cols[0]
+        sorted_entries = jnp.stack(sorted_cols[1:], axis=1)
         n_pad = (-cam_points.shape[0]) % 8  # whole-array VMEM block wants
         if n_pad:  # sublane-aligned rows; padding rows sit past offsets[-1]
             sorted_entries = jnp.concatenate(
@@ -292,9 +297,11 @@ def render_point_cloud_pallas(
     tile_ids = jnp.concatenate(tile_ids)  # (4N,)
     entries4 = jnp.tile(entries, (4, 1))  # matches tile_ids layout
 
-    order = jnp.argsort(tile_ids)
-    sorted_ids = tile_ids[order]
-    sorted_entries = entries4[order]
+    sorted_cols = jax.lax.sort(
+        (tile_ids, *(entries4[:, i] for i in range(entries4.shape[1]))),
+        num_keys=1)
+    sorted_ids = sorted_cols[0]
+    sorted_entries = jnp.stack(sorted_cols[1:], axis=1)
     offsets = jnp.searchsorted(sorted_ids, jnp.arange(n_tiles + 1, dtype=jnp.int32)).astype(
         jnp.int32
     )
