@@ -12,6 +12,7 @@ import pytest
 
 from trajectory_optimization_tpu.bus.core import Bus
 from trajectory_optimization_tpu.bus.messages import (
+    CameraInfoMsg,
     CloudMsg,
     Header,
     ImageMsg,
@@ -212,6 +213,48 @@ def test_trajopt_node_cross_process(cloud10, path10):
             np.asarray(got.positions), np.asarray(ref_out[0].positions),
             rtol=0, atol=1e-5)
     assert _wait(lambda: not launch.nodes["traj_opt"].alive(), timeout=20)
+
+
+@pytest.mark.slow
+def test_points_processor_cross_process(cloud10):
+    """PointsProcessor in its own OS process: TF (list-decoded TFMessage),
+    camera info, and the cloud all cross the socket; culled/visible clouds
+    come back on the parent bus (reference pc_processor as a ROS node)."""
+    from trajectory_optimization_tpu.utils.config import PointsProcessorConfig
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    with BusBroker() as broker:
+        proc = NodeProcess("PointsProcessorNode", PointsProcessorConfig(
+            pc_topic="/cloud", cam_info_topics=("/cam0/info",),
+            hpr_backend="approx", render=False), broker.address)
+        bus = Bus()
+        bridge = BusBridge(bus, broker.address, name="parent")
+        try:
+            assert broker.wait_for_clients(2, timeout=60)
+            outputs = {}
+            bus.subscribe("/cam0/pointcloud",
+                          lambda m: outputs.setdefault("culled", m))
+            bus.subscribe("/cam0/pointcloud_visible",
+                          lambda m: outputs.setdefault("visible", m))
+            bus.publish("/tf_static", TransformMsg(
+                Header(stamp=0.0, frame_id="world"), "cam0",
+                np.array([6.0, 2.0, -3.0]), np.array([0.0, 0.0, 0.0, 1.0])))
+            time.sleep(0.3)  # static TF must land before the rig flushes
+            bus.publish("/cloud", CloudMsg(Header(stamp=1.0, frame_id="world"),
+                                           cloud10))
+            intr = default_intrinsics()
+            bus.publish("/cam0/info", CameraInfoMsg(
+                Header(stamp=1.0, frame_id="cam0"),
+                int(intr.width), int(intr.height),
+                K=tuple(intr.matrix_np(np.float64).reshape(-1))))
+            assert _wait(lambda: "visible" in outputs and "culled" in outputs,
+                         timeout=240), sorted(outputs)
+            n_culled = len(outputs["culled"].points)
+            n_visible = len(outputs["visible"].points)
+            assert 0 < n_visible <= n_culled < len(cloud10)
+        finally:
+            bridge.close()
+            proc.terminate()
 
 
 @pytest.mark.slow
