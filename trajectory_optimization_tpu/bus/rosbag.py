@@ -1019,10 +1019,47 @@ class BagPlayer:
         for _, topic, msg in self._iter():
             yield topic, msg
 
-    def play(self, bus: Bus, *, realtime: bool = False, rate: float = 1.0) -> int:
+    def play(self, bus: Bus, *, realtime: bool = False, rate: float = 1.0,
+             prefetch: int = 16) -> int:
+        """Publish every event onto ``bus``; returns the message count.
+
+        ``prefetch`` > 0 moves record decode (chunk decompression, message
+        parsing, JPEG/PNG decode — the C paths release the GIL) onto a
+        reader thread feeding a bounded queue, so decode overlaps the
+        subscribers' device work. Order is preserved exactly; 0 restores
+        fully synchronous iteration."""
+        src = self._iter()
+        if prefetch > 0:
+            import queue
+            import threading
+
+            q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+            _END = object()
+
+            def _reader():
+                try:
+                    for item in src:
+                        q.put(item)
+                    q.put(_END)
+                except BaseException as e:  # surface decode errors in-line
+                    q.put(e)
+
+            threading.Thread(target=_reader, daemon=True,
+                             name="bag-prefetch").start()
+
+            def drain():
+                while True:
+                    item = q.get()
+                    if item is _END:
+                        return
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+
+            src = drain()
         prev_t = None
         n = 0
-        for t, topic, msg in self._iter():
+        for t, topic, msg in src:
             if realtime and prev_t is not None:
                 gap = max(t - prev_t, 0.0) / rate
                 if gap > 0:
