@@ -206,6 +206,37 @@ def test_jpeg_encoder_roundtrip_self():
     assert gout.ndim == 2 and grms < 6.0
 
 
+def test_jpeg_encoder_native_matches_python():
+    """The C++ and Python encoders share tables and numerics; their
+    streams must decode identically (measured: byte-identical sizes)."""
+    if not native_available():
+        pytest.skip("no native toolchain")
+    import trajectory_optimization_tpu.native as nat
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
+    from trajectory_optimization_tpu.native import jpeg_encode_native
+
+    rng = np.random.default_rng(15)
+    img = _structured_image_for_fixtures(rng, 61, 83)
+    blob_native = jpeg_encode_native(img, 90)
+    real = nat._load
+    nat._load = lambda: None  # force the Python bit-writer
+    try:
+        blob_py = encode_jpeg(img, 90)
+    finally:
+        nat._load = real
+    a = decode_jpeg(blob_native).astype(int)
+    b = decode_jpeg(blob_py).astype(int)
+    assert np.abs(a - b).max() <= 1
+    assert abs(len(blob_native) - len(blob_py)) <= 64  # headers identical
+
+
+def _structured_image_for_fixtures(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 // w), (yy * 255 // h), ((xx + yy) % 256)], -1)
+    img = img + rng.integers(-20, 20, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def test_png_encoder_roundtrip_exact():
     from trajectory_optimization_tpu.bus.png import encode_png
 

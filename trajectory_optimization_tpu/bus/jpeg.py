@@ -628,8 +628,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     From-spec encoder with the T.81 Annex K example tables; output decodes
     with this module, the native C++ path, and any standard decoder.
+    C++ fast path when built (native.jpeg_encode — the Python bit writer
+    costs seconds per 2MP frame); same tables and numerics either way.
     """
     img = np.asarray(img)
+    if img.dtype == np.uint8 and img.ndim in (2, 3) and (
+            img.ndim == 2 or img.shape[-1] == 3):
+        from trajectory_optimization_tpu.native import jpeg_encode_native
+
+        blob = jpeg_encode_native(img, quality)
+        if blob is not None:
+            return blob
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects uint8 (H,W) or (H,W,3)")
     gray = img.ndim == 2

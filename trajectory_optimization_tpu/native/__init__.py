@@ -81,6 +81,15 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.jpeg_probe = None
             lib.jpeg_decode = None
         try:
+            lib.jpeg_encode.restype = ctypes.c_int64
+            lib.jpeg_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
+        except AttributeError:
+            lib.jpeg_encode = None
+        try:
             lib.png_unfilter.restype = ctypes.c_int32
             lib.png_unfilter.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -220,6 +229,35 @@ def jpeg_decode_native(data: bytes) -> Optional[np.ndarray]:
     if nc.value == 1:
         return out.reshape(h.value, w.value)
     return out.reshape(h.value, w.value, nc.value)
+
+
+def jpeg_encode_native(img: np.ndarray, quality: int = 85) -> Optional[bytes]:
+    """Encode uint8 gray/(H,W,3) RGB as baseline 4:4:4 JPEG in C++.
+
+    Returns None when the native library is unavailable (bus.jpeg's
+    Python encoder is the fallback — same tables/design, ~100x slower).
+    """
+    lib = _load()
+    if lib is None or getattr(lib, "jpeg_encode", None) is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ncomp = 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ncomp = 3
+    else:
+        raise ValueError(f"cannot encode shape {img.shape} as JPEG")
+    h, w = int(img.shape[0]), int(img.shape[1])
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    cap = h * w * ncomp + (1 << 16)  # worst case ~ raw size + headers
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.jpeg_encode(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ncomp,
+        int(quality), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise ValueError(f"native jpeg_encode failed rc={n}")
+    return out[:n].tobytes()
 
 
 def png_unfilter_native(raw: bytes, height: int, stride: int,

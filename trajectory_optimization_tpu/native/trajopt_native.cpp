@@ -787,3 +787,324 @@ int64_t jpeg_decode(const uint8_t *src, int64_t len, uint8_t *dst,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Baseline JPEG encoder — native fast path for bus/jpeg.py::encode_jpeg
+// (bag->bag transcode of decoded camera streams; the Python bit-writer
+// costs seconds per 2MP frame). Same design as the Python encoder: 4:4:4,
+// T.81 Annex K example quantization + Huffman tables, double-precision
+// FDCT, trunc-half-away quantization. Output streams are spec-valid and
+// decode within quantization error of the Python encoder's.
+
+namespace jpegenc {
+
+const int32_t kQLuma[64] = {
+    16, 11, 10, 16, 24,  40,  51,  61,  12, 12, 14, 19, 26,  58,  60,  55,
+    14, 13, 16, 24, 40,  57,  69,  56,  14, 17, 22, 29, 51,  87,  80,  62,
+    18, 22, 37, 56, 68,  109, 103, 77,  24, 35, 55, 64, 81,  104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99};
+const int32_t kQChroma[64] = {
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99};
+
+// T.81 Annex K.3 table specs: 16 BITS counts + values
+const uint8_t kDcLumaBits[16] = {0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0};
+const uint8_t kDcChromaBits[16] = {0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0};
+const uint8_t kDcVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+const uint8_t kAcLumaBits[16] = {0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125};
+const uint8_t kAcLumaVals[162] = {
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA};
+const uint8_t kAcChromaBits[16] = {0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119};
+const uint8_t kAcChromaVals[162] = {
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA};
+
+struct EncTable {
+  uint16_t code[256];
+  uint8_t len[256];
+  void build(const uint8_t *bits, const uint8_t *vals) {
+    for (int i = 0; i < 256; ++i) len[i] = 0;
+    uint32_t c = 0;
+    int k = 0;
+    for (int length = 1; length <= 16; ++length) {
+      for (int i = 0; i < bits[length - 1]; ++i) {
+        code[vals[k]] = static_cast<uint16_t>(c);
+        len[vals[k]] = static_cast<uint8_t>(length);
+        ++c;
+        ++k;
+      }
+      c <<= 1;
+    }
+  }
+};
+
+struct BitWriter {
+  uint8_t *dst;
+  int64_t cap, pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+  void put(uint32_t code, int length) {
+    acc = (acc << length) | (code & ((1ull << length) - 1));
+    nbits += length;
+    while (nbits >= 8) {
+      const uint8_t b = static_cast<uint8_t>((acc >> (nbits - 8)) & 0xFF);
+      emit(b);
+      if (b == 0xFF) emit(0x00);  // byte stuffing
+      nbits -= 8;
+    }
+    acc &= (1ull << nbits) - 1;
+  }
+  void flush() {
+    if (nbits) {
+      const int pad = 8 - nbits;
+      put((1u << pad) - 1, pad);  // pad with 1-bits per spec
+    }
+  }
+  void emit(uint8_t b) {
+    if (pos >= cap) {
+      overflow = true;
+      return;
+    }
+    dst[pos++] = b;
+  }
+  void raw(const uint8_t *p, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) emit(p[i]);
+  }
+  void seg(uint8_t marker, const uint8_t *payload, int n) {
+    emit(0xFF);
+    emit(marker);
+    emit(static_cast<uint8_t>((n + 2) >> 8));
+    emit(static_cast<uint8_t>((n + 2) & 0xFF));
+    raw(payload, n);
+  }
+};
+
+inline int category(int v) {
+  int a = v < 0 ? -v : v;
+  int s = 0;
+  while (a) {
+    ++s;
+    a >>= 1;
+  }
+  return s;
+}
+
+}  // namespace jpegenc
+
+extern "C" {
+
+// Encode uint8 gray (ncomp=1) or interleaved RGB (ncomp=3) as a baseline
+// 4:4:4 JPEG with the Annex K tables. Returns bytes written, or
+// -1 bad args / -3 dst too small.
+int64_t jpeg_encode(const uint8_t *img, int32_t h, int32_t w, int32_t ncomp,
+                    int32_t quality, uint8_t *dst, int64_t cap) {
+  using namespace jpegenc;
+  if (h <= 0 || w <= 0 || (ncomp != 1 && ncomp != 3)) return -1;
+  quality = quality < 1 ? 1 : (quality > 100 ? 100 : quality);
+  const int scale = quality < 50 ? 5000 / quality : 200 - 2 * quality;
+  int32_t qluma[64], qchroma[64];
+  for (int k = 0; k < 64; ++k) {
+    int v = (kQLuma[k] * scale + 50) / 100;
+    qluma[k] = v < 1 ? 1 : (v > 255 ? 255 : v);
+    v = (kQChroma[k] * scale + 50) / 100;
+    qchroma[k] = v < 1 ? 1 : (v > 255 ? 255 : v);
+  }
+  // IDCT basis (same constants as the decoder); FDCT is its transpose
+  double A[8][8];
+  for (int x = 0; x < 8; ++x)
+    for (int u = 0; u < 8; ++u)
+      A[x][u] = (u == 0 ? std::sqrt(0.5) : 1.0) / 2.0 *
+                std::cos((2 * x + 1) * u * M_PI / 16.0);
+
+  EncTable dc[2], ac[2];
+  dc[0].build(kDcLumaBits, kDcVals);
+  dc[1].build(kDcChromaBits, kDcVals);
+  ac[0].build(kAcLumaBits, kAcLumaVals);
+  ac[1].build(kAcChromaBits, kAcChromaVals);
+
+  BitWriter bw{dst, cap};
+  // SOI + JFIF APP0
+  const uint8_t app0[] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0};
+  bw.emit(0xFF);
+  bw.emit(0xD8);
+  bw.seg(0xE0, app0, sizeof(app0));
+  // DQT (tables are raster here; the wire wants zigzag order)
+  uint8_t dqt[65];
+  dqt[0] = 0x00;
+  for (int k = 0; k < 64; ++k) dqt[1 + k] = static_cast<uint8_t>(qluma[jpeg::kZigzag[k]]);
+  bw.seg(0xDB, dqt, 65);
+  if (ncomp == 3) {
+    dqt[0] = 0x01;
+    for (int k = 0; k < 64; ++k) dqt[1 + k] = static_cast<uint8_t>(qchroma[jpeg::kZigzag[k]]);
+    bw.seg(0xDB, dqt, 65);
+  }
+  // SOF0
+  uint8_t sof[2 + 4 + 1 + 9];
+  int sn = 0;
+  sof[sn++] = 8;
+  sof[sn++] = static_cast<uint8_t>(h >> 8);
+  sof[sn++] = static_cast<uint8_t>(h & 0xFF);
+  sof[sn++] = static_cast<uint8_t>(w >> 8);
+  sof[sn++] = static_cast<uint8_t>(w & 0xFF);
+  sof[sn++] = static_cast<uint8_t>(ncomp);
+  for (int c = 0; c < ncomp; ++c) {
+    sof[sn++] = static_cast<uint8_t>(c + 1);
+    sof[sn++] = 0x11;
+    sof[sn++] = c == 0 ? 0 : 1;
+  }
+  bw.seg(0xC0, sof, sn);
+  // DHT x4 (or x2 for gray)
+  uint8_t dht[1 + 16 + 162];
+  const struct {
+    uint8_t id;
+    const uint8_t *bits;
+    const uint8_t *vals;
+    int nvals;
+  } tables[4] = {
+      {0x00, kDcLumaBits, kDcVals, 12},
+      {0x10, kAcLumaBits, kAcLumaVals, 162},
+      {0x01, kDcChromaBits, kDcVals, 12},
+      {0x11, kAcChromaBits, kAcChromaVals, 162},
+  };
+  const int ntab = ncomp == 3 ? 4 : 2;
+  for (int t = 0; t < ntab; ++t) {
+    dht[0] = tables[t].id;
+    for (int k = 0; k < 16; ++k) dht[1 + k] = tables[t].bits[k];
+    for (int k = 0; k < tables[t].nvals; ++k) dht[17 + k] = tables[t].vals[k];
+    bw.seg(0xC4, dht, 17 + tables[t].nvals);
+  }
+  // SOS
+  uint8_t sos[1 + 6 + 3];
+  sn = 0;
+  sos[sn++] = static_cast<uint8_t>(ncomp);
+  for (int c = 0; c < ncomp; ++c) {
+    sos[sn++] = static_cast<uint8_t>(c + 1);
+    sos[sn++] = c == 0 ? 0x00 : 0x11;
+  }
+  sos[sn++] = 0;
+  sos[sn++] = 63;
+  sos[sn++] = 0;
+  bw.seg(0xDA, sos, sn);
+
+  // entropy-coded scan: per MCU (8x8, 4:4:4) all components
+  const int bh = (h + 7) / 8, bwid = (w + 7) / 8;
+  int preds[3] = {0, 0, 0};
+  double plane[3][8][8], B[8][8], tmp[8][8];
+  int32_t coef[64];
+  for (int by = 0; by < bh; ++by) {
+    for (int bx = 0; bx < bwid; ++bx) {
+      // load + color convert one 8x8 block (edge-replicated padding)
+      for (int y = 0; y < 8; ++y) {
+        int sy = by * 8 + y;
+        sy = sy >= h ? h - 1 : sy;
+        for (int x = 0; x < 8; ++x) {
+          int sx = bx * 8 + x;
+          sx = sx >= w ? w - 1 : sx;
+          if (ncomp == 1) {
+            plane[0][y][x] = img[static_cast<int64_t>(sy) * w + sx];
+          } else {
+            const uint8_t *p = img + (static_cast<int64_t>(sy) * w + sx) * 3;
+            const double r = p[0], g = p[1], b = p[2];
+            double yv = 0.299 * r + 0.587 * g + 0.114 * b;
+            double cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0;
+            double cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0;
+            yv = std::floor(yv + 0.5);
+            cb = std::floor(cb + 0.5);
+            cr = std::floor(cr + 0.5);
+            plane[0][y][x] = yv < 0 ? 0 : (yv > 255 ? 255 : yv);
+            plane[1][y][x] = cb < 0 ? 0 : (cb > 255 ? 255 : cb);
+            plane[2][y][x] = cr < 0 ? 0 : (cr > 255 ? 255 : cr);
+          }
+        }
+      }
+      for (int c = 0; c < ncomp; ++c) {
+        // FDCT: F = A^T (plane - 128) A, double precision
+        for (int y = 0; y < 8; ++y)
+          for (int x = 0; x < 8; ++x) B[y][x] = plane[c][y][x] - 128.0;
+        for (int u = 0; u < 8; ++u)
+          for (int y = 0; y < 8; ++y) {
+            double s = 0.0;
+            for (int x = 0; x < 8; ++x) s += A[x][u] * B[x][y];
+            tmp[u][y] = s;
+          }
+        const int32_t *q = c == 0 ? qluma : qchroma;
+        for (int u = 0; u < 8; ++u)
+          for (int v = 0; v < 8; ++v) {
+            double s = 0.0;
+            for (int y = 0; y < 8; ++y) s += tmp[u][y] * A[y][v];
+            const int idx = u * 8 + v;
+            const double scaled = s / q[idx];
+            coef[idx] = static_cast<int32_t>(
+                scaled >= 0 ? std::floor(scaled + 0.5) : std::ceil(scaled - 0.5));
+          }
+        // huffman-emit in zigzag order
+        const EncTable &dct = dc[c == 0 ? 0 : 1];
+        const EncTable &act = ac[c == 0 ? 0 : 1];
+        const int dcv = coef[0];
+        int diff = dcv - preds[c];
+        preds[c] = dcv;
+        int s = category(diff);
+        bw.put(dct.code[s], dct.len[s]);
+        if (s) bw.put(diff >= 0 ? diff : diff + (1 << s) - 1, s);
+        int run = 0, last_nz = 0;
+        for (int k = 63; k >= 1; --k) {
+          if (coef[jpeg::kZigzag[k]]) {
+            last_nz = k;
+            break;
+          }
+        }
+        for (int k = 1; k <= last_nz; ++k) {
+          const int v = coef[jpeg::kZigzag[k]];
+          if (v == 0) {
+            ++run;
+            continue;
+          }
+          while (run > 15) {
+            bw.put(act.code[0xF0], act.len[0xF0]);
+            run -= 16;
+          }
+          s = category(v);
+          bw.put(act.code[(run << 4) | s], act.len[(run << 4) | s]);
+          bw.put(v >= 0 ? v : v + (1 << s) - 1, s);
+          run = 0;
+        }
+        if (last_nz < 63) bw.put(act.code[0x00], act.len[0x00]);
+      }
+    }
+  }
+  bw.flush();
+  bw.emit(0xFF);
+  bw.emit(0xD9);
+  if (bw.overflow) return -3;
+  return bw.pos;
+}
+
+}  // extern "C"
