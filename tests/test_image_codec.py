@@ -230,6 +230,29 @@ def test_jpeg_encoder_native_matches_python():
     assert abs(len(blob_native) - len(blob_py)) <= 64  # headers identical
 
 
+def test_jpeg_encode_noise_q100_and_dtype_guard():
+    """Entropy-coded noise at quality 100 exceeds the raw size (~2.2x) —
+    the native encoder must retry with a larger buffer or hand the frame
+    to the growable Python encoder, never raise; and non-uint8 inputs
+    must be rejected, not silently truncated to garbage."""
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (256, 256, 3)).astype(np.uint8)
+    data = encode_jpeg(img, quality=100)
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    rms = np.sqrt(((out.astype(int) - img.astype(int)) ** 2).mean())
+    assert rms < 12.0, f"q100 noise roundtrip rms {rms}"
+    if native_available():
+        from trajectory_optimization_tpu.native import jpeg_encode_native
+
+        with pytest.raises(ValueError, match="uint8"):
+            jpeg_encode_native(rng.random((8, 8, 3)), 85)
+        with pytest.raises(ValueError, match="uint8"):
+            jpeg_encode_native(img.astype(np.int16), 85)
+
+
 def _structured_image_for_fixtures(rng, h, w):
     yy, xx = np.mgrid[0:h, 0:w]
     img = np.stack([(xx * 255 // w), (yy * 255 // h), ((xx + yy) % 256)], -1)

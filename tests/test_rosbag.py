@@ -133,6 +133,58 @@ def test_bag_streaming_player(tmp_path):
     assert player.play(bus) == len(msgs)
 
 
+def test_bag_player_abort_releases_prefetch_thread(tmp_path):
+    """An aborted play() must not leak the prefetch reader blocked in
+    q.put (it would pin the open bag file inside the suspended read_bag
+    generator frame in a long-lived serving process)."""
+    import threading
+    import time
+
+    msgs = [("/pose", PoseMsg(Header(stamp=float(i), frame_id="m"),
+                              [float(i), 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]))
+            for i in range(64)]
+    path = str(tmp_path / "abort.bag")
+    write_bag(path, msgs)
+
+    class _Boom:
+        def __init__(self):
+            self.n = 0
+
+        def publish(self, topic, msg):
+            self.n += 1
+            if self.n >= 2:
+                raise RuntimeError("consumer abort")
+
+    player = BagPlayer(path, streaming=True)
+    with pytest.raises(RuntimeError, match="consumer abort"):
+        player.play(_Boom(), prefetch=4)
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline and any(
+            t.name == "bag-prefetch" for t in threading.enumerate()):
+        time.sleep(0.05)
+    assert not any(t.name == "bag-prefetch" for t in threading.enumerate())
+
+
+def test_bag_player_no_prefetch_thread_when_materialized(tmp_path):
+    """Non-streaming players decoded everything in __init__ — play() must
+    not spawn a reader thread just to shuttle a list through a queue."""
+    import threading
+
+    msgs = _sample_messages()
+    path = str(tmp_path / "mat.bag")
+    write_bag(path, msgs)
+
+    seen = []
+
+    class _Check:
+        def publish(self, topic, msg):
+            seen.append(any(t.name == "bag-prefetch"
+                            for t in threading.enumerate()))
+
+    n = BagPlayer(path).play(_Check())
+    assert n == len(msgs) and seen and not any(seen)
+
+
 def test_bag_recorder_incremental_chunks(tmp_path):
     """Recorder flushes through BagWriter chunks: multi-chunk bags read back
     completely and a pre-close crash keeps the flushed chunks on disk."""

@@ -1027,22 +1027,44 @@ class BagPlayer:
         parsing, JPEG/PNG decode — the C paths release the GIL) onto a
         reader thread feeding a bounded queue, so decode overlaps the
         subscribers' device work. Order is preserved exactly; 0 restores
-        fully synchronous iteration."""
+        fully synchronous iteration. Non-streaming players decoded
+        everything in __init__, so the thread is skipped — there is
+        nothing left to overlap."""
         src = self._iter()
-        if prefetch > 0:
+        stop = None
+        if prefetch > 0 and self._events is None:
             import queue
             import threading
 
             q: "queue.Queue" = queue.Queue(maxsize=prefetch)
             _END = object()
+            stop = threading.Event()
+            gen = src
+
+            def _put(item) -> bool:
+                # bounded put that gives up when the consumer abandoned
+                # drain() — otherwise an aborted play() would leak this
+                # thread blocked in q.put plus the open bag file inside
+                # the suspended read_bag generator frame
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def _reader():
                 try:
-                    for item in src:
-                        q.put(item)
-                    q.put(_END)
-                except BaseException as e:  # surface decode errors in-line
-                    q.put(e)
+                    try:
+                        for item in gen:
+                            if not _put(item):
+                                return
+                        _put(_END)
+                    except BaseException as e:  # surface decode errors in-line
+                        _put(e)
+                finally:
+                    gen.close()  # release the bag file promptly
 
             threading.Thread(target=_reader, daemon=True,
                              name="bag-prefetch").start()
@@ -1059,16 +1081,21 @@ class BagPlayer:
             src = drain()
         prev_t = None
         n = 0
-        for t, topic, msg in src:
-            if realtime and prev_t is not None:
-                gap = max(t - prev_t, 0.0) / rate
-                if gap > 0:
-                    _time.sleep(min(gap, 10.0))
-            # monotone high-water mark: streaming mode replays record order,
-            # where an out-of-order stamp must not inflate the next gap
-            prev_t = t if prev_t is None else max(prev_t, t)
-            bus.publish(topic, msg)
-            n += 1
+        try:
+            for t, topic, msg in src:
+                if realtime and prev_t is not None:
+                    gap = max(t - prev_t, 0.0) / rate
+                    if gap > 0:
+                        _time.sleep(min(gap, 10.0))
+                # monotone high-water mark: streaming mode replays record
+                # order, where an out-of-order stamp must not inflate the
+                # next gap
+                prev_t = t if prev_t is None else max(prev_t, t)
+                bus.publish(topic, msg)
+                n += 1
+        finally:
+            if stop is not None:
+                stop.set()
         return n
 
 

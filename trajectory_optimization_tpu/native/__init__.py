@@ -240,7 +240,10 @@ def jpeg_encode_native(img: np.ndarray, quality: int = 85) -> Optional[bytes]:
     lib = _load()
     if lib is None or getattr(lib, "jpeg_encode", None) is None:
         return None
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError(f"JPEG encode needs uint8 input, got {img.dtype}")
+    img = np.ascontiguousarray(img)
     if img.ndim == 2:
         ncomp = 1
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -250,11 +253,20 @@ def jpeg_encode_native(img: np.ndarray, quality: int = 85) -> Optional[bytes]:
     h, w = int(img.shape[0]), int(img.shape[1])
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    cap = h * w * ncomp + (1 << 16)  # worst case ~ raw size + headers
-    out = np.empty(cap, dtype=np.uint8)
-    n = lib.jpeg_encode(
-        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ncomp,
-        int(quality), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    # Entropy-coded noise at quality ~100 can exceed the raw size (~2.2x
+    # measured); start at 2x + headers and retry once at 4x before handing
+    # the frame to the growable pure-Python encoder (return None).
+    for mult in (2, 4):
+        cap = mult * h * w * ncomp + (1 << 16)
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.jpeg_encode(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ncomp,
+            int(quality), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap)
+        if n != -3:  # -3 = output buffer overflow
+            break
+    if n == -3:
+        return None
     if n < 0:
         raise ValueError(f"native jpeg_encode failed rc={n}")
     return out[:n].tobytes()

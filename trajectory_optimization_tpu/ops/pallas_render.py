@@ -236,7 +236,10 @@ def render_point_cloud_pallas(
         bin_ids = jnp.where(ok, ty0c * tiles_x + tx0c, n_tiles)
         # one multi-operand sort carries the entries with the key — a
         # row-granular (N, 8) gather after argsort costs as much as the
-        # sort itself on TPU (same fix as ops.hpr's binned routing)
+        # sort itself on TPU (same fix as ops.hpr's binned routing).
+        # Stability (lax.sort's default) is load-bearing: the blend kernel
+        # breaks z ties by entry order, which must match ops.render's
+        # first-point-wins order for pixel parity.
         sorted_cols = jax.lax.sort(
             (bin_ids, *(entries[:, i] for i in range(entries.shape[1]))),
             num_keys=1)
