@@ -416,15 +416,14 @@ def hpr_mask_soft_binned(
             frac * float(1 << frac_bits)).astype(jnp.int32)
         # ONE multi-operand sort carries the data along with the key —
         # separate 256k-row gathers after an argsort measured ~10 ms EACH
-        # on the chip (row-granular), ~3x the sort itself
+        # on the chip (row-granular), ~3x the sort itself. The bin column
+        # is not carried: it is recovered exactly from the sorted key by
+        # shifting the distance bits back out.
         iota = jnp.arange(n, dtype=jnp.int32)
-        _, u0_s, u1_s, u2_s, rho_s, bin_s, perm = jax.lax.sort(
-            (key, u[:, 0], u[:, 1], u[:, 2], rho, bins, iota), num_keys=1)
+        key_s, u0_s, u1_s, u2_s, rho_s, perm = jax.lax.sort(
+            (key, u[:, 0], u[:, 1], u[:, 2], rho, iota), num_keys=1)
+        bin_s = key_s >> frac_bits
         u_s = jnp.stack([u0_s, u1_s, u2_s], axis=1)
-        # inv_perm by sorting the permutation back (same cost as the sort;
-        # an argsort here would be a second full key sort anyway)
-        _, inv_perm = jax.lax.sort((perm, iota), num_keys=1)
-        inv_perm = jax.lax.stop_gradient(inv_perm)
 
         # bins are sorted: member counts come from binary search, not a
         # bincount (which lowers to a serialized row scatter on TPU)
@@ -475,7 +474,12 @@ def hpr_mask_soft_binned(
         smax_g = jnp.full((n,), -_BIG_SOFT, jnp.float32)
         smax_g, _ = jax.lax.scan(
             body, smax_g, (tile_bin, tile_qoff, tile_coff, tile_ok))
-        smax = jnp.maximum(smax, smax_g[inv_perm])
+        # un-permute by sorting (perm, smax_g): perm is a permutation of
+        # iota, so the co-sorted smax lands in canonical order. One 2-op
+        # sort (~1.3 ms at 256k) replaces the old inv_perm sort PLUS a 1D
+        # gather (~2.9 ms, scatter transpose in backward).
+        _, smax_c = jax.lax.sort((perm, smax_g), num_keys=1)
+        smax = jnp.maximum(smax, smax_c)
 
     out = jax.nn.sigmoid(beta * (rho + tau * scale - smax))
     if v is not None:
