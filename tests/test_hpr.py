@@ -286,6 +286,44 @@ def test_soft_binned_gradients():
     assert np.isfinite(g).all() and np.abs(g).max() > 0
 
 
+def test_cosort_custom_vjp_matches_sort_autodiff():
+    """The scatter-free custom VJPs of _cosort/_unpermute must reproduce
+    autodiff-through-lax.sort exactly — including on tie-heavy keys, where
+    a stability mismatch between the forward permutation and the backward
+    co-sort would mis-route cotangents."""
+    from trajectory_optimization_tpu.ops.hpr import _cosort, _unpermute
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    # few distinct keys -> long tie runs (same-bin points share a key prefix)
+    key = jnp.asarray(rng.integers(0, 17, n).astype(np.int32))
+    ops = [jnp.asarray(rng.normal(size=n).astype(np.float32))
+           for _ in range(4)]
+    cot_sorted = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    cot_x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    def via_custom(u0, u1, u2, rho, x):
+        key_s, u0s, u1s, u2s, rhos, perm = _cosort(key, u0, u1, u2, rho)
+        xs = _unpermute(key, perm, x)
+        return (jnp.sum((u0s + u1s + u2s + rhos) * cot_sorted)
+                + jnp.sum(xs * cot_x))
+
+    def via_autodiff(u0, u1, u2, rho, x):
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, u0s, u1s, u2s, rhos, perm = jax.lax.sort(
+            (key, u0, u1, u2, rho, iota), num_keys=1)
+        _, xs = jax.lax.sort((perm, x), num_keys=1)
+        return (jnp.sum((u0s + u1s + u2s + rhos) * cot_sorted)
+                + jnp.sum(xs * cot_x))
+
+    args = (*ops, jnp.asarray(rng.normal(size=n).astype(np.float32)))
+    va, ga = jax.value_and_grad(via_custom, argnums=(0, 1, 2, 3, 4))(*args)
+    vb, gb = jax.value_and_grad(via_autodiff, argnums=(0, 1, 2, 3, 4))(*args)
+    assert float(va) == float(vb)
+    for a, b in zip(ga, gb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pose_optimization_through_soft_hpr(cloud10):
     """Occlusion-aware pose optimization: gradients THROUGH Katz HPR — the
     reference's TODO (`src/tools.py:61-62`) realized."""

@@ -295,6 +295,71 @@ def hpr_mask_soft(
     return jax.nn.sigmoid(beta * (rho + tau * scale - smax))
 
 
+# ---------------------------------------------------------------------------
+# custom-VJP sort helpers for hpr_mask_soft_binned
+#
+# JAX's built-in lax.sort VJP transposes the implicit gather into a
+# scatter-add; on TPU 1D scatters serialize row-by-row (~60 ns/row,
+# CLAUDE.md) so each 256k-point sort operand cost ~10 ms in the backward.
+# Both helpers below instead un-permute cotangents with ONE stable co-sort
+# (sort permutations depend only on the keys, so re-sorting by the saved
+# perm / original key reproduces the exact forward permutation): measured
+# 105 -> 72 ms for the full 256k gradient on chip. Gradients agree with
+# autodiff-through-sort to f32 reassociation noise (relnorm ~1e-6).
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _cosort(key, u0, u1, u2, rho):
+    """Sort (u0, u1, u2, rho) by int32 ``key``; returns sorted columns,
+    the sorted key, and the permutation (perm[p] = canonical row at sorted
+    position p). Backward un-permutes cotangents by co-sorting on perm."""
+    out, _ = _cosort_fwd(key, u0, u1, u2, rho)
+    return out
+
+
+def _cosort_fwd(key, u0, u1, u2, rho):
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key_s, u0s, u1s, u2s, rhos, perm = jax.lax.sort(
+        (key, u0, u1, u2, rho, iota), num_keys=1)
+    return (key_s, u0s, u1s, u2s, rhos, perm), perm
+
+
+def _cosort_bwd(perm, cots):
+    _ck, cu0, cu1, cu2, crho, _cp = cots
+    # forward put canonical row perm[p] at sorted position p; sorting the
+    # sorted-order cotangents by perm drops each back to its canonical row
+    _, g0, g1, g2, gr = jax.lax.sort((perm, cu0, cu1, cu2, crho), num_keys=1)
+    return None, g0, g1, g2, gr
+
+
+_cosort.defvjp(_cosort_fwd, _cosort_bwd)
+
+
+@jax.custom_vjp
+def _unpermute(key, perm, x):
+    """Map sorted-order ``x`` back to canonical order (perm from
+    :func:`_cosort`). Backward re-applies the forward permutation by
+    co-sorting the cotangent on the original ``key``."""
+    _, out = jax.lax.sort((perm, x), num_keys=1)
+    return out
+
+
+def _unpermute_fwd(key, perm, x):
+    return _unpermute(key, perm, x), key
+
+
+def _unpermute_bwd(key, cot):
+    # cot is canonical-order; the stable key-sort reproduces the forward
+    # permutation exactly, sending cot[perm[p]] to sorted position p
+    _, g = jax.lax.sort((key, cot), num_keys=1)
+    return None, None, g
+
+
+_unpermute.defvjp(_unpermute_fwd, _unpermute_bwd)
+
+
 def _binned_grids(r_param: float, tau: float, safety: float):
     """Static lat/az binning layouts for :func:`hpr_mask_soft_binned`.
 
@@ -412,16 +477,16 @@ def hpr_mask_soft_binned(
                 f"binning too fine for an int32 sort key ({n_bins} bins); "
                 f"lower safety/raise r_param")
         frac = jnp.clip(norms / jnp.maximum(scale, 1e-12), 0.0, 1.0 - 1e-6)
-        key = bins * (1 << frac_bits) + (
-            frac * float(1 << frac_bits)).astype(jnp.int32)
+        key = jax.lax.stop_gradient(bins * (1 << frac_bits) + (
+            frac * float(1 << frac_bits)).astype(jnp.int32))
         # ONE multi-operand sort carries the data along with the key —
         # separate 256k-row gathers after an argsort measured ~10 ms EACH
         # on the chip (row-granular), ~3x the sort itself. The bin column
         # is not carried: it is recovered exactly from the sorted key by
-        # shifting the distance bits back out.
-        iota = jnp.arange(n, dtype=jnp.int32)
-        key_s, u0_s, u1_s, u2_s, rho_s, perm = jax.lax.sort(
-            (key, u[:, 0], u[:, 1], u[:, 2], rho, iota), num_keys=1)
+        # shifting the distance bits back out. _cosort's custom VJP keeps
+        # the backward scatter-free too.
+        key_s, u0_s, u1_s, u2_s, rho_s, perm = _cosort(
+            key, u[:, 0], u[:, 1], u[:, 2], rho)
         bin_s = key_s >> frac_bits
         u_s = jnp.stack([u0_s, u1_s, u2_s], axis=1)
 
@@ -478,7 +543,7 @@ def hpr_mask_soft_binned(
         # iota, so the co-sorted smax lands in canonical order. One 2-op
         # sort (~1.3 ms at 256k) replaces the old inv_perm sort PLUS a 1D
         # gather (~2.9 ms, scatter transpose in backward).
-        _, smax_c = jax.lax.sort((perm, smax_g), num_keys=1)
+        smax_c = _unpermute(key, perm, smax_g)
         smax = jnp.maximum(smax, smax_c)
 
     out = jax.nn.sigmoid(beta * (rho + tau * scale - smax))
