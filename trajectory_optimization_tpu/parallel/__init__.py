@@ -5,6 +5,9 @@ from trajectory_optimization_tpu.parallel.sharded import (
     shardmap_visibility,
 )
 from trajectory_optimization_tpu.parallel.sharded_pallas import sharded_fused_lo_sum
+from trajectory_optimization_tpu.parallel.hpr_sharded import (
+    hpr_mask_soft_binned_sharded,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +17,5 @@ __all__ = [
     "shard_points",
     "shardmap_visibility",
     "sharded_fused_lo_sum",
+    "hpr_mask_soft_binned_sharded",
 ]
