@@ -76,11 +76,25 @@ def test_sharded_rejects_indivisible(mesh):
 
 
 def test_sharded_cap_exceeds_shard(mesh):
-    """cap > n_local must clamp, not crash (small clouds on big meshes)."""
+    """cap > n_local keeps the GLOBAL candidate budget: each shard
+    contributes its min(cap, n_local) closest per bin, and the merge keeps
+    min(cap, N) — matching the single-chip kernel called with the same
+    cap, NOT a silently shard-clamped one (review-found)."""
     pts = jnp.asarray(_cloud(2048, seed=4))
+    # n_local = 256 < cap = 1024 < N = 2048
     sh = np.asarray(hpr_mask_soft_binned_sharded(pts, mesh, cap=1024))
-    ref = np.asarray(hpr_mask_soft_binned(pts, cap=256))
-    # cap clamps to 256 locally but the merged global table still holds
-    # 8*256 candidates truncated to 256 — same candidate budget as ref
+    ref = np.asarray(hpr_mask_soft_binned(pts, cap=1024))
     d = np.abs(ref - sh)
     assert d.mean() < 5e-4, d.mean()
+
+
+def test_sharded_fn_cached(mesh):
+    """Repeat calls reuse the jitted shard_map (review-found: the
+    uncached wrapper retraced every call, ~14x slower)."""
+    from trajectory_optimization_tpu.parallel.hpr_sharded import _sharded_fn
+
+    pts = jnp.asarray(_cloud(1024, seed=5))
+    before = _sharded_fn.cache_info().hits
+    _ = hpr_mask_soft_binned_sharded(pts, mesh, cap=64)
+    _ = hpr_mask_soft_binned_sharded(pts, mesh, cap=64)
+    assert _sharded_fn.cache_info().hits >= before + 1

@@ -19,9 +19,11 @@ SPMD design (no global sort, no cross-chip scatter):
   (ties in the quantized distance key aside);
 - each shard's points then compete against the merged global table of
   their own bin — O(n_local · cap) local work, perfectly partitioned;
-- collectives: one ``pmax`` (radius/scale) + one ``all_gather`` per grid
-  (~n_bins·cap·6 floats ≈ a few MB, rides ICI). Gradients flow back
-  through the all_gather as a ``psum_scatter`` placed by shard_map's
+- collectives: one scalar ``all_gather``+max for radius/scale (NOT
+  ``lax.pmax`` — it has no differentiation rule), then the candidate
+  tables' ``all_gather``s per grid (key/u×3/rho/gid/ok columns,
+  ~n_bins·cap·7 words ≈ a few MB total, rides ICI). Gradients flow back
+  through the all_gathers as ``psum_scatter``s placed by shard_map's
   transpose; everything else differentiates locally (the local sort uses
   the same scatter-free co-sort custom VJP as the single-chip kernel).
 
@@ -31,7 +33,7 @@ included.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -74,10 +76,14 @@ _cosort_gid.defvjp(_cosort_gid_fwd, _cosort_gid_bwd)
 
 
 def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
-                safety, axis):
+                safety, axis, n_global):
     """Per-shard body (runs under shard_map over ``axis``)."""
     n_l = points_l.shape[0]
-    cap = min(cap, n_l)
+    # cap is the GLOBAL per-bin candidate budget (single-chip semantics:
+    # min(cap, N)); a shard contributes at most min(cap_g, n_l) rows —
+    # it can never supply more survivors of the global merge than that
+    cap_g = min(cap, n_global)
+    cap_l = min(cap_g, n_l)
     norms = jnp.linalg.norm(points_l, axis=-1)
     v = valid_l > 0
     norms_v = jnp.where(v, norms, 0.0)
@@ -130,15 +136,15 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
         counts = edges[1:] - edges[:-1]
         starts = edges[:-1]
 
-        # --- local per-bin candidate tables: first (closest) cap members ---
+        # --- local per-bin candidate tables: first (closest) cap_l members --
         # n_bins is static and small (~10²); a scan of contiguous
         # dynamic_slices stays scatter/gather-free.
         def cand_body(_, b):
-            off = jnp.clip(starts[b], 0, n_l - cap)
-            ck = jax.lax.dynamic_slice(key_s, (off,), (cap,))
-            cu = jax.lax.dynamic_slice(u_s, (off, 0), (cap, 3))
-            cr = jax.lax.dynamic_slice(rho_s, (off,), (cap,))
-            cg = jax.lax.dynamic_slice(gid_s, (off,), (cap,))
+            off = jnp.clip(starts[b], 0, n_l - cap_l)
+            ck = jax.lax.dynamic_slice(key_s, (off,), (cap_l,))
+            cu = jax.lax.dynamic_slice(u_s, (off, 0), (cap_l, 3))
+            cr = jax.lax.dynamic_slice(rho_s, (off,), (cap_l,))
+            cg = jax.lax.dynamic_slice(gid_s, (off,), (cap_l,))
             # rows can spill into a neighbouring bin when the slice is
             # clipped at the array edge — mark them invalid (same
             # semantics as the single-chip cbin==b pair test)
@@ -149,11 +155,13 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
         _, (tk, tu, tr, tg, tok) = jax.lax.scan(
             cand_body, None, jnp.arange(n_bins, dtype=jnp.int32))
 
-        # --- all-gather + batched merge: global top-cap per bin ------------
-        # (D, n_bins, cap, ...) -> (n_bins, D*cap) rows, merge-sorted by the
-        # quantized distance key (single-chip candidate order), keep cap.
+        # --- all-gather + batched merge: global top-cap_g per bin ----------
+        # (D, n_bins, cap_l, ...) -> (n_bins, D*cap_l) rows, merge-sorted by
+        # the quantized distance key (single-chip candidate order), keep
+        # cap_g — the single-chip min(cap, N) budget (D*cap_l >= cap_g
+        # always: each shard contributes min(cap_g, n_l)).
         def gather_flat(x):
-            g = jax.lax.all_gather(x, axis)  # (D, n_bins, cap)
+            g = jax.lax.all_gather(x, axis)  # (D, n_bins, cap_l)
             return jnp.moveaxis(g, 0, 1).reshape(n_bins, -1)
 
         gk = gather_flat(tk)
@@ -168,31 +176,31 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
              gok.astype(jnp.int32)),
             num_keys=1, dimension=1)
         cu_tab = jnp.stack(
-            [gu0[:, :cap], gu1[:, :cap], gu2[:, :cap]], axis=-1)
-        cr_tab = gr_s[:, :cap]
-        cg_tab = gg_s[:, :cap]
-        cok_tab = gok_s[:, :cap] > 0
+            [gu0[:, :cap_g], gu1[:, :cap_g], gu2[:, :cap_g]], axis=-1)
+        cr_tab = gr_s[:, :cap_g]
+        cg_tab = gg_s[:, :cap_g]
+        cok_tab = gok_s[:, :cap_g] > 0
 
         # --- local query tiles vs the global candidate table ---------------
-        tiles_per_bin = -(-counts // cap)
+        tiles_per_bin = -(-counts // cap_l)
         tile_cum = jnp.concatenate(
             [jnp.zeros((1,), tiles_per_bin.dtype), jnp.cumsum(tiles_per_bin)])
-        n_tiles_static = n_bins + -(-n_l // cap)
+        n_tiles_static = n_bins + -(-n_l // cap_l)
         slot = jnp.arange(n_tiles_static)
         tile_bin = jnp.clip(
             jnp.searchsorted(tile_cum, slot, side="right") - 1, 0, n_bins - 1)
         within = slot - tile_cum[tile_bin]
         tile_ok = within < tiles_per_bin[tile_bin]
-        tile_qoff = jnp.clip(starts[tile_bin] + within * cap, 0, n_l - cap)
+        tile_qoff = jnp.clip(starts[tile_bin] + within * cap_l, 0, n_l - cap_l)
 
         @jax.checkpoint  # O(cap) residuals per step, like the single-chip body
         def tile_smax(b, qoff, u_s, cu_tab, cr_tab, cg_tab, cok_tab):
-            qu = jax.lax.dynamic_slice(u_s, (qoff, 0), (cap, 3))
-            qg = jax.lax.dynamic_slice(gid_s, (qoff,), (cap,))
-            cu = jax.lax.dynamic_slice(cu_tab, (b, 0, 0), (1, cap, 3))[0]
-            cr = jax.lax.dynamic_slice(cr_tab, (b, 0), (1, cap))[0]
-            cg = jax.lax.dynamic_slice(cg_tab, (b, 0), (1, cap))[0]
-            cok = jax.lax.dynamic_slice(cok_tab, (b, 0), (1, cap))[0]
+            qu = jax.lax.dynamic_slice(u_s, (qoff, 0), (cap_l, 3))
+            qg = jax.lax.dynamic_slice(gid_s, (qoff,), (cap_l,))
+            cu = jax.lax.dynamic_slice(cu_tab, (b, 0, 0), (1, cap_g, 3))[0]
+            cr = jax.lax.dynamic_slice(cr_tab, (b, 0), (1, cap_g))[0]
+            cg = jax.lax.dynamic_slice(cg_tab, (b, 0), (1, cap_g))[0]
+            cok = jax.lax.dynamic_slice(cok_tab, (b, 0), (1, cap_g))[0]
             cos = (qu[:, 0:1] * cu[None, :, 0] + qu[:, 1:2] * cu[None, :, 1]
                    + qu[:, 2:3] * cu[None, :, 2])
             pair_ok = cok[None, :] & (qg[:, None] != cg[None, :])
@@ -203,9 +211,9 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
         def body(carry, tile, u_s=u_s, cu_tab=cu_tab,
                  cr_tab=cr_tab, cg_tab=cg_tab, cok_tab=cok_tab):
             b, qoff, ok = tile
-            qbin = jax.lax.dynamic_slice(bin_s, (qoff,), (cap,))
+            qbin = jax.lax.dynamic_slice(bin_s, (qoff,), (cap_l,))
             s = tile_smax(b, qoff, u_s, cu_tab, cr_tab, cg_tab, cok_tab)
-            cur = jax.lax.dynamic_slice(carry, (qoff,), (cap,))
+            cur = jax.lax.dynamic_slice(carry, (qoff,), (cap_l,))
             upd = jnp.where((qbin == b) & ok, jnp.maximum(cur, s), cur)
             return jax.lax.dynamic_update_slice(carry, upd, (qoff,)), None
 
@@ -220,6 +228,30 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
 
     out = jax.nn.sigmoid(beta * (rho + tau * scale - smax))
     return out * v.astype(jnp.float32)
+
+
+@lru_cache(maxsize=64)
+def _sharded_fn(mesh: Mesh, axis: str, r_param: float, sharpness: float,
+                tau: float, cap: int, safety: float):
+    """Build (and cache) the jitted shard_map for one config.
+
+    Without this cache every call re-built the shard_map closure and
+    retraced from scratch — measured ~14× slower than warm execution on
+    the CPU mesh. jit handles per-shape specialization inside."""
+    d = mesh.shape[axis]
+
+    def local(points_l, valid_l):
+        n_l = points_l.shape[0]
+        gid0 = (jax.lax.axis_index(axis) * n_l).astype(jnp.int32)
+        return _local_mask(
+            points_l, valid_l, gid0, r_param=r_param, sharpness=sharpness,
+            tau=tau, cap=cap, safety=safety, axis=axis, n_global=n_l * d)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P(axis),
+    ))
 
 
 def hpr_mask_soft_binned_sharded(
@@ -237,10 +269,12 @@ def hpr_mask_soft_binned_sharded(
     """Point-sharded differentiable HPR over a device mesh.
 
     Same semantics (and defaults) as
-    :func:`~trajectory_optimization_tpu.ops.hpr.hpr_mask_soft_binned`; the
-    point axis is sharded over ``mesh[axis]``. ``len(points)`` must divide
-    by the axis size — pad with ``valid`` (utils.data.pad_points) first.
-    Returns the (N,) visibility mask, sharded along ``axis``.
+    :func:`~trajectory_optimization_tpu.ops.hpr.hpr_mask_soft_binned` —
+    including the global min(cap, N) per-bin candidate budget, whatever
+    the shard count; the point axis is sharded over ``mesh[axis]``.
+    ``len(points)`` must divide by the axis size — pad with ``valid``
+    (utils.data.pad_points) first. Returns the (N,) visibility mask,
+    sharded along ``axis``.
     """
     n = points.shape[0]
     d = mesh.shape[axis]
@@ -250,20 +284,9 @@ def hpr_mask_soft_binned_sharded(
             "pad with a valid mask first")
     if valid is None:
         valid = jnp.ones((n,), jnp.float32)
-    n_l = n // d
 
-    def local(points_l, valid_l):
-        idx = jax.lax.axis_index(axis)
-        gid0 = (idx * n_l).astype(jnp.int32)
-        return _local_mask(
-            points_l, valid_l, gid0, r_param=r_param, sharpness=sharpness,
-            tau=tau, cap=cap, safety=safety, axis=axis)
-
-    f = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
-        out_specs=P(axis),
-    )
+    f = _sharded_fn(mesh, axis, float(r_param), float(sharpness),
+                    float(tau), int(cap), float(safety))
     pts_sh = jax.device_put(points, NamedSharding(mesh, P(axis, None)))
     val_sh = jax.device_put(
         jnp.asarray(valid, jnp.float32), NamedSharding(mesh, P(axis)))
