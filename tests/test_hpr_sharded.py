@@ -70,6 +70,39 @@ def test_sharded_gradients_match(mesh):
     assert rel < 5e-3, rel
 
 
+def test_merge_cosort_vjp_matches_sort_autodiff():
+    """The batched merge co-sort's scatter-free VJP must reproduce
+    autodiff-through-lax.sort exactly, ties included (the gathered
+    candidate keys are tie-heavy: quantized distances plus repeated
+    0x7FFFFFFF invalid-row sentinels)."""
+    from trajectory_optimization_tpu.parallel.hpr_sharded import _cosort_merge
+
+    rng = np.random.default_rng(11)
+    b, n = 37, 512
+    key = jnp.asarray(rng.integers(0, 9, (b, n)).astype(np.int32))
+    gid = jnp.asarray(rng.integers(0, 1 << 20, (b, n)).astype(np.int32))
+    ok = jnp.asarray(rng.integers(0, 2, (b, n)).astype(np.int32))
+    flts = [jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+            for _ in range(4)]
+    cot = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+
+    def via_custom(u0, u1, u2, rho):
+        _, u0s, u1s, u2s, rhos, _, _ = _cosort_merge(
+            key, u0, u1, u2, rho, gid, ok)
+        return jnp.sum((u0s + u1s - u2s + rhos) * cot)
+
+    def via_autodiff(u0, u1, u2, rho):
+        _, u0s, u1s, u2s, rhos, _, _ = jax.lax.sort(
+            (key, u0, u1, u2, rho, gid, ok), num_keys=1, dimension=1)
+        return jnp.sum((u0s + u1s - u2s + rhos) * cot)
+
+    va, ga = jax.value_and_grad(via_custom, argnums=(0, 1, 2, 3))(*flts)
+    vb, gb = jax.value_and_grad(via_autodiff, argnums=(0, 1, 2, 3))(*flts)
+    assert float(va) == float(vb)
+    for a, b_ in zip(ga, gb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_sharded_rejects_indivisible(mesh):
     with pytest.raises(ValueError):
         hpr_mask_soft_binned_sharded(jnp.zeros((1001, 3)), mesh)

@@ -75,6 +75,40 @@ def _cosort_gid_bwd(perm, cots):
 _cosort_gid.defvjp(_cosort_gid_fwd, _cosort_gid_bwd)
 
 
+# ---------------------------------------------------------------------------
+# batched merge co-sort for the gathered candidate tables — autodiff through
+# lax.sort transposes to a scatter-add (row-serialized on TPU); un-permute
+# the cotangents with one stable co-sort keyed by the saved permutation
+# instead. Bit-exact vs autodiff (the transpose of a stable sort is exactly
+# the inverse of the forward permutation, ties included) — pinned in
+# tests/test_hpr_sharded.py::test_merge_cosort_vjp_matches_sort_autodiff.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _cosort_merge(key, u0, u1, u2, rho, gid, ok):
+    out, _ = _cosort_merge_fwd(key, u0, u1, u2, rho, gid, ok)
+    return out
+
+
+def _cosort_merge_fwd(key, u0, u1, u2, rho, gid, ok):
+    iota = jnp.broadcast_to(
+        jnp.arange(key.shape[1], dtype=jnp.int32), key.shape)
+    key_s, u0s, u1s, u2s, rhos, gids, oks, perm = jax.lax.sort(
+        (key, u0, u1, u2, rho, gid, ok, iota), num_keys=1, dimension=1)
+    return (key_s, u0s, u1s, u2s, rhos, gids, oks), perm
+
+
+def _cosort_merge_bwd(perm, cots):
+    _ck, cu0, cu1, cu2, crho, _cg, _cok = cots
+    _, g0, g1, g2, gr = jax.lax.sort(
+        (perm, cu0, cu1, cu2, crho), num_keys=1, dimension=1)
+    return None, g0, g1, g2, gr, None, None
+
+
+_cosort_merge.defvjp(_cosort_merge_fwd, _cosort_merge_bwd)
+
+
 def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
                 safety, axis, n_global):
     """Per-shard body (runs under shard_map over ``axis``)."""
@@ -171,10 +205,9 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
         gg = gather_flat(tg)
         gok = gather_flat(tok)
 
-        gk_s, gu0, gu1, gu2, gr_s, gg_s, gok_s = jax.lax.sort(
-            (gk, gu[..., 0], gu[..., 1], gu[..., 2], gr, gg,
-             gok.astype(jnp.int32)),
-            num_keys=1, dimension=1)
+        gk_s, gu0, gu1, gu2, gr_s, gg_s, gok_s = _cosort_merge(
+            gk, gu[..., 0], gu[..., 1], gu[..., 2], gr, gg,
+            gok.astype(jnp.int32))
         cu_tab = jnp.stack(
             [gu0[:, :cap_g], gu1[:, :cap_g], gu2[:, :cap_g]], axis=-1)
         cr_tab = gr_s[:, :cap_g]
