@@ -587,14 +587,21 @@ struct Decoder {
       for (int bxx = 0; bxx < c.nbx; ++bxx) {
         const int32_t *blk =
             c.coef.data() + (static_cast<int64_t>(byy) * c.nbx + bxx) * 64;
-        bool dc_only = true;
+        // one fused pass fills B and finds the nonzero AC rows (most
+        // camera-content blocks have <20 of 64 coefficients)
+        uint8_t row_nz[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        int nnz = 0;
+        for (int u = 0; u < 8; ++u)
+          for (int v = 0; v < 8; ++v) B[u][v] = 0.0;
+        B[0][0] = static_cast<double>(blk[0]) * q[0];
         for (int k = 1; k < 64; ++k) {
-          if (blk[k]) {
-            dc_only = false;
-            break;
-          }
+          if (!blk[k]) continue;
+          const int idx = kZigzag[k];
+          B[idx >> 3][idx & 7] = static_cast<double>(blk[k]) * q[k];
+          row_nz[idx >> 3] = 1;
+          ++nnz;
         }
-        if (dc_only) {
+        if (nnz == 0) {
           // IDCT of a DC-only block is the constant DC/8 (same shortcut
           // as bus/jpeg.py::_reconstruct, keeping the backends matched)
           const double dcv = static_cast<double>(blk[0]) * q[0] * 0.125;
@@ -605,25 +612,42 @@ struct Decoder {
               plane[(static_cast<int64_t>(byy) * 8 + x) * pw + bxx * 8 + y] = p;
           continue;
         }
-        for (int u = 0; u < 8; ++u)
-          for (int v = 0; v < 8; ++v) B[u][v] = 0.0;
-        for (int k = 0; k < 64; ++k) {
-          const int idx = kZigzag[k];
-          B[idx >> 3][idx & 7] = static_cast<double>(blk[k]) * q[k];
-        }
+        row_nz[0] = 1;  // DC row always contributes
         // tmp[u][y] = sum_v B[u][v] * A[y][v]; saxpy form over contiguous y
-        // so -O3 auto-vectorizes both stages (A is transposed once, below)
-        for (int u = 0; u < 8; ++u) {
-          for (int y = 0; y < 8; ++y) tmp[u][y] = 0.0;
-          for (int v = 0; v < 8; ++v) {
-            const double b = B[u][v];
-            const double *at = AT[v];
-            for (int y = 0; y < 8; ++y) tmp[u][y] += b * at[y];
+        // so -O3 auto-vectorizes both stages (A is transposed once, below).
+        // Sparse blocks (<half the coefficients — the common case on
+        // camera content) skip zero terms: a skipped term adds exactly
+        // ±0.0, so the MATH is identical, though the compiler contracts
+        // mul+add to FMA differently per loop shape — outputs can flip at
+        // floor(x+0.5) boundaries (observed ≤0.02% of samples, within the
+        // decoder's ±2 tolerance vs the numpy/PIL oracles). Dense blocks
+        // keep the branch-free loop (the per-term test measured ~15%
+        // slower on noise-dense fixtures).
+        if (nnz < 32) {
+          for (int u = 0; u < 8; ++u) {
+            for (int y = 0; y < 8; ++y) tmp[u][y] = 0.0;
+            if (!row_nz[u]) continue;
+            for (int v = 0; v < 8; ++v) {
+              const double b = B[u][v];
+              if (b == 0.0) continue;
+              const double *at = AT[v];
+              for (int y = 0; y < 8; ++y) tmp[u][y] += b * at[y];
+            }
+          }
+        } else {
+          for (int u = 0; u < 8; ++u) {
+            for (int y = 0; y < 8; ++y) tmp[u][y] = 0.0;
+            for (int v = 0; v < 8; ++v) {
+              const double b = B[u][v];
+              const double *at = AT[v];
+              for (int y = 0; y < 8; ++y) tmp[u][y] += b * at[y];
+            }
           }
         }
         for (int x = 0; x < 8; ++x) {
           double srow[8] = {0, 0, 0, 0, 0, 0, 0, 0};
           for (int u = 0; u < 8; ++u) {
+            if (!row_nz[u]) continue;  // tmp[u] is all zeros
             const double a = A[x][u];
             const double *t = tmp[u];
             for (int y = 0; y < 8; ++y) srow[y] += a * t[y];
