@@ -121,6 +121,76 @@ def test_sharded_cap_exceeds_shard(mesh):
     assert d.mean() < 5e-4, d.mean()
 
 
+def test_sharded_pose_loss_matches_single_chip(mesh):
+    """pose_loss_sharded == pose_forward(soft_hpr=True) on the same cloud:
+    value to f32 noise, gradients to candidate-tie tolerance."""
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem, init_pose_params, pose_forward,
+    )
+    from trajectory_optimization_tpu.parallel.pose_sharded import (
+        pose_loss_sharded,
+    )
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    # soft_hpr routing in pose_forward: >32k uses the binned kernel that
+    # _local_mask shards — compare against exactly that tier
+    n = 65536
+    pts = jnp.asarray(_cloud(n, seed=7) + np.array([0.0, 0.0, 6.0]))
+    valid = jnp.ones((n,), jnp.float32)
+    prob = PoseProblem(img_width=intr.width, img_height=intr.height,
+                       min_dist=1.0, max_dist=12.0, soft_hpr=True)
+    params = init_pose_params(jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+    K = intr.matrix()
+
+    def loss_ref(p):
+        return pose_forward(p, pts, K, prob, valid=valid)[0]
+
+    def loss_sh(p):
+        return pose_loss_sharded(mesh, p, pts, valid, K, prob)[0]
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+    l_sh, g_sh = jax.value_and_grad(loss_sh)(params)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-4)
+    for k in ("trans", "quat"):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_sh[k])
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+        assert rel < 5e-3, (k, rel, a, b)
+
+
+def test_sharded_pose_step_optimizes(mesh):
+    """A few make_sharded_pose_step iterations must increase total
+    visibility (decrease the loss) — the full multi-chip occlusion-aware
+    training loop, params+Adam replicated, cloud sharded."""
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem, init_pose_params,
+    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+    from trajectory_optimization_tpu.parallel.pose_sharded import (
+        make_sharded_pose_step,
+    )
+    from trajectory_optimization_tpu.parallel.sharded import shard_points
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    n = 16384
+    pts = _cloud(n, seed=8) + np.array([0.0, 0.0, 6.0])
+    prob = PoseProblem(img_width=intr.width, img_height=intr.height,
+                       min_dist=1.0, max_dist=12.0, soft_hpr=True)
+    params = init_pose_params(jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+    init_fn, step_fn = make_sharded_pose_step(
+        mesh, prob, OptimizerConfig(lr_pose=0.05, lr_quat=0.02), hpr_cap=256)
+    opt_state = init_fn(params)
+    P_sh, v_sh = shard_points(mesh, pts, np.ones(n, np.float32))
+    K = intr.matrix()
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss, obs = step_fn(params, opt_state, P_sh, v_sh, K)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(np.asarray(obs)).all()
+
+
 def test_sharded_fn_cached(mesh):
     """Repeat calls reuse the jitted shard_map (review-found: the
     uncached wrapper retraced every call, ~14x slower)."""

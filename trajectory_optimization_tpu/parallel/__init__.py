@@ -8,8 +8,14 @@ from trajectory_optimization_tpu.parallel.sharded_pallas import sharded_fused_lo
 from trajectory_optimization_tpu.parallel.hpr_sharded import (
     hpr_mask_soft_binned_sharded,
 )
+from trajectory_optimization_tpu.parallel.pose_sharded import (
+    make_sharded_pose_step,
+    pose_loss_sharded,
+)
 
 __all__ = [
+    "make_sharded_pose_step",
+    "pose_loss_sharded",
     "make_mesh",
     "points_sharding",
     "replicated",

@@ -1,0 +1,159 @@
+"""Multi-chip occlusion-aware pose optimization: one shard_map step.
+
+The flagship-exceeding feature composed end to end across a device mesh:
+the reference's ``hpr=True`` pose branch (`src/pose_optimization.py:93-96`
++ `src/model.py:112-115`) recomputes a *detached* CPU Qhull HPR each step;
+:func:`~trajectory_optimization_tpu.models.pose.pose_forward` with
+``soft_hpr=True`` differentiates THROUGH Katz occlusion on one chip
+(answering the reference's TODO, `src/tools.py:61-62`); this module scales
+that same loss over the point axis of a mesh, so the 1M-point north-star
+cloud can be pose-optimized occlusion-aware on multiple chips.
+
+Everything lives in ONE shard_map (one jit, no per-step host round trips):
+
+- world->camera transform and the fused visibility score are per-point
+  local math on each shard's slice;
+- the differentiable binned-HPR mask comes from
+  :func:`~trajectory_optimization_tpu.parallel.hpr_sharded._local_mask`
+  (per-shard bin+sort, one fixed-size candidate-table ``all_gather`` per
+  grid over ICI — see that module's docstring for the SPMD design);
+- the scalar loss 1/(Σ mask + eps) closes with a single ``psum``.
+
+Gradients flow through the whole composition (shard_map transposes the
+all_gathers/psum to psum_scatters/identity); the Adam update runs on the
+replicated (1,3)+(1,4) params. Agreement with the single-chip
+``pose_forward(soft_hpr=True)`` is pinned on the virtual CPU mesh in
+``tests/test_hpr_sharded.py``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from trajectory_optimization_tpu.models.pose import PoseProblem
+from trajectory_optimization_tpu.ops.geometry import to_camera_frame
+from trajectory_optimization_tpu.ops.scores import waypoint_scores
+from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
+from trajectory_optimization_tpu.parallel.hpr_sharded import _local_mask
+from trajectory_optimization_tpu.parallel.mesh import points_sharding, replicated
+
+__all__ = ["pose_loss_sharded", "make_sharded_pose_step"]
+
+
+def _build_local(problem: PoseProblem, axis: str, n_devices: int,
+                 hpr_cap: int, hpr_safety: float):
+    """The per-shard loss body (runs under shard_map over ``axis``)."""
+
+    def local(params, points_l, valid_l, K):
+        n_l = points_l.shape[0]
+        quat, trans = params["quat"], params["trans"]
+        score = waypoint_scores(
+            points_l,
+            quat,
+            trans,
+            K,
+            problem.img_width,
+            problem.img_height,
+            min_dist=problem.min_dist,
+            max_dist=problem.max_dist,
+            eps=problem.eps,
+        )[0]
+        # differentiable occlusion in the CAMERA frame (single-chip
+        # pose_forward semantics; the reference's world-frame HPR is a bug
+        # preserved only in its own exact tier)
+        cam = to_camera_frame(points_l, quat[0], trans[0])
+        gid0 = (jax.lax.axis_index(axis) * n_l).astype(jnp.int32)
+        hpr = _local_mask(
+            cam, valid_l, gid0,
+            r_param=2.0, sharpness=200.0, tau=0.03,
+            cap=hpr_cap, safety=hpr_safety,
+            axis=axis, n_global=n_l * n_devices,
+        )
+        mask = hpr * score * valid_l
+        total = jax.lax.psum(jnp.sum(mask), axis)
+        loss = 1.0 / (total + problem.eps)
+        return loss, mask
+
+    return local
+
+
+def pose_loss_sharded(
+    mesh: Mesh,
+    params,
+    points,
+    valid,
+    K,
+    problem: PoseProblem,
+    *,
+    axis: str = "pts",
+    hpr_cap: int = 1024,
+    hpr_safety: float = 3.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Occlusion-aware pose loss with the point axis sharded over ``axis``.
+
+    Traceable (usable under an outer jit / value_and_grad). Returns
+    (scalar loss — replicated, (N,) observations — sharded along ``axis``).
+    Matches ``pose_forward(..., soft_hpr=True)`` up to candidate-tie noise
+    (see parallel.hpr_sharded).
+    """
+    local = _build_local(problem, axis, mesh.shape[axis], hpr_cap, hpr_safety)
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P()),
+        out_specs=(P(), P(axis)),
+    )
+    return f(params, points, jnp.asarray(valid, jnp.float32), K)
+
+
+def make_sharded_pose_step(
+    mesh: Mesh,
+    problem: PoseProblem,
+    cfg: OptimizerConfig,
+    *,
+    axis: str = "pts",
+    hpr_cap: int = 1024,
+    hpr_safety: float = 3.0,
+) -> Tuple[Callable, Callable]:
+    """Build (init_fn, step_fn) for the multi-chip occlusion-aware pose step.
+
+    Shardings: points/valid/observations along ``axis``; the (1,3)+(1,4)
+    params, Adam state and loss replicated. ``step_fn(params, opt_state,
+    points, valid, K) -> (params, opt_state, loss, observations)`` — one
+    jitted dispatch per step, observations stay sharded on-device for the
+    rewards-cloud publisher to fetch (or not) lazily.
+    """
+    tx = make_optimizer(cfg, pose_key="trans", quat_key="quat")
+    rep = replicated(mesh)
+    ps_1d = NamedSharding(mesh, P(axis))
+    ps = points_sharding(mesh)
+
+    def loss_fn(params, points, valid, K):
+        return pose_loss_sharded(
+            mesh, params, points, valid, K, problem,
+            axis=axis, hpr_cap=hpr_cap, hpr_safety=hpr_safety,
+        )
+
+    def init_fn(params):
+        return jax.device_put(tx.init(params), rep)
+
+    @partial(
+        jax.jit,
+        donate_argnums=(0, 1),
+        in_shardings=(rep, rep, ps, ps_1d, rep),
+        out_shardings=(rep, rep, rep, ps_1d),
+    )
+    def step_fn(params, opt_state, points, valid, K):
+        (loss, obs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, points, valid, K
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, obs
+
+    return init_fn, step_fn
