@@ -366,3 +366,31 @@ def test_pose_optimization_through_soft_hpr(cloud10):
         p = optax.apply_updates(p, u)
     l1, _ = loss_fn(p)
     assert float(l1) < float(l0)
+
+
+def test_soft_hpr_gradient_finite_at_sensor_origin():
+    """Real scans contain points EXACTLY at the sensor origin (cloud-10 has
+    one per scan pose); jnp.linalg.norm's 0/0 gradient there NaN'd the whole
+    trajectory gradient until the kernels switched to safe_norm. Pin both
+    soft tiers and the flip."""
+    import jax
+
+    from trajectory_optimization_tpu.ops.hpr import (
+        hpr_mask_soft,
+        hpr_mask_soft_binned,
+        spherical_flip,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(512, 3)).astype(np.float32) + np.array(
+        [0.0, 0.0, 5.0], np.float32)
+    pts[0] = 0.0  # the sensor-origin point
+    pts = jnp.asarray(pts)
+
+    for fn in (hpr_mask_soft, hpr_mask_soft_binned,
+               lambda p: jnp.sum(spherical_flip(p) ** 2, axis=-1)):
+        val = fn(pts)
+        assert np.isfinite(np.asarray(val)).all()
+        g = jax.grad(lambda p: jnp.sum(fn(p) ** 2))(pts)
+        assert np.isfinite(np.asarray(g)).all(), fn
+        assert np.abs(np.asarray(g)[1:]).max() > 0  # real gradients elsewhere

@@ -1,3 +1,5 @@
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -138,3 +140,115 @@ def test_traj_forward_jits_and_is_deterministic(cloud10, path10):
     l1, _ = f(params, pts, INTR.matrix(), jnp.asarray(path10), quats, problem=prob)
     l2, _ = f(params, pts, INTR.matrix(), jnp.asarray(path10), quats, problem=prob)
     assert float(l1) == float(l2)
+
+
+# ---------------------------------------------------------------------------
+# Occlusion-aware trajectory optimization (TrajProblem.soft_hpr) — the
+# trajectory-wide generalization of the pose model's differentiable HPR.
+# The reference's ModelTraj has NO occlusion handling at all; its TODO
+# (`src/tools.py:61-62`) asked for a differentiable HPR.
+# ---------------------------------------------------------------------------
+
+
+def _two_walls_world():
+    """Near wall (z=3) fully occluding the center of a far wall (z=7),
+    camera path near the origin looking +z."""
+    def plane(n, z, half, seed):
+        rng = np.random.default_rng(seed)
+        a = np.linspace(-half, half, n, dtype=np.float32)
+        g1, g2 = np.meshgrid(a, a)
+        pts = np.stack([g1.ravel(), g2.ravel(), np.full(n * n, z, np.float32)], 1)
+        return pts + rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
+
+    near = plane(50, 3.0, 3.0, 0)
+    far = plane(50, 7.0, 2.5, 1)  # strictly inside the near wall's shadow
+    return near, far
+
+
+def test_traj_soft_hpr_suppresses_occluded_points():
+    near, far = _two_walls_world()
+    pts = jnp.asarray(np.vstack([near, far]))
+    poses0 = np.array([[0.0, 0.0, -0.2], [0.05, 0.0, 0.0]], np.float32)
+    quats0 = identity_quaternions(2)
+    params = init_traj_params(poses0, quats0)
+    kw = dict(img_width=INTR.width, img_height=INTR.height,
+              min_dist=1.0, max_dist=12.0, backend="xla")
+    prob_plain = TrajProblem(**kw)
+    prob_hpr = TrajProblem(**kw, soft_hpr=True)
+    K = INTR.matrix()
+
+    _, aux_plain = traj_forward(params, pts, K, poses0, quats0, prob_plain)
+    _, aux_hpr = traj_forward(params, pts, K, poses0, quats0, prob_hpr)
+
+    n_near = len(near)
+    r_plain = np.asarray(aux_plain["rewards"])
+    r_hpr = np.asarray(aux_hpr["rewards"])
+    # without occlusion the hidden far wall is (wrongly) rewarded — its
+    # points sit near the distance-mask peak so some score top of the cloud
+    seen_far = r_plain[n_near:] > 0.9
+    assert seen_far.mean() > 0.03, seen_far.mean()
+    # with soft HPR every one of those collapses to the no-information 0.5
+    assert r_hpr[n_near:][seen_far].max() < 0.505, r_hpr[n_near:][seen_far].max()
+    assert r_hpr[n_near:].mean() < 0.51, r_hpr[n_near:].mean()
+    # and the visible near wall GAINS reward (normalization is no longer
+    # dominated by the occluded wall at the distance-mask peak)
+    assert r_hpr[:n_near].mean() > r_plain[:n_near].mean() + 0.05
+
+
+def test_traj_soft_hpr_gradients_and_optimizes():
+    import optax
+
+    near, far = _two_walls_world()
+    pts = jnp.asarray(np.vstack([near[::3], far[::3]]))
+    poses0 = np.array(
+        [[0.0, -0.5, -0.4], [0.1, -0.4, -0.2], [0.2, -0.5, 0.0]], np.float32)
+    quats0 = jnp.asarray(identity_quaternions(3))
+    params = init_traj_params(poses0, quats0)
+    prob = TrajProblem(img_width=INTR.width, img_height=INTR.height,
+                       min_dist=1.0, max_dist=12.0, soft_hpr=True)
+    prob_plain = dataclasses.replace(prob, soft_hpr=False, backend="xla")
+    K = INTR.matrix()
+
+    def loss_fn(p, problem=prob):
+        return traj_forward(p, pts, K, jnp.asarray(poses0), quats0, problem)
+
+    (l0, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    for k, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), k
+    # occlusion changes the trajectory gradient
+    g_plain = jax.grad(
+        lambda p: loss_fn(p, prob_plain)[0], allow_int=False)(params)
+    assert not np.allclose(np.asarray(grads["poses"]),
+                           np.asarray(g_plain["poses"]), atol=1e-6)
+
+    f = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p)[0]))
+    tx = optax.adam(0.02)
+    st = tx.init(params)
+    p = params
+    for _ in range(12):
+        _, g = f(p)
+        u, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, u)
+    l1, _ = loss_fn(p)
+    assert float(l1) < float(l0), (float(l0), float(l1))
+
+
+def test_traj_soft_hpr_binned_route_forward():
+    """>32k points route through the binned kernel per waypoint; the far
+    hemisphere of a shell stays unrewarded."""
+    rng = np.random.default_rng(4)
+    d = rng.normal(size=(33000, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = jnp.asarray(d * 2.0 + np.array([0.0, 0.0, 8.0], np.float32))
+    poses0 = np.array([[0.0, 0.0, 0.0], [0.0, 0.05, 0.0]], np.float32)
+    quats0 = identity_quaternions(2)
+    params = init_traj_params(poses0, quats0)
+    prob = TrajProblem(img_width=INTR.width, img_height=INTR.height,
+                       min_dist=1.0, max_dist=15.0, soft_hpr=True)
+    _, aux = traj_forward(params, pts, INTR.matrix(), poses0, quats0, prob)
+    r = np.asarray(aux["rewards"])
+    near = d[:, 2] < -0.35  # hemisphere facing the camera
+    far = d[:, 2] > 0.35
+    assert r[near].mean() > 0.6, r[near].mean()
+    assert r[far].mean() < 0.55, r[far].mean()

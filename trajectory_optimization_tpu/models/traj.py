@@ -49,6 +49,14 @@ class TrajProblem:
     wps_step: int = 1  # evaluate visibility at every wps_step-th waypoint
     # 'auto' → fused Pallas kernel on TPU, XLA elsewhere; 'pallas'/'xla' force
     backend: str = "auto"
+    # Differentiable Katz occlusion inside the loss, recomputed per selected
+    # waypoint on that waypoint's camera-frame points — the trajectory-wide
+    # generalization of the pose model's soft HPR (the reference has NO
+    # occlusion in ModelTraj at all; its TODO `src/tools.py:61-62` wanted a
+    # differentiable HPR even for the single pose). Forces the XLA scores
+    # path (the fused Pallas kernel has no occlusion input); clouds over 32k
+    # points use the direction-binned O(N·cap) relaxation per waypoint.
+    soft_hpr: bool = False
 
 
 def waypoint_stride(poses0: np.ndarray, vis_wps_dist: float = 0.5) -> int:
@@ -138,8 +146,55 @@ def traj_forward(
     backend = problem.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if problem.soft_hpr:
+        backend = "xla_hpr"
 
-    if backend == "pallas":
+    if backend == "xla_hpr":
+        # Occlusion-aware trajectory visibility: every selected waypoint gets
+        # its own differentiable HPR gate on ITS camera-frame cloud, applied
+        # to the raw scores before normalization — occluded points collapse
+        # below the 0.5 clip and contribute no log-odds, exactly like the
+        # pose model's soft_hpr branch. A lax.scan over waypoints keeps the
+        # live set at O(N) (never a (W, N·cap) residual); the per-waypoint
+        # body is checkpointed so the backward rematerializes each HPR
+        # instead of saving its internals.
+        from trajectory_optimization_tpu.ops.geometry import to_camera_frame
+        from trajectory_optimization_tpu.ops.hpr import (
+            hpr_mask_soft,
+            hpr_mask_soft_binned,
+        )
+
+        @jax.checkpoint
+        def wp_logodds(quat, pose):
+            p = waypoint_scores(
+                points,
+                quat[None],
+                pose[None],
+                K,
+                problem.img_width,
+                problem.img_height,
+                min_dist=problem.min_dist,
+                max_dist=problem.max_dist,
+                eps=problem.eps,
+            )[0]
+            cam = to_camera_frame(points, quat, pose)
+            if points.shape[0] > 32768:
+                hpr = hpr_mask_soft_binned(cam, valid=valid)
+            else:
+                hpr = hpr_mask_soft(cam, valid=valid)
+            lo = observation_logodds((hpr * p)[None], problem.eps, valid)
+            return lo[0]
+
+        def scan_body(acc, qp):
+            quat, pose = qp
+            return acc + wp_logodds(quat, pose), None
+
+        lo_sum, _ = jax.lax.scan(
+            scan_body,
+            jnp.zeros(points.shape[0], jnp.float32),
+            (quats[sel], poses[sel]),
+        )
+    elif backend == "pallas":
         # fused Pallas kernel: no (W, N) intermediate ever touches HBM, and
         # the backward is a single hand-derived pass (ops.pallas_vis).
         from trajectory_optimization_tpu.ops.pallas_vis import fused_lo_sum

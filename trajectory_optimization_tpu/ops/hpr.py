@@ -38,16 +38,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from trajectory_optimization_tpu.ops.numerics import safe_norm
+
 _BIG_SOFT = 1.0e30  # self-exclusion sentinel for the soft dominance test
 
 
 def spherical_flip(points: jnp.ndarray, r_param: float = 2.0) -> jnp.ndarray:
     """Katz spherical flip: p' = p·(2R − ‖p‖)/‖p‖ with R = max‖p‖·10^r_param.
 
-    Jittable and differentiable (norms are bounded away from 0 for real
-    clouds; a zero point is guarded).
+    Jittable and differentiable, including at ‖p‖ = 0 (sensor-origin
+    points appear in real scans; safe_norm keeps their gradient finite).
     """
-    norms = jnp.linalg.norm(points, axis=-1)
+    norms = safe_norm(points, axis=-1)
     radius = jnp.max(norms) * 10.0 ** r_param
     safe = jnp.maximum(norms, 1e-12)
     scale = (2.0 * (radius - norms) / safe) + 1.0
@@ -263,7 +265,11 @@ def hpr_mask_soft(
     """
     del block
     n = points.shape[0]
-    norms = jnp.linalg.norm(points, axis=-1)
+    # safe_norm, not jnp.linalg.norm: real scans contain points EXACTLY at
+    # the sensor origin (cloud-10 has one per pose), and the norm gradient
+    # at 0 is 0/0 = NaN — which poisons the whole trajectory gradient when
+    # soft HPR runs inside the loss at a waypoint the scan was taken from
+    norms = safe_norm(points, axis=-1)
     if valid is not None:
         # padded points must neither set the flip radius nor cover anyone
         norms_v = jnp.where(valid > 0, norms, 0.0)
@@ -433,7 +439,8 @@ def hpr_mask_soft_binned(
     """
     n = points.shape[0]
     cap = min(cap, n)
-    norms = jnp.linalg.norm(points, axis=-1)
+    norms = safe_norm(points, axis=-1)  # NaN-free gradient at ‖p‖ = 0 (see
+    # hpr_mask_soft: scans contain sensor-origin points)
     if valid is not None:
         v = valid > 0
         norms_v = jnp.where(v, norms, 0.0)

@@ -42,6 +42,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.hpr import _BIG_SOFT, _binned_grids, _unpermute
+from ..ops.numerics import safe_norm
 
 __all__ = ["hpr_mask_soft_binned_sharded"]
 
@@ -118,7 +119,9 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
     # it can never supply more survivors of the global merge than that
     cap_g = min(cap, n_global)
     cap_l = min(cap_g, n_l)
-    norms = jnp.linalg.norm(points_l, axis=-1)
+    # safe_norm: sensor-origin points (‖p‖ = 0) exist in real scans and
+    # jnp.linalg.norm's gradient there is NaN (see ops.hpr)
+    norms = safe_norm(points_l, axis=-1)
     v = valid_l > 0
     norms_v = jnp.where(v, norms, 0.0)
 
