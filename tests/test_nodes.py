@@ -293,3 +293,47 @@ def test_launch_pose_optimization_graph(tmp_path, cloud10):
     launch.bus.subscribe("/odom", results.append)
     launch.step()
     assert results, "pose optimizer produced no odometry"
+
+
+def test_opt_nodes_soft_hpr_config(cloud10, path10):
+    """use_soft_hpr=True threads PoseProblem/TrajProblem.soft_hpr through
+    both optimizer nodes: full callbacks, occlusion recomputed
+    differentiably inside every step."""
+    bus = Bus()
+    tnode = TrajOptNode(
+        bus,
+        TrajOptNodeConfig(
+            pc_topic="/pc", path_topic="/path", opt_steps=4,
+            lr_pose=0.1, lr_quat=0.02, use_soft_hpr=True,
+        ),
+    )
+    pnode = PoseOptNode(
+        bus,
+        PoseOptNodeConfig(
+            pc_topic="/pc", pose_topic="/pose", opt_steps=4,
+            num_pub_samples=2, use_soft_hpr=True,
+        ),
+    )
+    outputs = {}
+    odoms = []
+    bus.subscribe("/path/optimized", lambda m: outputs.setdefault("path", m))
+    bus.subscribe("/odom", odoms.append)  # PoseOptNode's output topic
+
+    sub = cloud10[::16]  # small: the dense differentiable tier
+    bus.publish("/pc", CloudMsg(Header(stamp=1.0, frame_id="map"), sub))
+    bus.publish("/path", PathMsg.straight(path10, frame_id="map", stamp=1.2))
+    bus.publish(
+        "/pose",
+        PoseMsg(
+            Header(stamp=1.1, frame_id="map"),
+            np.array([6.0, 2.0, 0.0], np.float32),
+            np.array([1.0, 0.0, 0.0, 0.0], np.float32),
+        ),
+    )
+
+    assert bus.errors == [], bus.errors
+    assert "path" in outputs and odoms
+    assert np.isfinite(outputs["path"].positions).all()
+    assert np.isfinite(odoms[-1].position).all()
+    assert tnode.last_result["mean_reward"] > 0
+    assert pnode.last_result is not None

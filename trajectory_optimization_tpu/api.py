@@ -65,6 +65,7 @@ class TrajectoryOptimizer:
         lr_quat: float = 0.0,
         vis_wps_dist: float = 0.5,
         backend: str = "auto",
+        soft_hpr: bool = False,
     ):
         self.intr = intrinsics or default_intrinsics()
         self.min_dist, self.max_dist = min_dist, max_dist
@@ -72,6 +73,8 @@ class TrajectoryOptimizer:
         self.opt_cfg = OptimizerConfig(lr_pose=lr_pose, lr_quat=lr_quat)
         self.vis_wps_dist = vis_wps_dist
         self.backend = backend
+        # per-waypoint differentiable occlusion inside the loss (models.traj)
+        self.soft_hpr = soft_hpr
 
     def optimize(
         self,
@@ -98,6 +101,7 @@ class TrajectoryOptimizer:
             smoothness_weight=self.smoothness_weight,
             length_weight=self.length_weight,
             wps_step=waypoint_stride(path, self.vis_wps_dist),
+            soft_hpr=self.soft_hpr,
             backend=self.backend,
         )
         P, V, K = jnp.asarray(padded), jnp.asarray(valid), self.intr.matrix()

@@ -114,6 +114,7 @@ class TrajOptNode:
             smoothness_weight=cfg.smooth_weight,
             length_weight=cfg.length_weight,
             wps_step=waypoint_stride(poses0, cfg.vis_wps_dist),
+            soft_hpr=cfg.use_soft_hpr,
         )
         P, V = jnp.asarray(points), jnp.asarray(valid)
         K = self.intr.matrix()
@@ -222,6 +223,7 @@ class PoseOptNode:
             img_height=self.intr.height,
             min_dist=cfg.min_dist,
             max_dist=cfg.max_dist,
+            soft_hpr=cfg.use_soft_hpr,
         )
         P, V, K = jnp.asarray(points), jnp.asarray(valid), self.intr.matrix()
 

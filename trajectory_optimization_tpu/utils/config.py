@@ -27,6 +27,11 @@ class PoseOptNodeConfig:
     num_pub_samples: int = 20
     publish_rewards_cloud: bool = True
     use_hpr: bool = False
+    # Parity+: differentiable Katz occlusion INSIDE the loss, recomputed per
+    # step on camera-frame points (PoseProblem.soft_hpr) — what the
+    # reference's `hpr` flag wished it could do (its TODO, src/tools.py:61).
+    # Mutually compatible with use_hpr (a static world-frame pre-gate).
+    use_soft_hpr: bool = False
 
 
 @dataclasses.dataclass
@@ -46,6 +51,11 @@ class TrajOptNodeConfig:
     rewards_th: float = 1.2
     smoothness_th: float = 0.9
     publish_rewards_cloud: bool = False
+    # Parity+: per-waypoint differentiable occlusion inside the trajectory
+    # loss (TrajProblem.soft_hpr). The reference's ModelTraj has no occlusion
+    # handling at all. Costs one binned-HPR fwd+bwd per selected waypoint per
+    # step — use a coarser vis_wps_dist or fewer opt_steps for rate budgets.
+    use_soft_hpr: bool = False
     # >1 keeps d-1 callbacks in flight (async dispatch + copy_to_host_async),
     # overlapping link transfers across messages; outputs lag by up to d-1.
     # 1 = the reference's synchronous publish-before-return semantics.
