@@ -87,7 +87,7 @@ def test_merge_cosort_vjp_matches_sort_autodiff():
     cot = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
 
     def via_custom(u0, u1, u2, rho):
-        _, u0s, u1s, u2s, rhos, _, _ = _cosort_merge(
+        _, u0s, u1s, u2s, rhos, _, _, _perm = _cosort_merge(
             key, u0, u1, u2, rho, gid, ok)
         return jnp.sum((u0s + u1s - u2s + rhos) * cot)
 

@@ -77,26 +77,31 @@ def pose_forward(
       what the reference publishes as the rewards-cloud intensity channel
       (`src/pose_optimization.py:109-112`).
     """
-    mask = waypoint_scores(
-        points,
-        params["quat"],
-        params["trans"],
-        K,
-        problem.img_width,
-        problem.img_height,
-        min_dist=problem.min_dist,
-        max_dist=problem.max_dist,
-        eps=problem.eps,
-    )[0]  # fused SoA scorer with a single-waypoint batch
     if problem.soft_hpr:
-        # differentiable occlusion in the CAMERA frame, inside the loss
-        from trajectory_optimization_tpu.ops.geometry import to_camera_frame
+        # differentiable occlusion in the CAMERA frame, inside the loss —
+        # one world→camera transform feeds both the score and the HPR input
         from trajectory_optimization_tpu.ops.hpr import (
             hpr_mask_soft,
             hpr_mask_soft_binned,
         )
+        from trajectory_optimization_tpu.ops.scores import (
+            camera_planes,
+            scores_from_planes,
+        )
 
-        cam = to_camera_frame(points, params["quat"][0], params["trans"][0])
+        cxp, cyp, czp = camera_planes(points, params["quat"], params["trans"])
+        mask = scores_from_planes(
+            cxp,
+            cyp,
+            czp,
+            K,
+            problem.img_width,
+            problem.img_height,
+            min_dist=problem.min_dist,
+            max_dist=problem.max_dist,
+            eps=problem.eps,
+        )[0]
+        cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
         if points.shape[0] > 32768:
             # direction-binned O(N·cap) relaxation: same formula, scales to
             # the 1M north star (dense O(N²) tops out ~50k; see ops.hpr)
@@ -104,6 +109,18 @@ def pose_forward(
         else:
             hpr = hpr_mask_soft(cam, valid=valid)
         mask = hpr * mask
+    else:
+        mask = waypoint_scores(
+            points,
+            params["quat"],
+            params["trans"],
+            K,
+            problem.img_width,
+            problem.img_height,
+            min_dist=problem.min_dist,
+            max_dist=problem.max_dist,
+            eps=problem.eps,
+        )[0]  # fused SoA scorer with a single-waypoint batch
     if occlusion_mask is not None:
         mask = occlusion_mask * mask
     if valid is not None:

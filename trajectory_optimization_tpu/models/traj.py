@@ -144,10 +144,21 @@ def traj_forward(
     sel = slice(None, None, problem.wps_step)
 
     backend = problem.backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
     if problem.soft_hpr:
+        if backend == "pallas":
+            # the fused Pallas kernel has no occlusion input; honor soft_hpr
+            # but tell the user their explicit backend choice is overridden
+            import warnings
+
+            warnings.warn(
+                "TrajProblem(backend='pallas', soft_hpr=True): soft HPR "
+                "requires the XLA scores path; the explicit Pallas backend "
+                "request is ignored.",
+                stacklevel=2,
+            )
         backend = "xla_hpr"
+    elif backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
     if backend == "xla_hpr":
         # Occlusion-aware trajectory visibility: every selected waypoint gets
@@ -158,18 +169,24 @@ def traj_forward(
         # live set at O(N) (never a (W, N·cap) residual); the per-waypoint
         # body is checkpointed so the backward rematerializes each HPR
         # instead of saving its internals.
-        from trajectory_optimization_tpu.ops.geometry import to_camera_frame
         from trajectory_optimization_tpu.ops.hpr import (
             hpr_mask_soft,
             hpr_mask_soft_binned,
         )
+        from trajectory_optimization_tpu.ops.scores import (
+            camera_planes,
+            scores_from_planes,
+        )
 
         @jax.checkpoint
         def wp_logodds(quat, pose):
-            p = waypoint_scores(
-                points,
-                quat[None],
-                pose[None],
+            # one world→camera transform feeds both the visibility score and
+            # the HPR input (camera-frame points)
+            cxp, cyp, czp = camera_planes(points, quat[None], pose[None])
+            p = scores_from_planes(
+                cxp,
+                cyp,
+                czp,
                 K,
                 problem.img_width,
                 problem.img_height,
@@ -177,7 +194,7 @@ def traj_forward(
                 max_dist=problem.max_dist,
                 eps=problem.eps,
             )[0]
-            cam = to_camera_frame(points, quat, pose)
+            cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
             if points.shape[0] > 32768:
                 hpr = hpr_mask_soft_binned(cam, valid=valid)
             else:

@@ -31,7 +31,8 @@ explicit ``radius`` argument.
 """
 from __future__ import annotations
 
-from functools import partial
+import inspect
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -302,45 +303,67 @@ def hpr_mask_soft(
 
 
 # ---------------------------------------------------------------------------
-# custom-VJP sort helpers for hpr_mask_soft_binned
+# custom-VJP sort helpers for hpr_mask_soft_binned (and its sharded variant)
 #
 # JAX's built-in lax.sort VJP transposes the implicit gather into a
 # scatter-add; on TPU 1D scatters serialize row-by-row (~60 ns/row,
 # CLAUDE.md) so each 256k-point sort operand cost ~10 ms in the backward.
-# Both helpers below instead un-permute cotangents with ONE stable co-sort
+# The helpers below instead un-permute cotangents with ONE stable co-sort
 # (sort permutations depend only on the keys, so re-sorting by the saved
 # perm / original key reproduces the exact forward permutation): measured
 # 105 -> 72 ms for the full 256k gradient on chip. Gradients agree with
-# autodiff-through-sort to f32 reassociation noise (relnorm ~1e-6).
+# autodiff-through-sort bit-exactly, ties included (a stable sort's
+# transpose IS the inverse of the forward permutation).
+#
+# Being custom_vjp, these are REVERSE-MODE ONLY: jax.jvp/jacfwd through
+# hpr_mask_soft_binned (and anything built on it) raises. The dense
+# hpr_mask_soft keeps full forward-mode support.
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def _cosort(key, u0, u1, u2, rho):
-    """Sort (u0, u1, u2, rho) by int32 ``key``; returns sorted columns,
-    the sorted key, and the permutation (perm[p] = canonical row at sorted
-    position p). Backward un-permutes cotangents by co-sorting on perm."""
-    out, _ = _cosort_fwd(key, u0, u1, u2, rho)
-    return out
+@lru_cache(maxsize=None)
+def make_cosort(n_diff: int, n_aux: int, dimension: int = 0):
+    """Build a scatter-free multi-operand sort-by-key with a custom VJP.
+
+    The returned function ``cosort(key, *diff_ops, *aux_ops)`` stable-sorts
+    all operands along ``dimension`` by the integer ``key`` alone and
+    returns ``(key_sorted, *diff_sorted, *aux_sorted, perm)`` where
+    ``perm[p]`` is the canonical index landing at sorted position ``p``.
+    Gradients flow to the ``n_diff`` leading operands only; the backward
+    drops cotangents back to canonical order with one stable co-sort on the
+    saved ``perm`` — never lax.sort's scatter-add transpose. Reverse-mode
+    only (custom_vjp): forward-mode autodiff through it raises.
+    """
+
+    @jax.custom_vjp
+    def cosort(key, *ops):
+        out, _ = fwd(key, *ops)
+        return out
+
+    def fwd(key, *ops):
+        assert len(ops) == n_diff + n_aux
+        iota = jnp.broadcast_to(
+            jnp.arange(key.shape[dimension], dtype=jnp.int32), key.shape)
+        sorted_ = jax.lax.sort((key, *ops, iota), num_keys=1,
+                               dimension=dimension)
+        perm = sorted_[-1]
+        return sorted_, perm
+
+    def bwd(perm, cots):
+        # forward put canonical row perm[p] at sorted position p; sorting
+        # the sorted-order cotangents by perm drops each back to its
+        # canonical row
+        cdiff = cots[1:1 + n_diff]
+        unsorted = jax.lax.sort((perm, *cdiff), num_keys=1,
+                                dimension=dimension)
+        return (None, *unsorted[1:], *([None] * n_aux))
+
+    cosort.defvjp(fwd, bwd)
+    return cosort
 
 
-def _cosort_fwd(key, u0, u1, u2, rho):
-    n = key.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    key_s, u0s, u1s, u2s, rhos, perm = jax.lax.sort(
-        (key, u0, u1, u2, rho, iota), num_keys=1)
-    return (key_s, u0s, u1s, u2s, rhos, perm), perm
-
-
-def _cosort_bwd(perm, cots):
-    _ck, cu0, cu1, cu2, crho, _cp = cots
-    # forward put canonical row perm[p] at sorted position p; sorting the
-    # sorted-order cotangents by perm drops each back to its canonical row
-    _, g0, g1, g2, gr = jax.lax.sort((perm, cu0, cu1, cu2, crho), num_keys=1)
-    return None, g0, g1, g2, gr
-
-
-_cosort.defvjp(_cosort_fwd, _cosort_bwd)
+# sort (u0, u1, u2, rho) by key — the single-chip binned-HPR layout sort
+_cosort = make_cosort(4, 0)
 
 
 @jax.custom_vjp
@@ -400,6 +423,52 @@ def _binned_grids(r_param: float, tau: float, safety: float):
     return theta_max, grids
 
 
+def _direction_angles(u: jnp.ndarray):
+    """(lat, az) routing angles of unit directions ``u`` — stop-gradiented:
+    visibility gradients flow through rho/u inside the dominance tiles, not
+    through the discrete bin assignment."""
+    ud = jax.lax.stop_gradient(u)
+    lat = jnp.arcsin(jnp.clip(ud[:, 2], -1.0, 1.0))
+    az = jnp.arctan2(ud[:, 1], ud[:, 0]) + np.pi  # [0, 2π)
+    return lat, az
+
+
+def _grid_bin_key(grid, lat, az, norms, scale, v):
+    """Bin ids + quantized (bin, distance) int32 sort key for one static
+    grid layout from :func:`_binned_grids`.
+
+    Sorting by this key makes bin members contiguous with the closest
+    (strongest-covering, largest ρ) members first. ``v`` (optional bool
+    mask) routes padded points to the overflow bin ``n_bins``. frac gets
+    the int32 bits left over after the bin id — a fixed 1<<20 shift
+    overflowed int32 once n_bins > 2047 (large r_param), silently
+    interleaving unrelated bins. Returns (key, frac_bits, n_bins); recover
+    bins from a sorted key with ``key >> frac_bits``.
+    """
+    n_rings, delta, lat_shift, az_shift, n_az_np, offs_np, n_bins = grid
+    n_az = jnp.asarray(n_az_np)
+    offs = jnp.asarray(offs_np)
+    ring = jnp.clip(
+        jnp.floor((lat + np.pi / 2) / delta + lat_shift).astype(jnp.int32),
+        0, n_rings - 1)
+    cells = n_az[ring]
+    azbin = jnp.floor(az / (2.0 * np.pi) * cells + az_shift).astype(jnp.int32)
+    azbin = jnp.where(azbin >= cells, azbin - cells, azbin)  # wrap
+    bins = offs[ring] + azbin
+    if v is not None:
+        bins = jnp.where(v, bins, n_bins)  # padding -> overflow bin
+
+    frac_bits = 30 - max(1, int(n_bins + 1)).bit_length()
+    if frac_bits < 8:
+        raise ValueError(
+            f"binning too fine for an int32 sort key ({n_bins} bins); "
+            f"lower safety/raise r_param")
+    frac = jnp.clip(norms / jnp.maximum(scale, 1e-12), 0.0, 1.0 - 1e-6)
+    key = jax.lax.stop_gradient(bins * (1 << frac_bits) + (
+        frac * float(1 << frac_bits)).astype(jnp.int32))
+    return key, frac_bits, n_bins
+
+
 @partial(jax.jit, static_argnames=("r_param", "sharpness", "tau", "cap", "safety"))
 def hpr_mask_soft_binned(
     points: jnp.ndarray,
@@ -436,6 +505,10 @@ def hpr_mask_soft_binned(
 
     ``valid`` follows the package convention: padded points contribute
     nothing and report 0. Returns (N,) visibility in (0, 1).
+
+    Reverse-mode only: the scatter-free sort helpers are custom_vjp, so
+    jax.jvp/jacfwd through this kernel (or any soft_hpr loss built on it)
+    raises; use :func:`hpr_mask_soft` where forward-mode is needed.
     """
     n = points.shape[0]
     cap = min(cap, n)
@@ -453,39 +526,13 @@ def hpr_mask_soft_binned(
     beta = sharpness / scale
     u = points / jnp.maximum(norms, 1e-12)[:, None]
 
-    # direction angles (routing only — visibility gradients flow through
-    # rho/u inside the tiles, not through the discrete bin assignment)
-    ud = jax.lax.stop_gradient(u)
-    lat = jnp.arcsin(jnp.clip(ud[:, 2], -1.0, 1.0))
-    az = jnp.arctan2(ud[:, 1], ud[:, 0]) + np.pi  # [0, 2π)
+    lat, az = _direction_angles(u)
 
     _, grids = _binned_grids(r_param, tau, safety)
     smax = jnp.full((n,), -_BIG_SOFT, jnp.float32)
-    for n_rings, delta, lat_shift, az_shift, n_az_np, offs_np, n_bins in grids:
-        n_az = jnp.asarray(n_az_np)
-        offs = jnp.asarray(offs_np)
-        ring = jnp.clip(
-            jnp.floor((lat + np.pi / 2) / delta + lat_shift).astype(jnp.int32),
-            0, n_rings - 1)
-        cells = n_az[ring]
-        azbin = jnp.floor(az / (2.0 * np.pi) * cells + az_shift).astype(jnp.int32)
-        azbin = jnp.where(azbin >= cells, azbin - cells, azbin)  # wrap
-        bins = offs[ring] + azbin
-        if v is not None:
-            bins = jnp.where(v, bins, n_bins)  # padding -> overflow bin
-
-        # sort by (bin, distance): closest members of each bin first.
-        # frac gets the int32 bits left over after the bin id — a fixed
-        # 1<<20 shift overflowed int32 once n_bins > 2047 (large r_param),
-        # silently interleaving unrelated bins
-        frac_bits = 30 - max(1, int(n_bins + 1)).bit_length()
-        if frac_bits < 8:
-            raise ValueError(
-                f"binning too fine for an int32 sort key ({n_bins} bins); "
-                f"lower safety/raise r_param")
-        frac = jnp.clip(norms / jnp.maximum(scale, 1e-12), 0.0, 1.0 - 1e-6)
-        key = jax.lax.stop_gradient(bins * (1 << frac_bits) + (
-            frac * float(1 << frac_bits)).astype(jnp.int32))
+    for grid in grids:
+        # sort by (bin, distance): closest members of each bin first
+        key, frac_bits, n_bins = _grid_bin_key(grid, lat, az, norms, scale, v)
         # ONE multi-operand sort carries the data along with the key —
         # separate 256k-row gathers after an argsort measured ~10 ms EACH
         # on the chip (row-granular), ~3x the sort itself. The bin column
@@ -557,3 +604,13 @@ def hpr_mask_soft_binned(
     if v is not None:
         out = out * v.astype(jnp.float32)
     return out
+
+
+#: canonical soft-binned HPR knob defaults, read off the signature above —
+#: the single source for internal callers that re-expose only a subset of
+#: the knobs (parallel.pose_sharded hardcoded them once and drifted)
+SOFT_BINNED_DEFAULTS = {
+    k: p.default
+    for k, p in inspect.signature(hpr_mask_soft_binned).parameters.items()
+    if p.default is not inspect.Parameter.empty and k != "valid"
+}

@@ -37,24 +37,15 @@ def camera_frames(quats: jnp.ndarray, trans: jnp.ndarray):
     return R, tR
 
 
-def waypoint_scores(
-    points: jnp.ndarray,
-    quats: jnp.ndarray,
-    trans: jnp.ndarray,
-    K: jnp.ndarray,
-    img_width: float,
-    img_height: float,
-    *,
-    min_dist: float = 1.0,
-    max_dist: float = 5.0,
-    eps: float = 1e-6,
-) -> jnp.ndarray:
-    """(W, N) smooth visibility scores (dist mask × FOV mask).
+def camera_planes(
+    points: jnp.ndarray, quats: jnp.ndarray, trans: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Camera-frame coordinates of N points under W poses, as (W, N) planes.
 
-    Args:
-      points: (N, 3) world points.
-      quats: (W, 4) wxyz; trans: (W, 3).
-      K: (3, 3) intrinsics (only fx, fy, cx, cy are read).
+    cam = (p − t) @ R ≡ q⁻¹ ⊗ (p − t) — numerically interchangeable with
+    ``geometry.to_camera_frame`` (same rotation, matrix-form association).
+    Exposed so callers that need both the visibility scores AND the
+    camera-frame points (the soft-HPR losses) compute the transform once.
     """
     px, py, pz = points[:, 0], points[:, 1], points[:, 2]  # (N,) planes
     R, tR = camera_frames(quats, trans)
@@ -78,7 +69,48 @@ def waypoint_scores(
         + pz[None, :] * R[:, 2, 2, None]
         - tR[:, 2, None]
     )
+    return cx, cy, cz
 
+
+def waypoint_scores(
+    points: jnp.ndarray,
+    quats: jnp.ndarray,
+    trans: jnp.ndarray,
+    K: jnp.ndarray,
+    img_width: float,
+    img_height: float,
+    *,
+    min_dist: float = 1.0,
+    max_dist: float = 5.0,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """(W, N) smooth visibility scores (dist mask × FOV mask).
+
+    Args:
+      points: (N, 3) world points.
+      quats: (W, 4) wxyz; trans: (W, 3).
+      K: (3, 3) intrinsics (only fx, fy, cx, cy are read).
+    """
+    cx, cy, cz = camera_planes(points, quats, trans)
+    return scores_from_planes(
+        cx, cy, cz, K, img_width, img_height,
+        min_dist=min_dist, max_dist=max_dist, eps=eps,
+    )
+
+
+def scores_from_planes(
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    cz: jnp.ndarray,
+    K: jnp.ndarray,
+    img_width: float,
+    img_height: float,
+    *,
+    min_dist: float = 1.0,
+    max_dist: float = 5.0,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Scores from precomputed (W, N) camera-frame planes (see camera_planes)."""
     # distance mask: exp(−½ d²/σ²), d² = Σ_c (cam_c − c₀)², scalar center c₀
     c0 = (min_dist + max_dist) / 2.0
     inv_var = 1.0 / ((max_dist - min_dist) / 2.0) ** 2

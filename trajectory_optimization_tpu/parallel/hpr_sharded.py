@@ -38,76 +38,32 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.hpr import _BIG_SOFT, _binned_grids, _unpermute
+from ..ops.hpr import (
+    _BIG_SOFT,
+    _binned_grids,
+    _direction_angles,
+    _grid_bin_key,
+    _unpermute,
+    make_cosort,
+)
 from ..ops.numerics import safe_norm
 
 __all__ = ["hpr_mask_soft_binned_sharded"]
 
 
-# ---------------------------------------------------------------------------
-# local co-sort carrying the global point id (self-exclusion across shards)
-# — same scatter-free custom VJP as ops.hpr._cosort, one extra int operand.
-# ---------------------------------------------------------------------------
-
-
-@jax.custom_vjp
-def _cosort_gid(key, gid, u0, u1, u2, rho):
-    out, _ = _cosort_gid_fwd(key, gid, u0, u1, u2, rho)
-    return out
-
-
-def _cosort_gid_fwd(key, gid, u0, u1, u2, rho):
-    n = key.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    key_s, gid_s, u0s, u1s, u2s, rhos, perm = jax.lax.sort(
-        (key, gid, u0, u1, u2, rho, iota), num_keys=1)
-    return (key_s, gid_s, u0s, u1s, u2s, rhos, perm), perm
-
-
-def _cosort_gid_bwd(perm, cots):
-    _ck, _cg, cu0, cu1, cu2, crho, _cp = cots
-    _, g0, g1, g2, gr = jax.lax.sort((perm, cu0, cu1, cu2, crho), num_keys=1)
-    return None, None, g0, g1, g2, gr
-
-
-_cosort_gid.defvjp(_cosort_gid_fwd, _cosort_gid_bwd)
-
-
-# ---------------------------------------------------------------------------
-# batched merge co-sort for the gathered candidate tables — autodiff through
-# lax.sort transposes to a scatter-add (row-serialized on TPU); un-permute
-# the cotangents with one stable co-sort keyed by the saved permutation
-# instead. Bit-exact vs autodiff (the transpose of a stable sort is exactly
-# the inverse of the forward permutation, ties included) — pinned in
-# tests/test_hpr_sharded.py::test_merge_cosort_vjp_matches_sort_autodiff.
-# ---------------------------------------------------------------------------
-
-
-@jax.custom_vjp
-def _cosort_merge(key, u0, u1, u2, rho, gid, ok):
-    out, _ = _cosort_merge_fwd(key, u0, u1, u2, rho, gid, ok)
-    return out
-
-
-def _cosort_merge_fwd(key, u0, u1, u2, rho, gid, ok):
-    iota = jnp.broadcast_to(
-        jnp.arange(key.shape[1], dtype=jnp.int32), key.shape)
-    key_s, u0s, u1s, u2s, rhos, gids, oks, perm = jax.lax.sort(
-        (key, u0, u1, u2, rho, gid, ok, iota), num_keys=1, dimension=1)
-    return (key_s, u0s, u1s, u2s, rhos, gids, oks), perm
-
-
-def _cosort_merge_bwd(perm, cots):
-    _ck, cu0, cu1, cu2, crho, _cg, _cok = cots
-    _, g0, g1, g2, gr = jax.lax.sort(
-        (perm, cu0, cu1, cu2, crho), num_keys=1, dimension=1)
-    return None, g0, g1, g2, gr, None, None
-
-
-_cosort_merge.defvjp(_cosort_merge_fwd, _cosort_merge_bwd)
+# Both sorts share ops.hpr.make_cosort — the scatter-free custom-VJP
+# sort-by-key (reverse-mode only; see that factory's docstring):
+#
+# - _cosort_gid: the local layout sort, carrying the GLOBAL point id as a
+#   gradient-free extra operand (self-exclusion across shards);
+# - _cosort_merge: the batched (dimension=1) merge of the gathered
+#   candidate tables — autodiff through lax.sort would transpose to a
+#   row-serialized scatter-add on TPU. Bit-exactness vs autodiff is pinned
+#   in tests/test_hpr_sharded.py::test_merge_cosort_vjp_matches_sort_autodiff.
+_cosort_gid = make_cosort(4, 1)     # (key, u0, u1, u2, rho, gid)
+_cosort_merge = make_cosort(4, 2, dimension=1)  # (key, u×3, rho, gid, ok)
 
 
 def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
@@ -137,35 +93,15 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
     u = points_l / jnp.maximum(norms, 1e-12)[:, None]
 
     gid = gid0 + jnp.arange(n_l, dtype=jnp.int32)
-
-    ud = jax.lax.stop_gradient(u)
-    lat = jnp.arcsin(jnp.clip(ud[:, 2], -1.0, 1.0))
-    az = jnp.arctan2(ud[:, 1], ud[:, 0]) + np.pi
+    lat, az = _direction_angles(u)
 
     _, grids = _binned_grids(r_param, tau, safety)
     smax = jnp.full((n_l,), -_BIG_SOFT, jnp.float32)
-    for n_rings, delta, lat_shift, az_shift, n_az_np, offs_np, n_bins in grids:
-        n_az = jnp.asarray(n_az_np)
-        offs = jnp.asarray(offs_np)
-        ring = jnp.clip(
-            jnp.floor((lat + np.pi / 2) / delta + lat_shift).astype(jnp.int32),
-            0, n_rings - 1)
-        cells = n_az[ring]
-        azbin = jnp.floor(az / (2.0 * np.pi) * cells + az_shift).astype(jnp.int32)
-        azbin = jnp.where(azbin >= cells, azbin - cells, azbin)
-        bins = jnp.where(v, offs[ring] + azbin, n_bins)
+    for grid in grids:
+        key, frac_bits, n_bins = _grid_bin_key(grid, lat, az, norms, scale, v)
 
-        frac_bits = 30 - max(1, int(n_bins + 1)).bit_length()
-        if frac_bits < 8:
-            raise ValueError(
-                f"binning too fine for an int32 sort key ({n_bins} bins); "
-                f"lower safety/raise r_param")
-        frac = jnp.clip(norms / jnp.maximum(scale, 1e-12), 0.0, 1.0 - 1e-6)
-        key = jax.lax.stop_gradient(bins * (1 << frac_bits) + (
-            frac * float(1 << frac_bits)).astype(jnp.int32))
-
-        key_s, gid_s, u0_s, u1_s, u2_s, rho_s, perm = _cosort_gid(
-            key, gid, u[:, 0], u[:, 1], u[:, 2], rho)
+        key_s, u0_s, u1_s, u2_s, rho_s, gid_s, perm = _cosort_gid(
+            key, u[:, 0], u[:, 1], u[:, 2], rho, gid)
         bin_s = key_s >> frac_bits
         u_s = jnp.stack([u0_s, u1_s, u2_s], axis=1)
 
@@ -208,7 +144,7 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
         gg = gather_flat(tg)
         gok = gather_flat(tok)
 
-        gk_s, gu0, gu1, gu2, gr_s, gg_s, gok_s = _cosort_merge(
+        gk_s, gu0, gu1, gu2, gr_s, gg_s, gok_s, _mperm = _cosort_merge(
             gk, gu[..., 0], gu[..., 1], gu[..., 2], gr, gg,
             gok.astype(jnp.int32))
         cu_tab = jnp.stack(
@@ -310,7 +246,8 @@ def hpr_mask_soft_binned_sharded(
     the shard count; the point axis is sharded over ``mesh[axis]``.
     ``len(points)`` must divide by the axis size — pad with ``valid``
     (utils.data.pad_points) first. Returns the (N,) visibility mask,
-    sharded along ``axis``.
+    sharded along ``axis``. Reverse-mode only, like the single-chip kernel
+    (custom_vjp sort helpers — no jax.jvp/jacfwd).
     """
     n = points.shape[0]
     d = mesh.shape[axis]

@@ -36,11 +36,11 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from trajectory_optimization_tpu.models.pose import PoseProblem
-from trajectory_optimization_tpu.ops.geometry import to_camera_frame
-from trajectory_optimization_tpu.ops.scores import waypoint_scores
+from trajectory_optimization_tpu.ops.hpr import SOFT_BINNED_DEFAULTS as _HPR_DEF
+from trajectory_optimization_tpu.ops.scores import camera_planes, scores_from_planes
 from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
 from trajectory_optimization_tpu.parallel.hpr_sharded import _local_mask
-from trajectory_optimization_tpu.parallel.mesh import points_sharding, replicated
+from trajectory_optimization_tpu.parallel.mesh import replicated
 
 __all__ = ["pose_loss_sharded", "make_sharded_pose_step"]
 
@@ -52,10 +52,15 @@ def _build_local(problem: PoseProblem, axis: str, n_devices: int,
     def local(params, points_l, valid_l, K):
         n_l = points_l.shape[0]
         quat, trans = params["quat"], params["trans"]
-        score = waypoint_scores(
-            points_l,
-            quat,
-            trans,
+        # one world→camera transform feeds both the visibility score and the
+        # HPR input — differentiable occlusion in the CAMERA frame
+        # (single-chip pose_forward semantics; the reference's world-frame
+        # HPR is a bug preserved only in its own exact tier)
+        cxp, cyp, czp = camera_planes(points_l, quat, trans)
+        score = scores_from_planes(
+            cxp,
+            cyp,
+            czp,
             K,
             problem.img_width,
             problem.img_height,
@@ -63,15 +68,12 @@ def _build_local(problem: PoseProblem, axis: str, n_devices: int,
             max_dist=problem.max_dist,
             eps=problem.eps,
         )[0]
-        # differentiable occlusion in the CAMERA frame (single-chip
-        # pose_forward semantics; the reference's world-frame HPR is a bug
-        # preserved only in its own exact tier)
-        cam = to_camera_frame(points_l, quat[0], trans[0])
+        cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
         gid0 = (jax.lax.axis_index(axis) * n_l).astype(jnp.int32)
         hpr = _local_mask(
             cam, valid_l, gid0,
-            r_param=2.0, sharpness=200.0, tau=0.03,
-            cap=hpr_cap, safety=hpr_safety,
+            r_param=_HPR_DEF["r_param"], sharpness=_HPR_DEF["sharpness"],
+            tau=_HPR_DEF["tau"], cap=hpr_cap, safety=hpr_safety,
             axis=axis, n_global=n_l * n_devices,
         )
         mask = hpr * score * valid_l
@@ -131,7 +133,7 @@ def make_sharded_pose_step(
     tx = make_optimizer(cfg, pose_key="trans", quat_key="quat")
     rep = replicated(mesh)
     ps_1d = NamedSharding(mesh, P(axis))
-    ps = points_sharding(mesh)
+    ps = NamedSharding(mesh, P(axis, None))
 
     def loss_fn(params, points, valid, K):
         return pose_loss_sharded(
