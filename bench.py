@@ -425,6 +425,59 @@ def bench_soft_hpr_pose_step(n=262_144, n_steps=10):
     return (time.perf_counter() - t0 - rtt) / n_steps * 1e3
 
 
+def bench_soft_hpr_traj_step(pts_np, poses_np, n_steps=10):
+    """Occlusion-aware TRAJECTORY step: a differentiable binned HPR per
+    selected waypoint inside the loss (TrajProblem.soft_hpr — the reference's
+    ModelTraj has no occlusion at all). Reference workload cloud+path.
+    Returns (ms/step, n_selected_waypoints)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from trajectory_optimization_tpu.models.traj import (
+        TrajProblem,
+        init_traj_params,
+        traj_forward,
+        waypoint_stride,
+    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
+    from trajectory_optimization_tpu.utils.data import identity_quaternions
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    quats_np = identity_quaternions(len(poses_np))
+    stride = waypoint_stride(poses_np, 0.5)
+    problem = TrajProblem(
+        img_width=intr.width, img_height=intr.height,
+        wps_step=stride, soft_hpr=True, soft_hpr_dense_max=0,
+    )
+    P, K = jnp.asarray(pts_np), intr.matrix()
+    p0, q0 = jnp.asarray(poses_np), jnp.asarray(quats_np)
+    tx = make_optimizer(OptimizerConfig(lr_pose=0.1, lr_quat=0.02))
+
+    def loss_fn(params):
+        return traj_forward(params, P, K, p0, q0, problem)
+
+    @jax.jit
+    def step(state):
+        params, opt = state
+        (_, _), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt
+
+    params = init_traj_params(poses_np, quats_np)
+    state = (params, tx.init(params))
+    state = step(state)  # compile + warm
+    np.asarray(_first_leaf(state))
+    rtt = _fetch_rtt()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = step(state)
+    np.asarray(_first_leaf(state))
+    ms = (time.perf_counter() - t0 - rtt) / n_steps * 1e3
+    return ms, -(-len(poses_np) // stride)
+
+
 def bench_node_throughput(pts_np, poses_np, n_msgs=20, pipeline_depth=1):
     """Messages/s through the full TrajOptNode path: time-sync pairing,
     padding/bucketing, a 30-step on-device optimization, output publishing.
@@ -571,6 +624,17 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] soft-HPR pose step failed: {e}", file=sys.stderr)
+
+    try:
+        ms_occl_t, n_sel = bench_soft_hpr_traj_step(pts, path)
+        print(
+            f"[bench] occlusion-aware trajectory step (binned HPR per "
+            f"waypoint in-loss, {len(pts)} pts x {n_sel} wps): "
+            f"{ms_occl_t:.0f} ms/step",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] soft-HPR traj step failed: {e}", file=sys.stderr)
 
     rate_pose = bench_pose(pts)
     print(

@@ -45,6 +45,9 @@ class PoseProblem:
     max_dist: float = 5.0
     eps: float = 1e-6
     soft_hpr: bool = False
+    # largest cloud the dense O(N²) soft HPR serves before routing to the
+    # binned O(N·cap) kernel (see TrajProblem.soft_hpr_dense_max)
+    soft_hpr_dense_max: int = 32768
 
 
 def init_pose_params(trans0, quat0) -> Params:
@@ -102,7 +105,7 @@ def pose_forward(
             eps=problem.eps,
         )[0]
         cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
-        if points.shape[0] > 32768:
+        if points.shape[0] > problem.soft_hpr_dense_max:
             # direction-binned O(N·cap) relaxation: same formula, scales to
             # the 1M north star (dense O(N²) tops out ~50k; see ops.hpr)
             hpr = hpr_mask_soft_binned(cam, valid=valid)

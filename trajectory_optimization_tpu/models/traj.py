@@ -21,6 +21,7 @@ Semantics matched to the reference, in order (`src/model.py:200-260`):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -57,6 +58,11 @@ class TrajProblem:
     # path (the fused Pallas kernel has no occlusion input); clouds over 32k
     # points use the direction-binned O(N·cap) relaxation per waypoint.
     soft_hpr: bool = False
+    # Largest cloud the dense O(N²) soft HPR serves before routing to the
+    # binned O(N·cap) kernel. Lower it to force the binned kernel (e.g. to
+    # match the always-binned multi-chip step); raise it only with HBM to
+    # spare (the dense form materializes N²/block pair tiles).
+    soft_hpr_dense_max: int = 32768
 
 
 def waypoint_stride(poses0: np.ndarray, vis_wps_dist: float = 0.5) -> int:
@@ -117,6 +123,57 @@ def observation_logodds(
     return jnp.log(p / (1.0 - p))
 
 
+@partial(jax.checkpoint, static_argnums=(4,))
+def soft_hpr_wp_logodds(
+    quat: jnp.ndarray,
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    K: jnp.ndarray,
+    problem: TrajProblem,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """One waypoint's occlusion-gated (N,) log-odds: visibility score ×
+    differentiable Katz HPR on the waypoint's camera-frame cloud, min-max
+    normalized and clipped.
+
+    The shared per-waypoint body of the occlusion-aware trajectory loss —
+    scanned over selected waypoints by ``traj_forward(soft_hpr=True)`` and
+    by the waypoint-sharded multi-chip step (parallel.traj_sharded).
+    Checkpointed: the backward rematerializes the HPR instead of saving its
+    internals (O(N) live memory for the whole scan). One world→camera
+    transform feeds both the visibility score and the HPR input. Reverse-
+    mode only above 32k points (the binned kernel's custom-VJP sorts).
+    """
+    from trajectory_optimization_tpu.ops.hpr import (
+        hpr_mask_soft,
+        hpr_mask_soft_binned,
+    )
+    from trajectory_optimization_tpu.ops.scores import (
+        camera_planes,
+        scores_from_planes,
+    )
+
+    cxp, cyp, czp = camera_planes(points, quat[None], pose[None])
+    p = scores_from_planes(
+        cxp,
+        cyp,
+        czp,
+        K,
+        problem.img_width,
+        problem.img_height,
+        min_dist=problem.min_dist,
+        max_dist=problem.max_dist,
+        eps=problem.eps,
+    )[0]
+    cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
+    if points.shape[0] > problem.soft_hpr_dense_max:
+        hpr = hpr_mask_soft_binned(cam, valid=valid)
+    else:
+        hpr = hpr_mask_soft(cam, valid=valid)
+    lo = observation_logodds((hpr * p)[None], problem.eps, valid)
+    return lo[0]
+
+
 def traj_forward(
     params: Params,
     points: jnp.ndarray,
@@ -169,42 +226,10 @@ def traj_forward(
         # live set at O(N) (never a (W, N·cap) residual); the per-waypoint
         # body is checkpointed so the backward rematerializes each HPR
         # instead of saving its internals.
-        from trajectory_optimization_tpu.ops.hpr import (
-            hpr_mask_soft,
-            hpr_mask_soft_binned,
-        )
-        from trajectory_optimization_tpu.ops.scores import (
-            camera_planes,
-            scores_from_planes,
-        )
-
-        @jax.checkpoint
-        def wp_logodds(quat, pose):
-            # one world→camera transform feeds both the visibility score and
-            # the HPR input (camera-frame points)
-            cxp, cyp, czp = camera_planes(points, quat[None], pose[None])
-            p = scores_from_planes(
-                cxp,
-                cyp,
-                czp,
-                K,
-                problem.img_width,
-                problem.img_height,
-                min_dist=problem.min_dist,
-                max_dist=problem.max_dist,
-                eps=problem.eps,
-            )[0]
-            cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
-            if points.shape[0] > 32768:
-                hpr = hpr_mask_soft_binned(cam, valid=valid)
-            else:
-                hpr = hpr_mask_soft(cam, valid=valid)
-            lo = observation_logodds((hpr * p)[None], problem.eps, valid)
-            return lo[0]
-
         def scan_body(acc, qp):
             quat, pose = qp
-            return acc + wp_logodds(quat, pose), None
+            return acc + soft_hpr_wp_logodds(
+                quat, pose, points, K, problem, valid), None
 
         lo_sum, _ = jax.lax.scan(
             scan_body,

@@ -67,8 +67,18 @@ _cosort_merge = make_cosort(4, 2, dimension=1)  # (key, u×3, rho, gid, ok)
 
 
 def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
-                safety, axis, n_global):
-    """Per-shard body (runs under shard_map over ``axis``)."""
+                safety, axis, n_global, vma_axes=None):
+    """Per-shard body (runs under shard_map over ``axis``).
+
+    ``vma_axes``: all mesh axes the INPUTS vary over, when the enclosing
+    shard_map spans more axes than the point axis (the 2D waypoint×point
+    trajectory step: camera-frame points vary over the waypoint axis too).
+    The internal scan's carry init must be pcast to exactly that set or
+    shard_map's varying-axes checker rejects the scan. Defaults to
+    ``(axis,)`` — the 1D point-sharded case.
+    """
+    if vma_axes is None:
+        vma_axes = (axis,)
     n_l = points_l.shape[0]
     # cap is the GLOBAL per-bin candidate budget (single-chip semantics:
     # min(cap, N)); a shard contributes at most min(cap_g, n_l) rows —
@@ -190,10 +200,10 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
             return jax.lax.dynamic_update_slice(carry, upd, (qoff,)), None
 
         # pcast: the init carry is a replicated constant but each step's
-        # output varies over the mesh axis — make that explicit for
+        # output varies over the mesh axes — make that explicit for
         # shard_map's varying-axes checker
         smax_g = jax.lax.pcast(
-            jnp.full((n_l,), -_BIG_SOFT, jnp.float32), axis, to="varying")
+            jnp.full((n_l,), -_BIG_SOFT, jnp.float32), vma_axes, to="varying")
         smax_g, _ = jax.lax.scan(
             body, smax_g, (tile_bin, tile_qoff, tile_ok))
         smax = jnp.maximum(smax, _unpermute(key, perm, smax_g))
