@@ -15,10 +15,12 @@ markers, 8/16-bit quantization tables.  Progressive (SOF2) and arithmetic
 coding raise ``UnsupportedJpegError`` — callers keep the compressed
 passthrough in that case.
 
-Numerics are pinned to libjpeg's integer pipeline so output matches
-PIL/cv2 within IDCT rounding (±1–2 per sample): triangular "fancy"
-chroma upsampling for factor-2 dims, 16.16 fixed-point YCbCr→RGB with
-libjpeg's constants, double-precision separable IDCT with round-half-up.
+Numerics ARE libjpeg's integer pipeline — the decode matches PIL/cv2
+BIT-FOR-BIT (pinned in tests across quality/subsampling/odd dims):
+fixed-point islow IDCT (jidctint.c constants, CONST_BITS=13), triangular
+"fancy" chroma upsampling for factor-2 dims, 16.16 fixed-point YCbCr→RGB.
+Integer end to end, so the C++ fast path is bit-identical to this module
+with no FMA/summation-order caveats.
 """
 from __future__ import annotations
 
@@ -47,11 +49,70 @@ _ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ], dtype=np.int32)
 
-# 8-point IDCT basis: A[x, u] = c(u)/2 * cos((2x+1) u pi / 16)
+# 8-point DCT basis: A[x, u] = c(u)/2 * cos((2x+1) u pi / 16) (encoder FDCT)
 _A = np.array([
     [(np.sqrt(0.5) if u == 0 else 1.0) / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
      for u in range(8)] for x in range(8)
 ], dtype=np.float64)
+
+
+def _islow_1d(i0, i1, i2, i3, i4, i5, i6, i7, shift):
+    """One libjpeg ``jpeg_idct_islow`` butterfly pass on int64 arrays.
+
+    Fixed-point Loeffler-Ligtenberg-Moshovitz 8-point IDCT, CONST_BITS=13
+    (constants = round(x·8192), jidctint.c). Inputs are the 8 frequency
+    samples (vectorized: each an array of the parallel lanes), outputs the
+    8 spatial samples, each DESCALEd by ``shift`` with round-half-up
+    (arithmetic right shift — numpy ``>>`` on int64 floors, like C on
+    every platform libjpeg supports). Integer math end to end, so the C++
+    path reproduces it bit-for-bit with no FMA-contraction caveats.
+    """
+    half = 1 << (shift - 1)
+    # even part
+    z1 = (i2 + i6) * 4433            # FIX_0_541196100
+    tmp2 = z1 - i6 * 15137           # + i6 * -FIX_1_847759065
+    tmp3 = z1 + i2 * 6270            # + i2 * FIX_0_765366865
+    tmp0 = (i0 + i4) << 13
+    tmp1 = (i0 - i4) << 13
+    t10, t13 = tmp0 + tmp3, tmp0 - tmp3
+    t11, t12 = tmp1 + tmp2, tmp1 - tmp2
+    # odd part
+    z1 = i7 + i1
+    z2 = i5 + i3
+    z3 = i7 + i3
+    z4 = i5 + i1
+    z5 = (z3 + z4) * 9633            # FIX_1_175875602
+    t0 = i7 * 2446                   # FIX_0_298631336
+    t1 = i5 * 16819                  # FIX_2_053119869
+    t2 = i3 * 25172                  # FIX_3_072711026
+    t3 = i1 * 12299                  # FIX_1_501321110
+    z1 = z1 * -7373                  # -FIX_0_899976223
+    z2 = z2 * -20995                 # -FIX_2_562915447
+    z3 = z3 * -16069 + z5            # -FIX_1_961570560
+    z4 = z4 * -3196 + z5             # -FIX_0_390180644
+    t0 = t0 + z1 + z3
+    t1 = t1 + z2 + z4
+    t2 = t2 + z2 + z3
+    t3 = t3 + z1 + z4
+    return ((t10 + t3 + half) >> shift, (t11 + t2 + half) >> shift,
+            (t12 + t1 + half) >> shift, (t13 + t0 + half) >> shift,
+            (t13 - t0 + half) >> shift, (t12 - t1 + half) >> shift,
+            (t11 - t2 + half) >> shift, (t10 - t3 + half) >> shift)
+
+
+def _idct_islow(deq: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) int64 dequantized natural-order blocks → (n, 8, 8) int64
+    spatial samples (before +128 level shift / clipping).
+
+    Two ``_islow_1d`` passes exactly like libjpeg: columns (DESCALE by
+    CONST_BITS−PASS1_BITS = 11), then rows (DESCALE by
+    CONST_BITS+PASS1_BITS+3 = 18). Worst-case error vs the exact real
+    IDCT is ≤1 count — the same bound libjpeg itself carries.
+    """
+    cols = _islow_1d(*(deq[:, r, :] for r in range(8)), shift=11)
+    ws = np.stack(cols, axis=1)            # (n, row, col), half-transformed
+    rows = _islow_1d(*(ws[:, :, c] for c in range(8)), shift=18)
+    return np.stack(rows, axis=2)
 
 # libjpeg jdcolor.c 16.16 fixed-point YCbCr->RGB constants
 _FIX_1_40200 = 91881
@@ -389,22 +450,21 @@ def _decode_scan(buf, pos, comps, qt, huff_dc, huff_ac, height, width,
 
 
 def _reconstruct(c: _Component, qtbl: np.ndarray) -> np.ndarray:
-    """Dequantize + de-zigzag + IDCT one component into its sample plane."""
-    deq = c.coef * qtbl[None, :]
-    # DC-only blocks (very common for chroma / smooth regions): the IDCT
-    # is the constant DC/8 — skip the 1024-flop transform. Same shortcut
-    # in the C++ path (native jpeg::reconstruct) keeps the backends matched.
+    """Dequantize + de-zigzag + islow IDCT one component into its plane."""
+    deq = c.coef.astype(np.int64) * qtbl[None, :].astype(np.int64)
+    # DC-only blocks (very common for chroma / smooth regions): the islow
+    # IDCT of a DC-only block is exactly (K + 4) >> 3 in every sample —
+    # skip the butterflies. Same shortcut in the C++ path (native
+    # jpeg::reconstruct) keeps the backends bit-matched.
     dc_only = ~np.any(deq[:, 1:], axis=1)
     full = np.flatnonzero(~dc_only)
-    spatial = np.empty((deq.shape[0], 8, 8), dtype=np.float64)
-    spatial[dc_only] = (deq[dc_only, 0] * 0.125)[:, None, None]
+    pix = np.empty((deq.shape[0], 8, 8), dtype=np.int64)
+    pix[dc_only] = ((deq[dc_only, 0] + 4) >> 3)[:, None, None]
     if full.size:
-        blocks = np.zeros((full.size, 64), dtype=np.float64)
+        blocks = np.zeros((full.size, 64), dtype=np.int64)
         blocks[:, _ZIGZAG] = deq[full]
-        blocks = blocks.reshape(-1, 8, 8)
-        # separable IDCT, double precision: A @ B @ A.T
-        spatial[full] = np.einsum("xu,nuv,yv->nxy", _A, blocks, _A, optimize=True)
-    pix = np.floor(spatial + 0.5).astype(np.int32) + 128
+        pix[full] = _idct_islow(blocks.reshape(-1, 8, 8))
+    pix = pix.astype(np.int32) + 128
     np.clip(pix, 0, 255, out=pix)
     plane = (
         pix.reshape(c.nby, c.nbx, 8, 8)

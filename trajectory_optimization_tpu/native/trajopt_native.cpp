@@ -240,8 +240,9 @@ int32_t png_unfilter(const uint8_t *raw, int64_t height, int64_t stride,
 // sensor_msgs/CompressedImage payloads (the reference bag's six camera
 // streams, launch/rosbag_info.txt:15). Written from the spec; numerics are
 // pinned to bus/jpeg.py (the NumPy fallback): libjpeg 16.16 fixed-point
-// YCbCr->RGB, triangular "fancy" factor-2 chroma upsampling, double IDCT
-// with round-half-up. Baseline sequential only (SOF0/SOF1, 8-bit, 1 or 3
+// YCbCr->RGB, triangular "fancy" factor-2 chroma upsampling, fixed-point
+// islow IDCT (jidctint.c) — integer end to end, bit-identical to both the
+// NumPy path and libjpeg/PIL. Baseline sequential only (SOF0/SOF1, 8-bit, 1 or 3
 // components, restart markers); progressive returns "unsupported" and the
 // caller keeps the compressed passthrough.
 
@@ -560,102 +561,115 @@ struct Decoder {
     return 0;
   }
 
-  // Dequantize + de-zigzag + double-precision IDCT one component into an
-  // int32 sample plane (clipped 0..255), matching bus/jpeg.py bit-for-bit.
+  // Dequantize + de-zigzag + fixed-point islow IDCT one component into an
+  // int32 sample plane (clipped 0..255), matching bus/jpeg.py::_idct_islow
+  // BIT-FOR-BIT (integer math end to end — no FMA-contraction caveats).
+  // libjpeg jidctint.c numerics: CONST_BITS=13, PASS1_BITS=2, constants
+  // round(x*8192); worst-case error vs the exact real IDCT is <=1 count.
   // The plane is fully overwritten, so it is allocated UNinitialized
   // (profiled: zero-filling the three 8 MB planes cost ~40% as much as
   // the whole IDCT).
+  //
+  // One 1-D islow butterfly: 8 frequency samples in, 8 spatial out,
+  // DESCALEd by `shift` with round-half-up (arithmetic >>).
+  static inline void islow_1d(const int64_t in[8], int64_t out[8],
+                              int shift) {
+    const int64_t half = int64_t{1} << (shift - 1);
+    // even part
+    int64_t z1 = (in[2] + in[6]) * 4433;        // FIX_0_541196100
+    const int64_t e2 = z1 - in[6] * 15137;      // -FIX_1_847759065
+    const int64_t e3 = z1 + in[2] * 6270;       // FIX_0_765366865
+    const int64_t e0 = (in[0] + in[4]) << 13;
+    const int64_t e1 = (in[0] - in[4]) << 13;
+    const int64_t t10 = e0 + e3, t13 = e0 - e3;
+    const int64_t t11 = e1 + e2, t12 = e1 - e2;
+    // odd part
+    z1 = in[7] + in[1];
+    int64_t z2 = in[5] + in[3];
+    int64_t z3 = in[7] + in[3];
+    int64_t z4 = in[5] + in[1];
+    const int64_t z5 = (z3 + z4) * 9633;        // FIX_1_175875602
+    int64_t t0 = in[7] * 2446;                  // FIX_0_298631336
+    int64_t t1 = in[5] * 16819;                 // FIX_2_053119869
+    int64_t t2 = in[3] * 25172;                 // FIX_3_072711026
+    int64_t t3 = in[1] * 12299;                 // FIX_1_501321110
+    z1 *= -7373;                                // -FIX_0_899976223
+    z2 *= -20995;                               // -FIX_2_562915447
+    z3 = z3 * -16069 + z5;                      // -FIX_1_961570560
+    z4 = z4 * -3196 + z5;                       // -FIX_0_390180644
+    t0 += z1 + z3;
+    t1 += z2 + z4;
+    t2 += z2 + z3;
+    t3 += z1 + z4;
+    out[0] = (t10 + t3 + half) >> shift;
+    out[1] = (t11 + t2 + half) >> shift;
+    out[2] = (t12 + t1 + half) >> shift;
+    out[3] = (t13 + t0 + half) >> shift;
+    out[4] = (t13 - t0 + half) >> shift;
+    out[5] = (t12 - t1 + half) >> shift;
+    out[6] = (t11 - t2 + half) >> shift;
+    out[7] = (t10 - t3 + half) >> shift;
+  }
+
   void reconstruct(const Component &c, std::unique_ptr<int32_t[]> &plane_up) const {
-    static double A[8][8];
-    static double AT[8][8];
-    static bool init = false;
-    if (!init) {
-      for (int x = 0; x < 8; ++x)
-        for (int u = 0; u < 8; ++u)
-          A[x][u] = (u == 0 ? std::sqrt(0.5) : 1.0) / 2.0 *
-                    std::cos((2 * x + 1) * u * M_PI / 16.0);
-      for (int x = 0; x < 8; ++x)
-        for (int u = 0; u < 8; ++u) AT[u][x] = A[x][u];
-      init = true;
-    }
     const int pw = c.nbx * 8;
     plane_up.reset(new int32_t[static_cast<size_t>(c.nby) * 8 * pw]);
     int32_t *plane = plane_up.get();
     const int32_t *q = qt[c.tq];
-    double B[8][8], tmp[8][8];
+    int64_t B[8][8], ws[8][8];
     for (int byy = 0; byy < c.nby; ++byy) {
       for (int bxx = 0; bxx < c.nbx; ++bxx) {
         const int32_t *blk =
             c.coef.data() + (static_cast<int64_t>(byy) * c.nbx + bxx) * 64;
-        // one fused pass fills B and finds the nonzero AC rows (most
-        // camera-content blocks have <20 of 64 coefficients)
-        uint8_t row_nz[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        // one fused pass fills B and marks columns with AC energy below
+        // row 0 (most camera-content blocks have <20 of 64 coefficients)
+        uint8_t col_nz[8] = {0, 0, 0, 0, 0, 0, 0, 0};
         int nnz = 0;
         for (int u = 0; u < 8; ++u)
-          for (int v = 0; v < 8; ++v) B[u][v] = 0.0;
-        B[0][0] = static_cast<double>(blk[0]) * q[0];
+          for (int v = 0; v < 8; ++v) B[u][v] = 0;
+        B[0][0] = static_cast<int64_t>(blk[0]) * q[0];
         for (int k = 1; k < 64; ++k) {
           if (!blk[k]) continue;
           const int idx = kZigzag[k];
-          B[idx >> 3][idx & 7] = static_cast<double>(blk[k]) * q[k];
-          row_nz[idx >> 3] = 1;
+          B[idx >> 3][idx & 7] = static_cast<int64_t>(blk[k]) * q[k];
+          if (idx >> 3) col_nz[idx & 7] = 1;
           ++nnz;
         }
         if (nnz == 0) {
-          // IDCT of a DC-only block is the constant DC/8 (same shortcut
-          // as bus/jpeg.py::_reconstruct, keeping the backends matched)
-          const double dcv = static_cast<double>(blk[0]) * q[0] * 0.125;
-          int32_t p = static_cast<int32_t>(std::floor(dcv + 0.5)) + 128;
+          // islow of a DC-only block is exactly (K + 4) >> 3 everywhere
+          // (same shortcut as bus/jpeg.py::_reconstruct — bit-matched)
+          int32_t p = static_cast<int32_t>((B[0][0] + 4) >> 3) + 128;
           p = p < 0 ? 0 : (p > 255 ? 255 : p);
           for (int x = 0; x < 8; ++x)
             for (int y = 0; y < 8; ++y)
               plane[(static_cast<int64_t>(byy) * 8 + x) * pw + bxx * 8 + y] = p;
           continue;
         }
-        row_nz[0] = 1;  // DC row always contributes
-        // tmp[u][y] = sum_v B[u][v] * A[y][v]; saxpy form over contiguous y
-        // so -O3 auto-vectorizes both stages (A is transposed once, below).
-        // Sparse blocks (<half the coefficients — the common case on
-        // camera content) skip zero terms: a skipped term adds exactly
-        // ±0.0, so the MATH is identical, though the compiler contracts
-        // mul+add to FMA differently per loop shape — outputs can flip at
-        // floor(x+0.5) boundaries (observed ≤0.02% of samples, within the
-        // decoder's ±2 tolerance vs the numpy/PIL oracles). Dense blocks
-        // keep the branch-free loop (the per-term test measured ~15%
-        // slower on noise-dense fixtures).
-        if (nnz < 32) {
-          for (int u = 0; u < 8; ++u) {
-            for (int y = 0; y < 8; ++y) tmp[u][y] = 0.0;
-            if (!row_nz[u]) continue;
-            for (int v = 0; v < 8; ++v) {
-              const double b = B[u][v];
-              if (b == 0.0) continue;
-              const double *at = AT[v];
-              for (int y = 0; y < 8; ++y) tmp[u][y] += b * at[y];
-            }
+        // pass 1 (columns). A column whose rows 1..7 are all zero reduces
+        // exactly to (B[0][v] << PASS1_BITS) in every output row — the
+        // libjpeg shortcut, exact in integer arithmetic (skipped terms
+        // add exactly 0), so the numpy path needs no matching branch.
+        for (int v = 0; v < 8; ++v) {
+          if (!col_nz[v]) {
+            const int64_t dcl = B[0][v] << 2;
+            for (int x = 0; x < 8; ++x) ws[x][v] = dcl;
+            continue;
           }
-        } else {
-          for (int u = 0; u < 8; ++u) {
-            for (int y = 0; y < 8; ++y) tmp[u][y] = 0.0;
-            for (int v = 0; v < 8; ++v) {
-              const double b = B[u][v];
-              const double *at = AT[v];
-              for (int y = 0; y < 8; ++y) tmp[u][y] += b * at[y];
-            }
-          }
+          const int64_t in[8] = {B[0][v], B[1][v], B[2][v], B[3][v],
+                                 B[4][v], B[5][v], B[6][v], B[7][v]};
+          int64_t out[8];
+          islow_1d(in, out, 11);  // CONST_BITS - PASS1_BITS
+          for (int x = 0; x < 8; ++x) ws[x][v] = out[x];
         }
+        // pass 2 (rows) + level shift + clip
         for (int x = 0; x < 8; ++x) {
-          double srow[8] = {0, 0, 0, 0, 0, 0, 0, 0};
-          for (int u = 0; u < 8; ++u) {
-            if (!row_nz[u]) continue;  // tmp[u] is all zeros
-            const double a = A[x][u];
-            const double *t = tmp[u];
-            for (int y = 0; y < 8; ++y) srow[y] += a * t[y];
-          }
+          int64_t out[8];
+          islow_1d(ws[x], out, 18);  // CONST_BITS + PASS1_BITS + 3
+          int32_t *dst =
+              plane + (static_cast<int64_t>(byy) * 8 + x) * pw + bxx * 8;
           for (int y = 0; y < 8; ++y) {
-            int32_t p = static_cast<int32_t>(std::floor(srow[y] + 0.5)) + 128;
-            p = p < 0 ? 0 : (p > 255 ? 255 : p);
-            plane[(static_cast<int64_t>(byy) * 8 + x) * pw + bxx * 8 + y] = p;
+            int32_t p = static_cast<int32_t>(out[y]) + 128;
+            dst[y] = p < 0 ? 0 : (p > 255 ? 255 : p);
           }
         }
       }
