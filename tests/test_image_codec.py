@@ -38,7 +38,7 @@ def _fixture(name):
 
 
 JPEG_FIXTURES = ["rgb_q85_420.jpg", "rgb_q90_444.jpg", "rgb_q75_422.jpg",
-                 "gray_q90.jpg", "rgb_rst.jpg"]
+                 "gray_q90.jpg", "rgb_rst.jpg", "progressive.jpg"]
 
 
 @pytest.mark.parametrize("name", JPEG_FIXTURES)
@@ -73,14 +73,34 @@ def test_jpeg_probe():
     assert probe_jpeg(gdata) == (goracle.shape[0], goracle.shape[1], 1)
 
 
-def test_jpeg_progressive_raises_unsupported():
-    with open(os.path.join(FIXDIR, "progressive.jpg"), "rb") as f:
-        data = f.read()
+# minimal SOF3 (lossless) stream: valid container, unsupported coding —
+# the representative "keep the compressed passthrough" payload now that
+# progressive decodes
+LOSSLESS_STUB = bytes([
+    0xFF, 0xD8,                                     # SOI
+    0xFF, 0xC3, 0x00, 0x0B, 8, 0, 8, 0, 8, 1,       # SOF3 8x8 1-comp
+    0x01, 0x11, 0x00,
+    0xFF, 0xD9,                                     # EOI
+])
+
+
+def test_jpeg_non_dct_raises_unsupported():
+    """Lossless / arithmetic-coded SOFs stay UnsupportedJpegError (the
+    compressed-passthrough contract); progressive now probes + decodes."""
     with pytest.raises(UnsupportedJpegError):
-        decode_jpeg(data)
+        decode_jpeg(LOSSLESS_STUB)
+    with pytest.raises(UnsupportedJpegError):
+        probe_jpeg(LOSSLESS_STUB)
+    arith = bytearray(LOSSLESS_STUB)
+    arith[3] = 0xC9  # SOF9: arithmetic-coded sequential
+    with pytest.raises(UnsupportedJpegError):
+        decode_jpeg(bytes(arith))
     if native_available():
         with pytest.raises(UnsupportedJpegError):
-            jpeg_decode_native(data)
+            jpeg_decode_native(LOSSLESS_STUB)
+    with open(os.path.join(FIXDIR, "progressive.jpg"), "rb") as f:
+        data = f.read()
+    assert probe_jpeg(data) == (48, 64, 3)
 
 
 def test_jpeg_malformed_raises():
@@ -171,14 +191,23 @@ def test_compressed_image_record_decodes_to_pixels():
     assert msg.encoding == "mono16"
     np.testing.assert_array_equal(msg.data, poracle)
 
-    # progressive JPEG -> honest compressed passthrough, bag read survives
-    with open(os.path.join(FIXDIR, "progressive.jpg"), "rb") as f:
-        prog = f.read()
+    # progressive JPEG decodes too (round-3: SOF2 support in both backends)
+    prog, prog_oracle = _fixture("progressive.jpg")
     w = _Writer()
     w.header(Header(stamp=5.0, frame_id="camera_1", seq=2))
     w.string("jpeg")
     w.u32(len(prog))
     w.raw(prog)
+    msg = _decode_compressed_image(w.bytes())
+    assert msg.encoding == "rgb8"
+    np.testing.assert_array_equal(msg.data, prog_oracle)
+
+    # genuinely undecodable coding -> honest passthrough, bag read survives
+    w = _Writer()
+    w.header(Header(stamp=5.5, frame_id="camera_1", seq=3))
+    w.string("jpeg")
+    w.u32(len(LOSSLESS_STUB))
+    w.raw(LOSSLESS_STUB)
     msg = _decode_compressed_image(w.bytes())
     assert msg.encoding == "jpeg" and msg.data.ndim == 1
 
@@ -285,39 +314,49 @@ def test_bag_roundtrip_compressed_streams(tmp_path):
     rng = np.random.default_rng(13)
     img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
     jpg = encode_jpeg(img, quality=92)
-    with open(os.path.join(FIXDIR, "progressive.jpg"), "rb") as f:
-        prog = f.read()
+    prog, prog_oracle = _fixture("progressive.jpg")
     msgs = [
         ("/viz/camera_0/image/compressed",
          ImageMsg(Header(stamp=1.0, frame_id="camera_0"),
                   np.frombuffer(jpg, np.uint8), encoding="jpeg")),
         ("/viz/camera_1/image/compressed",
          ImageMsg(Header(stamp=1.1, frame_id="camera_1"),
+                  np.frombuffer(LOSSLESS_STUB, np.uint8), encoding="jpeg")),
+        ("/viz/camera_2/image/compressed",
+         ImageMsg(Header(stamp=1.2, frame_id="camera_2"),
                   np.frombuffer(prog, np.uint8), encoding="jpeg")),
     ]
     path = str(tmp_path / "cams.bag")
-    assert write_bag(path, msgs) == 2
+    assert write_bag(path, msgs) == 3
     out = list(read_bag(path))
-    assert len(out) == 2
+    assert len(out) == 3
     by_topic = {topic: m for _, topic, m in out}
     dec = by_topic["/viz/camera_0/image/compressed"]
     assert dec.encoding == "rgb8" and dec.data.shape == img.shape
     rms = np.sqrt(((dec.data.astype(int) - img.astype(int)) ** 2).mean())
     assert rms < 30.0  # random noise at q92: quantization error only
     keep = by_topic["/viz/camera_1/image/compressed"]
-    assert keep.encoding == "jpeg" and bytes(keep.data) == prog
+    assert keep.encoding == "jpeg" and bytes(keep.data) == LOSSLESS_STUB
+    pm = by_topic["/viz/camera_2/image/compressed"]
+    assert pm.encoding == "rgb8"
+    np.testing.assert_array_equal(pm.data, prog_oracle)
 
     # bag -> bag copy: decoded pixels re-compress into their original
     # container (CompressedImage at compressed size), not raw Image
     copy_path = str(tmp_path / "copy.bag")
-    assert write_bag(copy_path, [(t, m) for _, t, m in out]) == 2
+    assert write_bag(copy_path, [(t, m) for _, t, m in out]) == 3
     assert os.path.getsize(copy_path) < 4 * os.path.getsize(path)
     out2 = {topic: m for _, topic, m in read_bag(copy_path)}
     dec2 = out2["/viz/camera_0/image/compressed"]
     assert dec2.encoding == "rgb8" and dec2.data.shape == img.shape
     rms2 = np.sqrt(((dec2.data.astype(int) - img.astype(int)) ** 2).mean())
     assert rms2 < 35.0  # one extra q90 transcode generation
-    assert bytes(out2["/viz/camera_1/image/compressed"].data) == prog
+    assert bytes(out2["/viz/camera_1/image/compressed"].data) == LOSSLESS_STUB
+    pm2 = out2["/viz/camera_2/image/compressed"]
+    assert pm2.encoding == "rgb8"  # progressive -> baseline transcode on copy
+    rms3 = np.sqrt(
+        ((pm2.data.astype(int) - prog_oracle.astype(int)) ** 2).mean())
+    assert rms3 < 12.0  # one q90 transcode generation on camera content
 
 
 def test_bag_image_decoding_toggle(tmp_path):
@@ -355,24 +394,25 @@ def test_jpeg_fuzz_mutations(backend):
     found this way: SOS table ids 4-15 indexed a 4-entry array)."""
     if backend == "native" and not native_available():
         pytest.skip("no native toolchain")
-    data, _ = _fixture("rgb_q85_420.jpg")
     rng = np.random.default_rng(99)
     decode = decode_jpeg if backend == "numpy" else jpeg_decode_native
-    for trial in range(150):
-        buf = bytearray(data)
-        for _ in range(rng.integers(1, 6)):
-            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
-        try:
-            out = decode(bytes(buf))
-            assert out.dtype == np.uint8 and out.ndim in (2, 3)
-        except JpegError:
-            pass  # malformed/unsupported is the expected failure mode
-    # truncations at every region of the stream
-    for cut in range(2, len(data), max(1, len(data) // 64)):
-        try:
-            decode(data[:cut])
-        except JpegError:
-            pass
+    for name in ("rgb_q85_420.jpg", "progressive.jpg"):
+        data, _ = _fixture(name)
+        for trial in range(150):
+            buf = bytearray(data)
+            for _ in range(rng.integers(1, 6)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            try:
+                out = decode(bytes(buf))
+                assert out.dtype == np.uint8 and out.ndim in (2, 3)
+            except JpegError:
+                pass  # malformed/unsupported is the expected failure mode
+        # truncations at every region of the stream
+        for cut in range(2, len(data), max(1, len(data) // 64)):
+            try:
+                decode(data[:cut])
+            except JpegError:
+                pass
 
 
 def test_png_fuzz_mutations():
@@ -427,6 +467,49 @@ def test_jpeg_vs_live_pil_oracle(quality, subsampling):
     np.testing.assert_array_equal(decode_jpeg(data), ref)
     if native_available():
         np.testing.assert_array_equal(jpeg_decode_native(data), ref)
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+def test_jpeg_progressive_vs_live_pil_oracle(subsampling):
+    """SOF2 spectral-selection + successive-approximation scans decode
+    bit-identically to libjpeg in both backends (odd dims, all sampling
+    layouts, gray, and progressive-with-restart via cv2 when present)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(500 + subsampling)
+    img = _structured_image(rng, 61, 83)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, "JPEG", quality=80, subsampling=subsampling,
+                              progressive=True)
+    data = b.getvalue()
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(decode_jpeg(data), ref)
+    if native_available():
+        np.testing.assert_array_equal(jpeg_decode_native(data), ref)
+    if subsampling == 0:
+        g = io.BytesIO()
+        Image.fromarray(img[..., 0]).save(g, "JPEG", quality=85,
+                                          progressive=True)
+        gdata = g.getvalue()
+        gref = np.asarray(Image.open(io.BytesIO(gdata)).convert("L"))
+        np.testing.assert_array_equal(decode_jpeg(gdata), gref)
+        if native_available():
+            np.testing.assert_array_equal(jpeg_decode_native(gdata), gref)
+    try:
+        import cv2
+    except ImportError:
+        return
+    flags = [cv2.IMWRITE_JPEG_QUALITY, 80, cv2.IMWRITE_JPEG_PROGRESSIVE, 1,
+             cv2.IMWRITE_JPEG_RST_INTERVAL, 2]
+    ok, enc = cv2.imencode(".jpg", img[..., ::-1], flags)
+    assert ok
+    rdata = enc.tobytes()
+    rref = np.asarray(Image.open(io.BytesIO(rdata)).convert("RGB"))
+    np.testing.assert_array_equal(decode_jpeg(rdata), rref)
+    if native_available():
+        np.testing.assert_array_equal(jpeg_decode_native(rdata), rref)
 
 
 def test_encoders_vs_live_pil_decode():

@@ -9,11 +9,13 @@ runtime — a C++ fast path lives in ``native/trajopt_native.cpp``
 (``jpeg_decode``), and this file is the bit-exact-specified fallback plus
 the single source of truth for the numerics both paths implement.
 
-Scope: baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or YCbCr,
-arbitrary h/v sampling factors (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), restart
-markers, 8/16-bit quantization tables.  Progressive (SOF2) and arithmetic
-coding raise ``UnsupportedJpegError`` — callers keep the compressed
-passthrough in that case.
+Scope: baseline/extended sequential (SOF0/SOF1, interleaved or multi-scan
+non-interleaved) AND progressive DCT (SOF2 — spectral selection +
+successive approximation, T.81 Annexes G.2/F.2.2, the jdphuff.c
+algorithms), 8-bit, grayscale or YCbCr, arbitrary h/v sampling factors
+(4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), restart markers, 8/16-bit quantization
+tables.  Lossless / hierarchical / arithmetic coding raise
+``UnsupportedJpegError`` — callers keep the compressed passthrough then.
 
 Numerics ARE libjpeg's integer pipeline — the decode matches PIL/cv2
 BIT-FOR-BIT (pinned in tests across quality/subsampling/odd dims):
@@ -195,6 +197,9 @@ def _parse(buf, headers_only: bool):
     height = width = 0
     restart_interval = 0
     sof_seen = False
+    progressive = False
+    geom = None          # (hmax, vmax, mcus_x, mcus_y) once coef allocated
+    decoded_any = False
 
     while i < n:
         if buf[i] != 0xFF:
@@ -206,6 +211,8 @@ def _parse(buf, headers_only: bool):
         marker = buf[i]
         i += 1
         if marker == 0xD9:  # EOI
+            if decoded_any:
+                break  # all scans in — reconstruct below
             raise JpegError("EOI before SOS")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # standalone markers
@@ -244,10 +251,11 @@ def _parse(buf, headers_only: bool):
                     raise JpegError("truncated DHT")
                 p += 17 + total
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(counts, values)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive DCT
             if sof_seen:
                 raise JpegError("multiple SOF markers")
             sof_seen = True
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise UnsupportedJpegError(f"{seg[0]}-bit precision")
             height, width = _u16(seg, 1), _u16(seg, 3)
@@ -264,36 +272,59 @@ def _parse(buf, headers_only: bool):
                 comps.append(_Component(cid, h, v, tq))
             if headers_only:
                 return height, width, nf
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedJpegError(
-                f"SOF{marker - 0xC0} (non-baseline) not supported")
+                f"SOF{marker - 0xC0} (non-DCT / arithmetic) not supported")
         elif marker == 0xDD:  # DRI
             restart_interval = _u16(seg, 0)
         elif marker == 0xDA:  # SOS
             if not sof_seen:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
-                raise UnsupportedJpegError("multi-scan (non-interleaved) stream")
+            if not 1 <= ns <= len(comps) or len(seg) < 4 + 2 * ns:
+                raise JpegError("bad SOS header")
+            scomps = []
             for s in range(ns):
                 cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
                 for c in comps:
                     if c.cid == cs:
                         c.td, c.ta = tdta >> 4, tdta & 15
+                        scomps.append(c)
                         break
                 else:
                     raise JpegError("SOS references unknown component")
-            return _decode_scan(buf, i, comps, qt, huff_dc, huff_ac,
-                                height, width, restart_interval)
+            if not progressive and ns == len(comps):
+                # the classic single-scan interleaved stream — the fast path
+                return _decode_scan(buf, i, comps, qt, huff_dc, huff_ac,
+                                    height, width, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # sequential scans ignore A
+            if geom is None:
+                geom = _alloc_coefs(comps, height, width)
+            i = _decode_scan_multi(buf, i, scomps, geom, huff_dc, huff_ac,
+                                   restart_interval, progressive,
+                                   ss, se, ah, al, height, width)
+            decoded_any = True
         # else: APPn / COM / DNL etc — skipped
-    raise JpegError("no SOS marker found")
+    if not decoded_any:
+        raise JpegError("no SOS marker found")
+    hmax, vmax = geom[0], geom[1]
+    for c in comps:
+        if c.tq not in qt:
+            raise JpegError(f"missing quant table {c.tq}")
+    planes = [_reconstruct(c, qt[c.tq]) for c in comps]
+    return _assemble(planes, comps, hmax, vmax, height, width)
 
 
-def _split_scan(buf, pos: int) -> List[np.ndarray]:
+def _split_scan(buf, pos: int) -> Tuple[List[bytes], int]:
     """De-stuff the entropy-coded segment, split at restart markers.
 
-    Returns restart-interval chunks as uint8 arrays (0xFF00 collapsed)."""
+    Returns (restart-interval chunks with 0xFF00 collapsed, absolute
+    position of the marker that terminated the scan — where header
+    parsing resumes for multi-scan streams)."""
     raw = np.frombuffer(buf, np.uint8, len(buf) - pos, pos)
     ff = np.flatnonzero(raw == 0xFF)
     end = len(raw)
@@ -322,7 +353,7 @@ def _split_scan(buf, pos: int) -> List[np.ndarray]:
             if local:
                 seg = np.delete(seg, local)
         chunks.append(seg.tobytes())
-    return chunks
+    return chunks, pos + end
 
 
 def _extend(v: int, s: int) -> int:
@@ -344,7 +375,7 @@ def _decode_scan(buf, pos, comps, qt, huff_dc, huff_ac, height, width,
         if c.td not in huff_dc or c.ta not in huff_ac:
             raise JpegError("missing Huffman table")
 
-    chunks = _split_scan(buf, pos)
+    chunks, _ = _split_scan(buf, pos)
     n_mcus = mcus_x * mcus_y
     interval = restart_interval if restart_interval else n_mcus
 
@@ -447,6 +478,217 @@ def _decode_scan(buf, pos, comps, qt, huff_dc, huff_ac, height, width,
 
     planes = [_reconstruct(c, qt[c.tq]) for c in comps]
     return _assemble(planes, comps, hmax, vmax, height, width)
+
+
+def _alloc_coefs(comps, height, width):
+    """Allocate MCU-padded coefficient arrays shared by all scans of a
+    multi-scan (progressive or non-interleaved sequential) stream."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c.nbx, c.nby = mcus_x * c.h, mcus_y * c.v
+        c.coef = np.zeros((c.nbx * c.nby, 64), dtype=np.int32)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _wrap32(v: int) -> int:
+    return ((v + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+
+def _ac_first_block(blk, act, band_lo, se, al, eobrun, _sym, _bits):
+    """Progressive AC initial-scan block (jdphuff.c decode_mcu_AC_first).
+
+    Also decodes the AC half of a sequential block when called with
+    ``band_lo=1, se=63, al=0``: the sequential EOB symbol is the
+    degenerate EOBRUN=1 case and ZRL coincides, so this is a strict
+    superset of the baseline AC block coder."""
+    if eobrun > 0:
+        return eobrun - 1  # whole block is inside an EOB run
+    k = band_lo
+    while k <= se:
+        rs = _sym(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1  # this block is a member of the run
+                if r:
+                    eobrun += _bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JpegError("AC run past band end")
+        blk[k] = _extend(_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(blk, act, band_lo, se, p1, m1, eobrun, _sym, _bits):
+    """Progressive AC refinement-scan block (jdphuff.c
+    decode_mcu_AC_refine): one correction bit per already-nonzero
+    coefficient traversed; new ±1·2^Al coefficients placed at the coded
+    zero-run positions; EOB runs carry correction bits only."""
+    k = band_lo
+    if eobrun == 0:
+        while k <= se:
+            rs = _sym(act)
+            r, s = rs >> 4, rs & 15
+            newnz = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += _bits(r)
+                    break  # rest of the band is EOB-run tail below
+                # r == 15: ZRL — advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("bad refinement code size")
+                newnz = p1 if _bits(1) else m1
+            # advance over already-nonzero coefs and r still-zero coefs,
+            # appending correction bits to the nonzeros along the way
+            while k <= se:
+                coef = int(blk[k])
+                if coef != 0:
+                    if _bits(1) and (coef & p1) == 0:
+                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break  # reached the target zero coefficient
+                k += 1
+            if newnz:
+                if k > se:
+                    raise JpegError("refinement ran past band end")
+                blk[k] = newnz
+            k += 1
+    if eobrun > 0:
+        # correction bits for the nonzeros after the end-of-band position
+        while k <= se:
+            coef = int(blk[k])
+            if coef != 0:
+                if _bits(1) and (coef & p1) == 0:
+                    blk[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_multi(buf, pos, scomps, geom, huff_dc, huff_ac,
+                       restart_interval, progressive, ss, se, ah, al,
+                       height, width):
+    """Decode ONE scan of a multi-scan stream into the components'
+    (already-allocated) coefficient arrays; returns the buffer position of
+    the marker that ended the scan.
+
+    Covers progressive DC/AC first + refinement scans (T.81 Annex G.2 /
+    jdphuff.c) and non-interleaved sequential scans (DC-first + AC-first
+    with Ah=Al=0, band 1..63). Restart intervals reset the bit reader, DC
+    predictors and the EOB run, exactly as in the single-scan path."""
+    hmax, vmax, mcus_x, mcus_y = geom
+    ns = len(scomps)
+    if progressive:
+        if ss == 0 and se != 0:
+            raise JpegError("bad progressive DC scan (Se != 0)")
+        if ss > 0 and (ns != 1 or se < ss or se > 63):
+            raise JpegError("bad progressive AC scan header")
+        if ah > 13 or al > 13 or (ah and ah != al + 1):
+            raise JpegError("bad successive-approximation bits")
+    dc_part = ss == 0
+    ac_part = se > 0
+    refine = ah > 0
+    for c in scomps:
+        if dc_part and not refine and c.td not in huff_dc:
+            raise JpegError("missing Huffman table")
+        if ac_part and c.ta not in huff_ac:
+            raise JpegError("missing Huffman table")
+    if ns == 1:
+        # non-interleaved: the unit is one block over the component's TRUE
+        # block dims (not MCU-padded — dummy blocks are never coded here)
+        c0 = scomps[0]
+        cnbx = -(-(width * c0.h) // (hmax * 8))
+        cnby = -(-(height * c0.v) // (vmax * 8))
+        n_units = cnbx * cnby
+    else:
+        n_units = mcus_x * mcus_y
+
+    chunks, end = _split_scan(buf, pos)
+    interval = restart_interval if restart_interval else n_units
+    p1, m1 = 1 << al, -1 << al
+    band_lo = max(ss, 1)
+
+    unit = 0
+    chunk_idx = 0
+    while unit < n_units:
+        if chunk_idx >= len(chunks):
+            raise JpegError("truncated entropy-coded data")
+        data = chunks[chunk_idx]
+        chunk_idx += 1
+        nbytes = len(data)
+        acc = nbits = bpos = 0
+        preds = [0] * ns
+        eobrun = 0
+
+        def _bits(count):
+            nonlocal acc, nbits, bpos
+            while nbits < count:
+                acc = (acc << 8) | (data[bpos] if bpos < nbytes else 0xFF)
+                bpos += 1
+                nbits += 8
+            nbits -= count
+            return (acc >> nbits) & ((1 << count) - 1)
+
+        def _sym(tab):
+            nonlocal acc, nbits, bpos
+            while nbits < 16:
+                acc = (acc << 8) | (data[bpos] if bpos < nbytes else 0xFF)
+                bpos += 1
+                nbits += 8
+            peek = (acc >> (nbits - 16)) & 0xFFFF
+            ln = tab.lut_len[peek]
+            if ln == 0:
+                raise JpegError("bad Huffman code")
+            nbits -= int(ln)
+            return int(tab.lut_val[peek])
+
+        stop = min(unit + interval, n_units)
+        while unit < stop:
+            if ns == 1:
+                by, bx = divmod(unit, cnbx)
+                blocks = ((0, scomps[0].coef[by * scomps[0].nbx + bx]),)
+            else:
+                my, mx = divmod(unit, mcus_x)
+                blocks = [
+                    (ci, c.coef[(my * c.v + by) * c.nbx + mx * c.h + bx])
+                    for ci, c in enumerate(scomps)
+                    for by in range(c.v) for bx in range(c.h)
+                ]
+            for ci, blk in blocks:
+                if dc_part:
+                    if refine:
+                        if _bits(1):
+                            blk[0] |= p1
+                    else:
+                        s = _sym(huff_dc[scomps[ci].td])
+                        diff = _extend(_bits(s), s) if s else 0
+                        preds[ci] = _wrap32(preds[ci] + diff)
+                        blk[0] = _wrap32(preds[ci] << al)
+                if ac_part:
+                    act = huff_ac[scomps[ci].ta]
+                    if refine:
+                        eobrun = _ac_refine_block(
+                            blk, act, band_lo, se, p1, m1, eobrun,
+                            _sym, _bits)
+                    else:
+                        eobrun = _ac_first_block(
+                            blk, act, band_lo, se, al, eobrun, _sym, _bits)
+            unit += 1
+        if bpos > nbytes + 4:
+            raise JpegError("entropy decoder overran padded stream")
+    return end
 
 
 def _reconstruct(c: _Component, qtbl: np.ndarray) -> np.ndarray:

@@ -512,11 +512,12 @@ def decode_compressed_payload(raw: bytes):
 
     Sniffs the container by magic (format strings in the wild range from
     'jpeg' to 'bgr8; jpeg compressed bgr8'). JPEG goes through the
-    framework's own from-spec baseline decoder — C++ (native.jpeg_decode)
-    when built, NumPy (bus.jpeg) otherwise, identical numerics. PNG goes
-    through bus.png. Returns (array, encoding) or (None, None) when the
-    payload is not decodable here (progressive JPEG, foreign container):
-    callers keep the compressed passthrough in that case.
+    framework's own from-spec decoder (baseline AND progressive) — C++
+    (native.jpeg_decode) when built, NumPy (bus.jpeg) otherwise, identical
+    numerics. PNG goes through bus.png. Returns (array, encoding) or
+    (None, None) when the payload is not decodable here (lossless /
+    arithmetic JPEG, foreign container): callers keep the compressed
+    passthrough in that case.
 
     Colour note: both codecs emit true colour order (a BGR frame encoded
     by cv2/compressed_image_transport is colour-converted by the encoder,
@@ -531,7 +532,10 @@ def decode_compressed_payload(raw: bytes):
         if raw[:2] == b"\xff\xd8":
             from trajectory_optimization_tpu.native import jpeg_decode_native
 
-            img = jpeg_decode_native(raw)
+            try:
+                img = jpeg_decode_native(raw)
+            except _jpeg.UnsupportedJpegError:
+                img = None  # e.g. a stale .so without progressive support
             if img is None:
                 img = _jpeg.decode_jpeg(raw)
             return img, ("rgb8" if img.ndim == 3 else "mono8"), "jpeg"

@@ -291,6 +291,54 @@ struct Component {
   std::vector<int32_t> coef;  // (nbx*nby) x 64, zigzag order
 };
 
+// Chunk bit reader shared by the multi-scan decode paths: bulk 32-bit
+// refill over the de-stuffed chunk, 1-bits past the end per T.81.
+struct BitRd {
+  const uint8_t *d = nullptr;
+  int64_t nb = 0, bpos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  void reset(const std::vector<uint8_t> &data) {
+    d = data.data();
+    nb = static_cast<int64_t>(data.size());
+    bpos = 0;
+    acc = 0;
+    nbits = 0;
+  }
+  inline void refill(int need) {
+    while (nbits < need) {
+      if (bpos + 4 <= nb && nbits <= 31) {
+        acc = (acc << 32) | (static_cast<uint64_t>(d[bpos]) << 24) |
+              (static_cast<uint64_t>(d[bpos + 1]) << 16) |
+              (static_cast<uint64_t>(d[bpos + 2]) << 8) |
+              static_cast<uint64_t>(d[bpos + 3]);
+        bpos += 4;
+        nbits += 32;
+      } else {
+        acc = (acc << 8) | (bpos < nb ? d[bpos] : 0xFF);
+        ++bpos;
+        nbits += 8;
+      }
+    }
+  }
+  inline uint32_t bits(int count) {  // count in 1..16
+    refill(count);
+    nbits -= count;
+    return static_cast<uint32_t>((acc >> nbits) & ((1u << count) - 1));
+  }
+  inline int sym(const struct Huff &t);  // -1 on invalid prefix
+};
+
+inline int BitRd::sym(const Huff &t) {
+  refill(16);
+  const uint32_t peek = (acc >> (nbits - 16)) & 0xFFFF;
+  const uint16_t e = t.lut[peek];
+  const int ln = e >> 8;
+  if (ln == 0) return -1;
+  nbits -= ln;
+  return e & 0xFF;
+}
+
 struct Decoder {
   const uint8_t *buf;
   int64_t n;
@@ -302,22 +350,34 @@ struct Decoder {
   int height = 0, width = 0;
   int restart_interval = 0;
   int64_t scan_pos = -1;
+  // multi-scan state (progressive / non-interleaved sequential)
+  bool progressive = false;
+  bool sof_seen = false;
+  int scan_ns = 0, scan_comp[3] = {0, 0, 0};
+  int scan_ss = 0, scan_se = 63, scan_ah = 0, scan_al = 0;
+  int hmax = 1, vmax = 1, mcus_x = 0, mcus_y = 0;
 
   Decoder(const uint8_t *b, int64_t len) : buf(b), n(len) {}
 
   int u16(int64_t i) const { return (buf[i] << 8) | buf[i + 1]; }
 
-  // Parse headers up to (and including) SOS. Returns 0 or a kErr*.
+  // Parse headers up to (and including) the FIRST SOS. Returns 0 or kErr*.
   int parse_headers() {
     if (n < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return kErrMalformed;
-    int64_t i = 2;
-    bool sof_seen = false;
+    const int rc = parse_from(2);
+    if (rc == 2) return kErrMalformed;  // EOI / end of data before any SOS
+    return rc;
+  }
+
+  // Process marker segments starting at i. Returns 0 when an SOS was
+  // parsed (scan_pos / scan_* filled), 2 on EOI or end of data, else kErr*.
+  int parse_from(int64_t i) {
     while (i < n) {
       if (buf[i] != 0xFF) return kErrMalformed;
       while (i < n && buf[i] == 0xFF) ++i;  // fill bytes
       if (i >= n) return kErrMalformed;
       const int marker = buf[i++];
-      if (marker == 0xD9) return kErrMalformed;  // EOI before SOS
+      if (marker == 0xD9) return 2;  // EOI (error for the caller if no scan)
       if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) continue;
       if (i + 2 > n) return kErrMalformed;
       const int seglen = u16(i);
@@ -359,9 +419,10 @@ struct Decoder {
           if (rc) return rc;
           p += 17 + total;
         }
-      } else if (marker == 0xC0 || marker == 0xC1) {  // SOF0/1
-        if (sof_seen || slen < 6) return kErrMalformed;
+      } else if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+        if (sof_seen || slen < 6) return kErrMalformed;  // SOF0/1/2
         sof_seen = true;
+        progressive = marker == 0xC2;
         if (seg[0] != 8) return kErrUnsupported;
         height = (seg[1] << 8) | seg[2];
         width = (seg[3] << 8) | seg[4];
@@ -378,17 +439,16 @@ struct Decoder {
               comps[c].v > 4 || comps[c].tq > 3)
             return kErrMalformed;
         }
-      } else if (marker >= 0xC2 && marker <= 0xCF && marker != 0xC4 &&
+      } else if (marker >= 0xC3 && marker <= 0xCF && marker != 0xC4 &&
                  marker != 0xC8 && marker != 0xCC) {
-        return kErrUnsupported;  // progressive / lossless / arithmetic
+        return kErrUnsupported;  // lossless / hierarchical / arithmetic
       } else if (marker == 0xDD) {  // DRI
         if (slen < 2) return kErrMalformed;
         restart_interval = (seg[0] << 8) | seg[1];
       } else if (marker == 0xDA) {  // SOS
         if (!sof_seen || slen < 1) return kErrMalformed;
         const int ns = seg[0];
-        if (ns != ncomp) return kErrUnsupported;  // non-interleaved
-        if (slen < 1 + 2 * ns) return kErrMalformed;
+        if (ns < 1 || ns > ncomp || slen < 4 + 2 * ns) return kErrMalformed;
         for (int s = 0; s < ns; ++s) {
           const int cs = seg[1 + 2 * s], tdta = seg[2 + 2 * s];
           // table ids index the 4-entry hdc/hac arrays — reject out-of-range
@@ -398,25 +458,38 @@ struct Decoder {
             if (comps[c].cid == cs) {
               comps[c].td = tdta >> 4;
               comps[c].ta = tdta & 15;
+              scan_comp[s] = c;
               found = true;
               break;
             }
           }
           if (!found) return kErrMalformed;
         }
+        scan_ns = ns;
+        if (progressive) {
+          scan_ss = seg[1 + 2 * ns];
+          scan_se = seg[2 + 2 * ns];
+          scan_ah = seg[3 + 2 * ns] >> 4;
+          scan_al = seg[3 + 2 * ns] & 15;
+        } else {
+          scan_ss = 0; scan_se = 63; scan_ah = 0; scan_al = 0;
+        }
         scan_pos = i;
         return 0;
       }
       // else APPn/COM/DNL skipped
     }
-    return kErrMalformed;
+    return 2;  // ran off the end of the buffer without another scan
   }
 
-  // De-stuff the entropy-coded segment, split at restart markers.
-  int split_scan(std::vector<std::vector<uint8_t>> &chunks) const {
+  // De-stuff the entropy-coded segment starting at pos, split at restart
+  // markers. *end gets the position of the marker that terminated the
+  // scan (where header parsing resumes for multi-scan streams).
+  int split_scan(int64_t pos, std::vector<std::vector<uint8_t>> &chunks,
+                 int64_t *end) const {
     chunks.clear();
     chunks.emplace_back();
-    int64_t i = scan_pos;
+    int64_t i = pos;
     while (i < n) {
       const uint8_t b = buf[i];
       if (b == 0xFF) {
@@ -436,6 +509,7 @@ struct Decoder {
       chunks.back().push_back(b);
       ++i;
     }
+    if (end) *end = i;
     return 0;
   }
 
@@ -443,24 +517,33 @@ struct Decoder {
     return v < (1 << (s - 1)) ? v - ((1 << s) - 1) : v;
   }
 
-  int decode_scan() {
-    int hmax = 1, vmax = 1;
+  // Allocate MCU-padded coefficient planes + frame geometry (members).
+  void alloc_coefs() {
+    hmax = vmax = 1;
     for (int c = 0; c < ncomp; ++c) {
       hmax = comps[c].h > hmax ? comps[c].h : hmax;
       vmax = comps[c].v > vmax ? comps[c].v : vmax;
     }
-    const int mcus_x = (width + 8 * hmax - 1) / (8 * hmax);
-    const int mcus_y = (height + 8 * vmax - 1) / (8 * vmax);
+    mcus_x = (width + 8 * hmax - 1) / (8 * hmax);
+    mcus_y = (height + 8 * vmax - 1) / (8 * vmax);
     for (int c = 0; c < ncomp; ++c) {
       Component &cc = comps[c];
       cc.nbx = mcus_x * cc.h;
       cc.nby = mcus_y * cc.v;
       cc.coef.assign(static_cast<size_t>(cc.nbx) * cc.nby * 64, 0);
+    }
+  }
+
+  // The classic single-scan interleaved sequential fast path.
+  int decode_scan() {
+    alloc_coefs();
+    for (int c = 0; c < ncomp; ++c) {
+      Component &cc = comps[c];
       if (!qt_ok[cc.tq] || !hdc[cc.td].valid || !hac[cc.ta].valid)
         return kErrMalformed;
     }
     std::vector<std::vector<uint8_t>> chunks;
-    split_scan(chunks);
+    split_scan(scan_pos, chunks, nullptr);
     const int64_t n_mcus = static_cast<int64_t>(mcus_x) * mcus_y;
     const int64_t interval = restart_interval ? restart_interval : n_mcus;
 
@@ -558,6 +641,223 @@ struct Decoder {
       }
       if (bpos > nbytes + 4) return kErrMalformed;
     }
+    return 0;
+  }
+
+  // --- multi-scan paths (progressive / non-interleaved sequential) ---
+  // Mirrors bus/jpeg.py::_decode_scan_multi (the jdphuff.c algorithms);
+  // the two backends stay bit-identical — pinned in tests.
+
+  // Progressive AC initial-scan block (jdphuff.c decode_mcu_AC_first);
+  // with band 1..63 / al=0 this is also the sequential AC block coder.
+  int ac_first_block(int32_t *blk, const Huff &act, int band_lo, int se,
+                     int al, int64_t *eobrun, BitRd &br) {
+    if (*eobrun > 0) {
+      --*eobrun;  // whole block is inside an EOB run
+      return 0;
+    }
+    int k = band_lo;
+    while (k <= se) {
+      const int rs = br.sym(act);
+      if (rs < 0) return kErrMalformed;
+      const int r = rs >> 4, s = rs & 15;
+      if (s == 0) {
+        if (r != 15) {
+          *eobrun = (int64_t{1} << r) - 1;  // this block is run member 0
+          if (r) *eobrun += br.bits(r);
+          break;
+        }
+        k += 16;  // ZRL
+        continue;
+      }
+      k += r;
+      if (k > se) return kErrMalformed;
+      blk[k] = extend(static_cast<int>(br.bits(s)), s) << al;
+      ++k;
+    }
+    return 0;
+  }
+
+  // Progressive AC refinement-scan block (jdphuff.c decode_mcu_AC_refine).
+  int ac_refine_block(int32_t *blk, const Huff &act, int band_lo, int se,
+                      int32_t p1, int32_t m1, int64_t *eobrun, BitRd &br) {
+    int k = band_lo;
+    if (*eobrun == 0) {
+      while (k <= se) {
+        const int rs = br.sym(act);
+        if (rs < 0) return kErrMalformed;
+        int r = rs >> 4;
+        const int s = rs & 15;
+        int32_t newnz = 0;
+        if (s == 0) {
+          if (r != 15) {
+            *eobrun = int64_t{1} << r;
+            if (r) *eobrun += br.bits(r);
+            break;  // rest of the band is the EOB-run tail below
+          }
+          // r == 15: ZRL — advance over 16 zero-history coefficients
+        } else {
+          if (s != 1) return kErrMalformed;  // new coef size must be 1
+          newnz = br.bits(1) ? p1 : m1;
+        }
+        // advance over already-nonzero coefs and r still-zero coefs,
+        // appending correction bits to the nonzeros along the way
+        while (k <= se) {
+          int32_t &coef = blk[k];
+          if (coef != 0) {
+            if (br.bits(1) && (coef & p1) == 0) coef += coef >= 0 ? p1 : m1;
+          } else {
+            if (--r < 0) break;  // reached the target zero coefficient
+          }
+          ++k;
+        }
+        if (newnz) {
+          if (k > se) return kErrMalformed;
+          blk[k] = newnz;
+        }
+        ++k;
+      }
+    }
+    if (*eobrun > 0) {
+      // correction bits for nonzeros after the end-of-band position
+      for (; k <= se; ++k) {
+        int32_t &coef = blk[k];
+        if (coef != 0) {
+          if (br.bits(1) && (coef & p1) == 0) coef += coef >= 0 ? p1 : m1;
+        }
+      }
+      --*eobrun;
+    }
+    return 0;
+  }
+
+  // Decode ONE scan of a multi-scan stream into the (already-allocated)
+  // coefficient planes; *end_out gets the terminating-marker position.
+  int decode_scan_multi(int64_t pos, int64_t *end_out) {
+    const int ns = scan_ns;
+    const int ss = scan_ss, se = scan_se, ah = scan_ah, al = scan_al;
+    if (progressive) {
+      if (ss == 0 && se != 0) return kErrMalformed;
+      if (ss > 0 && (ns != 1 || se < ss || se > 63)) return kErrMalformed;
+      if (ah > 13 || al > 13 || (ah && ah != al + 1)) return kErrMalformed;
+    }
+    const bool dc_part = ss == 0;
+    const bool ac_part = se > 0;
+    const bool refine = ah > 0;
+    for (int s = 0; s < ns; ++s) {
+      const Component &c = comps[scan_comp[s]];
+      if (dc_part && !refine && !hdc[c.td].valid) return kErrMalformed;
+      if (ac_part && !hac[c.ta].valid) return kErrMalformed;
+    }
+    int cnbx = 0, cnby = 0;
+    int64_t n_units;
+    if (ns == 1) {
+      // non-interleaved: the unit is one block over the component's TRUE
+      // block dims (not MCU-padded — dummy blocks are never coded here)
+      const Component &c = comps[scan_comp[0]];
+      cnbx = (width * c.h + hmax * 8 - 1) / (hmax * 8);
+      cnby = (height * c.v + vmax * 8 - 1) / (vmax * 8);
+      n_units = static_cast<int64_t>(cnbx) * cnby;
+    } else {
+      n_units = static_cast<int64_t>(mcus_x) * mcus_y;
+    }
+    std::vector<std::vector<uint8_t>> chunks;
+    split_scan(pos, chunks, end_out);
+    const int64_t interval = restart_interval ? restart_interval : n_units;
+    const int32_t p1 = 1 << al, m1 = -(1 << al);
+    const int band_lo = ss > 1 ? ss : 1;
+
+    int64_t unit = 0;
+    size_t chunk_idx = 0;
+    BitRd br;
+    while (unit < n_units) {
+      if (chunk_idx >= chunks.size()) return kErrMalformed;
+      br.reset(chunks[chunk_idx++]);
+      int64_t preds[3] = {0, 0, 0};
+      int64_t eobrun = 0;
+      const int64_t stop = unit + interval < n_units ? unit + interval : n_units;
+      while (unit < stop) {
+        // gather this unit's blocks (one for ns==1; the MCU for ns>1,
+        // at most 3 comps x 4x4 sampling = 48 blocks)
+        int nblk = 0;
+        int blk_ci[48];
+        int32_t *bptr[48];
+        if (ns == 1) {
+          Component &c = comps[scan_comp[0]];
+          const int64_t by = unit / cnbx, bx = unit % cnbx;
+          blk_ci[0] = 0;
+          bptr[0] = c.coef.data() + (by * c.nbx + bx) * 64;
+          nblk = 1;
+        } else {
+          const int64_t my = unit / mcus_x, mx = unit % mcus_x;
+          for (int s = 0; s < ns; ++s) {
+            Component &c = comps[scan_comp[s]];
+            for (int by = 0; by < c.v; ++by) {
+              const int64_t row = (my * c.v + by) * c.nbx + mx * c.h;
+              for (int bx = 0; bx < c.h; ++bx) {
+                blk_ci[nblk] = s;
+                bptr[nblk++] = c.coef.data() + (row + bx) * 64;
+              }
+            }
+          }
+        }
+        for (int bi = 0; bi < nblk; ++bi) {
+          const int ci = blk_ci[bi];
+          int32_t *blk = bptr[bi];
+          const Component &c = comps[scan_comp[ci]];
+          if (dc_part) {
+            if (refine) {
+              if (br.bits(1)) blk[0] |= p1;
+            } else {
+              const int s = br.sym(hdc[c.td]);
+              if (s < 0) return kErrMalformed;
+              int32_t diff = 0;
+              if (s) diff = extend(static_cast<int>(br.bits(s)), s);
+              // int32 wrap on the predictor AND after the point-transform
+              // shift (fuzz safety; bus/jpeg.py::_wrap32 parity)
+              preds[ci] = static_cast<int32_t>(
+                  static_cast<uint32_t>(preds[ci] + diff));
+              blk[0] = static_cast<int32_t>(
+                  static_cast<uint32_t>(preds[ci]) << al);
+            }
+          }
+          if (ac_part) {
+            const Huff &act = hac[c.ta];
+            const int rc = refine
+                ? ac_refine_block(blk, act, band_lo, se, p1, m1, &eobrun, br)
+                : ac_first_block(blk, act, band_lo, se, al, &eobrun, br);
+            if (rc) return rc;
+          }
+        }
+        ++unit;
+      }
+      if (br.bpos > br.nb + 4) return kErrMalformed;
+    }
+    return 0;
+  }
+
+  // Parse + decode every scan. The single-scan interleaved sequential
+  // stream keeps its dedicated fast path.
+  int decode_all() {
+    int rc = parse_headers();
+    if (rc) return rc;
+    if (!progressive && scan_ns == ncomp) return decode_scan();
+    alloc_coefs();
+    int64_t pos = scan_pos;
+    while (true) {
+      int64_t end = 0;
+      rc = decode_scan_multi(pos, &end);
+      if (rc) return rc;
+      rc = parse_from(end);
+      if (rc == 0) {  // another SOS parsed
+        pos = scan_pos;
+        continue;
+      }
+      if (rc == 2) break;  // EOI or end of data — all scans in
+      return rc;
+    }
+    for (int c = 0; c < ncomp; ++c)
+      if (!qt_ok[comps[c].tq]) return kErrMalformed;
     return 0;
   }
 
@@ -799,7 +1099,7 @@ struct Decoder {
 extern "C" {
 
 // Parse a JPEG header: fills h/w/ncomp. Returns 0, or -1 malformed /
-// -2 unsupported (progressive, 12-bit, CMYK, ...).
+// -2 unsupported (12-bit, CMYK, lossless, arithmetic ...).
 int32_t jpeg_probe(const uint8_t *src, int64_t len, int32_t *h, int32_t *w,
                    int32_t *ncomp) {
   jpeg::Decoder d(src, len);
@@ -811,15 +1111,13 @@ int32_t jpeg_probe(const uint8_t *src, int64_t len, int32_t *h, int32_t *w,
   return 0;
 }
 
-// Decode a baseline JPEG into dst (interleaved RGB8 for 3-component,
-// gray8 for 1-component). Returns bytes written, or -1 malformed /
-// -2 unsupported / -3 dst too small.
+// Decode a baseline or progressive JPEG into dst (interleaved RGB8 for
+// 3-component, gray8 for 1-component). Returns bytes written, or
+// -1 malformed / -2 unsupported / -3 dst too small.
 int64_t jpeg_decode(const uint8_t *src, int64_t len, uint8_t *dst,
                     int64_t cap) {
   jpeg::Decoder d(src, len);
-  int rc = d.parse_headers();
-  if (rc) return rc;
-  rc = d.decode_scan();
+  const int rc = d.decode_all();
   if (rc) return rc;
   return d.emit(dst, cap);
 }
