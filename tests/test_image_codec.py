@@ -153,11 +153,71 @@ def test_png_probe_and_errors():
         decode_png(data[:20])
     with pytest.raises(PngError):
         decode_png(b"nonsense")
-    # flip the IHDR interlace byte -> Adam7 is explicitly unsupported
+    # flipping the IHDR interlace byte alone leaves the IDAT payload laid
+    # out non-interlaced -> the Adam7 pass walk must reject it (size
+    # mismatch), not decode garbage
     adam7 = bytearray(data)
     adam7[28] = 1
-    with pytest.raises(UnsupportedPngError):
+    with pytest.raises(PngError):
         decode_png(bytes(adam7))
+    bad = bytearray(data)
+    bad[28] = 2  # undefined interlace method
+    with pytest.raises(PngError):
+        decode_png(bytes(bad))
+
+
+def _encode_adam7(img):
+    """Minimal Adam7 writer (filter 0 everywhere) for decoder fixtures."""
+    import struct
+    import zlib
+
+    from trajectory_optimization_tpu.bus.png import _ADAM7
+
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    depth = 16 if img.dtype == np.uint16 else 8
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    raw = img.astype(">u2").view(np.uint8) if depth == 16 else img
+    raw = raw.reshape(h, w, -1)
+    payload = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = raw[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in range(sub.shape[0]):
+            payload += b"\x00" + sub[r].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(payload)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((23, 37, 3), np.uint8),   # odd dims: ragged pass widths/heights
+    ((16, 16, 3), np.uint8),
+    ((5, 3), np.uint16),       # tiny 16-bit gray: several empty passes
+    ((21, 29, 4), np.uint8),   # RGBA
+    ((1, 1, 3), np.uint8),     # single pixel: only pass 1 non-empty
+])
+def test_png_adam7_decode(shape, dtype):
+    """Adam7-interlaced PNGs decode exactly; PIL cross-checks the writer."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, np.iinfo(dtype).max + 1, shape, dtype=dtype)
+    data = _encode_adam7(img)
+    np.testing.assert_array_equal(decode_png(data), img)
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    import io
+
+    pil = np.asarray(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(pil.astype(dtype), img)
 
 
 def test_compressed_image_record_decodes_to_pixels():

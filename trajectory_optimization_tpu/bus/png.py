@@ -7,7 +7,8 @@ depth images). Inflate comes from the Python stdlib; everything else
 from the spec.
 
 Scope: 8/16-bit greyscale, truecolor, palette, and alpha variants,
-non-interlaced. Adam7 interlacing raises :class:`UnsupportedPngError`.
+non-interlaced or Adam7-interlaced (each interlace pass is an
+independently filtered sub-image scattered onto the pixel grid).
 Returns uint8 or uint16 arrays, (H, W) / (H, W, C).
 """
 from __future__ import annotations
@@ -31,7 +32,12 @@ class PngError(ValueError):
 
 
 class UnsupportedPngError(PngError):
-    """Valid PNG, but outside the supported subset (Adam7, exotic depth)."""
+    """Valid PNG, but outside the supported subset (exotic bit depth)."""
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _chunks(buf: bytes):
@@ -162,8 +168,8 @@ def _decode_png(buf: bytes) -> np.ndarray:
     width, height, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise PngError("unknown compression/filter method")
-    if interlace != 0:
-        raise UnsupportedPngError("Adam7 interlacing")
+    if interlace not in (0, 1):
+        raise PngError(f"bad interlace method {interlace}")
     if color not in _CHANNELS:
         raise PngError(f"bad colour type {color}")
     if depth not in (8, 16) or (color == 3 and depth != 8):
@@ -178,7 +184,27 @@ def _decode_png(buf: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise PngError(f"bad IDAT stream: {e}") from e
-    flat = _unfilter(raw, height, stride, bpp)
+    if interlace == 1:
+        # Adam7: each pass is a separately filtered sub-image (empty
+        # passes contribute no bytes, not even filter bytes); unfilter
+        # each and scatter onto the pixel grid
+        flat = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            size = ph * (pstride + 1)
+            sub = _unfilter(raw[off:off + size], ph, pstride, bpp)
+            off += size
+            flat[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise PngError("decompressed size mismatch")
+        flat = flat.reshape(height, stride)
+    else:
+        flat = _unfilter(raw, height, stride, bpp)
     if depth == 16:
         img = flat.reshape(height, width, channels, 2).astype(np.uint16)
         img = (img[..., 0] << 8) | img[..., 1]  # network byte order
