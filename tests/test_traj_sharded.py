@@ -84,8 +84,11 @@ def test_loss_grad_parity(setup, wps):
 
 
 def test_sharded_step_optimizes(setup):
-    """Two full steps on the 2D mesh: finite, loss decreases, only the
-    real (non-dummy) waypoints move."""
+    """Twelve full steps on the 2D mesh: finite, the loss drops below its
+    starting value, the mean visibility reward rises, and the real
+    (non-dummy) waypoints move. (The soft-HPR landscape is rough — the
+    loss overshoots for ~5 Adam steps before descending, measured; the
+    reward climb is the steadier optimization signal.)"""
     params, P, K, p0, q0, problem = setup
     mesh = make_mesh(8, wps=2)
     cfg = OptimizerConfig(lr_pose=0.05, lr_quat=0.02)
@@ -93,14 +96,18 @@ def test_sharded_step_optimizes(setup):
     valid = jnp.ones((P.shape[0],), jnp.float32)
     params = jax.tree.map(jnp.array, params)  # step_fn donates its inputs
     opt_state = init_fn(params)
-    p1, opt_state, loss1, scal1 = step_fn(
-        params, opt_state, P, valid, K, p0, q0)
-    p2, opt_state, loss2, scal2 = step_fn(p1, opt_state, P, valid, K, p0, q0)
-    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
-    assert float(scal2["mean_reward"]) > 0
-    assert not np.allclose(np.asarray(p2["poses"]), np.asarray(p0))
-    assert np.isfinite(np.asarray(p2["poses"])).all()
-    assert np.isfinite(np.asarray(p2["quats"])).all()
+    losses, rewards = [], []
+    for _ in range(12):
+        params, opt_state, loss, scal = step_fn(
+            params, opt_state, P, valid, K, p0, q0)
+        losses.append(float(loss))
+        rewards.append(float(scal["mean_reward"]))
+    assert np.isfinite(losses).all(), losses
+    assert min(losses[1:]) < losses[0], losses
+    assert rewards[-1] > rewards[0] > 0, rewards
+    assert not np.allclose(np.asarray(params["poses"]), np.asarray(p0))
+    assert np.isfinite(np.asarray(params["poses"])).all()
+    assert np.isfinite(np.asarray(params["quats"])).all()
 
 
 def test_rejects_non_soft_hpr(setup):

@@ -110,6 +110,17 @@ def observation_logodds(
     Padded points land on the clip floor 0.5 ⇒ log-odds 0 ⇒ no contribution.
     """
     pmin, pmax = _masked_minmax(p, valid)
+    return logodds_from_minmax(p, pmin, pmax, eps)
+
+
+def logodds_from_minmax(p, pmin, pmax, eps: float) -> jnp.ndarray:
+    """The normalize → clip → log-odds tail with the min/max precomputed.
+
+    Shared by :func:`observation_logodds` (per-waypoint masked min/max) and
+    the multi-chip trajectory step (parallel.traj_sharded, where the min/max
+    is an all_gather+min/max over the point shards) so the numerics — span
+    floor, clip window, log-odds formula — cannot de-sync.
+    """
     # reference: p -= p.min(); p /= p.max()  ⇒  (p − min)/(max − min).
     # Floor the span at 1e-8: a waypoint that sees nothing has an underflowed
     # score span, and the division backward needs 1/span² to stay inside f32
@@ -136,13 +147,16 @@ def soft_hpr_wp_logodds(
     differentiable Katz HPR on the waypoint's camera-frame cloud, min-max
     normalized and clipped.
 
-    The shared per-waypoint body of the occlusion-aware trajectory loss —
-    scanned over selected waypoints by ``traj_forward(soft_hpr=True)`` and
-    by the waypoint-sharded multi-chip step (parallel.traj_sharded).
-    Checkpointed: the backward rematerializes the HPR instead of saving its
-    internals (O(N) live memory for the whole scan). One world→camera
-    transform feeds both the visibility score and the HPR input. Reverse-
-    mode only above 32k points (the binned kernel's custom-VJP sorts).
+    The per-waypoint body of the occlusion-aware trajectory loss, scanned
+    over selected waypoints by ``traj_forward(soft_hpr=True)``. The
+    waypoint-sharded multi-chip step (parallel.traj_sharded._build_local)
+    mirrors this sequence with the point-sharded HPR and an all-gathered
+    min/max — keep the two in sync when editing. Checkpointed: the backward
+    rematerializes the HPR instead of saving its internals (O(N) live
+    memory for the whole scan). One world→camera transform feeds both the
+    visibility score and the HPR input. Reverse-mode only when the binned
+    kernel is selected (above ``problem.soft_hpr_dense_max`` points) — its
+    custom-VJP sorts have no JVP rule.
     """
     from trajectory_optimization_tpu.ops.hpr import (
         hpr_mask_soft,

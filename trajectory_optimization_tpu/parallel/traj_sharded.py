@@ -41,7 +41,11 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from trajectory_optimization_tpu.models.traj import TrajProblem, traj_criterion
+from trajectory_optimization_tpu.models.traj import (
+    TrajProblem,
+    logodds_from_minmax,
+    traj_criterion,
+)
 from trajectory_optimization_tpu.ops.hpr import SOFT_BINNED_DEFAULTS as _HPR_DEF
 from trajectory_optimization_tpu.ops.scores import camera_planes, scores_from_planes
 from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
@@ -54,19 +58,15 @@ __all__ = ["traj_soft_hpr_loss_sharded", "make_sharded_traj_step"]
 def _logodds_sharded(raw_l, valid_l, eps, pts_axis):
     """observation_logodds with the per-waypoint min/max taken over the
     GLOBAL cloud: one scalar all_gather+min/max pair over the point axis
-    (differentiable, unlike lax.pmin/pmax), then the exact single-chip
-    normalize → clip [0.5, 1−eps] → log-odds tail (models.traj
-    observation_logodds, including its 1e-8 span floor)."""
+    (differentiable, unlike lax.pmin/pmax), then the single-chip tail via
+    the shared models.traj.logodds_from_minmax helper."""
     big = jnp.asarray(jnp.finfo(raw_l.dtype).max, raw_l.dtype)
     v = valid_l > 0
     pmin_l = jnp.min(jnp.where(v, raw_l, big))
     pmax_l = jnp.max(jnp.where(v, raw_l, -big))
     pmin = jnp.min(jax.lax.all_gather(pmin_l, pts_axis))
     pmax = jnp.max(jax.lax.all_gather(pmax_l, pts_axis))
-    span = jnp.maximum(pmax - pmin, 1e-8)
-    p = (raw_l - pmin) / span
-    p = jnp.clip(p, 0.5, 1.0 - eps)
-    return jnp.log(p / (1.0 - p))
+    return logodds_from_minmax(raw_l, pmin, pmax, eps)
 
 
 def _build_local(problem: TrajProblem, wps_axis: str, pts_axis: str,
