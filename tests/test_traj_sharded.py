@@ -110,6 +110,57 @@ def test_sharded_step_optimizes(setup):
     assert np.isfinite(np.asarray(params["quats"])).all()
 
 
+def test_real_cloud_sensor_origin_parity(setup):
+    """Real data (cloud-10 + path-10): 16 of the 27 recorded waypoints
+    coincide EXACTLY with cloud points, putting points at the camera
+    origin where norm gradients are 0/0 — the case that exposed the
+    safe_norm NaN (CLAUDE.md round-3). The sharded loss must stay finite
+    and match single-chip on this geometry, not just synthetic scenes.
+
+    Shapes mirror the synthetic fixture (512 pts, 13 wps, same problem)
+    so the compiled programs come from the cache."""
+    from trajectory_optimization_tpu.utils.data import (
+        load_path,
+        load_point_cloud,
+    )
+
+    _, _, K, _, _, problem = setup
+    pts = np.asarray(load_point_cloud(
+        "data/points/point_cloud_10.npz"), np.float32)
+    path = np.asarray(load_path("data/paths/path_poses_10.npz"), np.float32)
+    poses0 = path[:N_WPS]
+    # subsample to the fixture size, force-including every point that
+    # coincides with a selected waypoint (the sensor-origin points)
+    d = np.linalg.norm(pts[None] - poses0[:, None], axis=-1)
+    coincident = np.unique(d.argmin(axis=1)[d.min(axis=1) == 0.0])
+    assert coincident.size >= 5  # the real data really has them
+    rest = np.setdiff1d(
+        np.linspace(0, len(pts) - 1, N_PTS, dtype=np.int64), coincident)
+    sel = np.concatenate([coincident, rest])[:N_PTS]
+    P = jnp.asarray(pts[sel])
+    quats0 = identity_quaternions(N_WPS)
+    params = init_traj_params(poses0, quats0)
+    mesh = make_mesh(8, wps=4)
+    setup_real = (params, P, K, jnp.asarray(poses0), jnp.asarray(quats0),
+                  problem)
+    v_ref, g_ref = _single_chip(setup_real)
+    assert np.isfinite(float(v_ref))
+    for k in ("poses", "quats"):
+        assert np.isfinite(np.asarray(g_ref[k])).all(), k
+
+    def loss_sh(params):
+        valid = jnp.ones((N_PTS,), jnp.float32)
+        return traj_soft_hpr_loss_sharded(
+            mesh, params, P, valid, K, jnp.asarray(poses0), problem)[0]
+
+    v_sh, g_sh = jax.jit(jax.value_and_grad(loss_sh))(params)
+    assert np.isclose(float(v_sh), float(v_ref), rtol=1e-4), (v_sh, v_ref)
+    for k in ("poses", "quats"):
+        assert np.isfinite(np.asarray(g_sh[k])).all(), k
+        rel = _relnorm(g_sh[k], g_ref[k])
+        assert rel < 5e-3, (k, rel)
+
+
 def test_rejects_non_soft_hpr(setup):
     params, P, K, p0, q0, problem = setup
     import dataclasses
