@@ -870,45 +870,50 @@ struct Decoder {
   // (profiled: zero-filling the three 8 MB planes cost ~40% as much as
   // the whole IDCT).
   //
-  // One 1-D islow butterfly: 8 frequency samples in, 8 spatial out,
-  // DESCALEd by `shift` with round-half-up (arithmetic >>).
-  static inline void islow_1d(const int64_t in[8], int64_t out[8],
-                              int shift) {
+  // One 1-D islow butterfly over all 8 LANES of a block at once (lane =
+  // the non-transformed index, unit stride): straight-line int64
+  // arithmetic the compiler vectorizes into one 8x64-bit vector per row
+  // (AVX-512DQ vpmullq on this host; scalar elsewhere — identical values
+  // either way). DESCALE by `shift` with round-half-up (arithmetic >>).
+  static inline void islow_1d_lanes(const int64_t in[8][8],
+                                    int64_t out[8][8], int shift) {
     const int64_t half = int64_t{1} << (shift - 1);
-    // even part
-    int64_t z1 = (in[2] + in[6]) * 4433;        // FIX_0_541196100
-    const int64_t e2 = z1 - in[6] * 15137;      // -FIX_1_847759065
-    const int64_t e3 = z1 + in[2] * 6270;       // FIX_0_765366865
-    const int64_t e0 = (in[0] + in[4]) << 13;
-    const int64_t e1 = (in[0] - in[4]) << 13;
-    const int64_t t10 = e0 + e3, t13 = e0 - e3;
-    const int64_t t11 = e1 + e2, t12 = e1 - e2;
-    // odd part
-    z1 = in[7] + in[1];
-    int64_t z2 = in[5] + in[3];
-    int64_t z3 = in[7] + in[3];
-    int64_t z4 = in[5] + in[1];
-    const int64_t z5 = (z3 + z4) * 9633;        // FIX_1_175875602
-    int64_t t0 = in[7] * 2446;                  // FIX_0_298631336
-    int64_t t1 = in[5] * 16819;                 // FIX_2_053119869
-    int64_t t2 = in[3] * 25172;                 // FIX_3_072711026
-    int64_t t3 = in[1] * 12299;                 // FIX_1_501321110
-    z1 *= -7373;                                // -FIX_0_899976223
-    z2 *= -20995;                               // -FIX_2_562915447
-    z3 = z3 * -16069 + z5;                      // -FIX_1_961570560
-    z4 = z4 * -3196 + z5;                       // -FIX_0_390180644
-    t0 += z1 + z3;
-    t1 += z2 + z4;
-    t2 += z2 + z3;
-    t3 += z1 + z4;
-    out[0] = (t10 + t3 + half) >> shift;
-    out[1] = (t11 + t2 + half) >> shift;
-    out[2] = (t12 + t1 + half) >> shift;
-    out[3] = (t13 + t0 + half) >> shift;
-    out[4] = (t13 - t0 + half) >> shift;
-    out[5] = (t12 - t1 + half) >> shift;
-    out[6] = (t11 - t2 + half) >> shift;
-    out[7] = (t10 - t3 + half) >> shift;
+    for (int v = 0; v < 8; ++v) {
+      // even part
+      int64_t z1 = (in[2][v] + in[6][v]) * 4433;  // FIX_0_541196100
+      const int64_t e2 = z1 - in[6][v] * 15137;   // -FIX_1_847759065
+      const int64_t e3 = z1 + in[2][v] * 6270;    // FIX_0_765366865
+      const int64_t e0 = (in[0][v] + in[4][v]) << 13;
+      const int64_t e1 = (in[0][v] - in[4][v]) << 13;
+      const int64_t t10 = e0 + e3, t13 = e0 - e3;
+      const int64_t t11 = e1 + e2, t12 = e1 - e2;
+      // odd part
+      z1 = in[7][v] + in[1][v];
+      int64_t z2 = in[5][v] + in[3][v];
+      int64_t z3 = in[7][v] + in[3][v];
+      int64_t z4 = in[5][v] + in[1][v];
+      const int64_t z5 = (z3 + z4) * 9633;        // FIX_1_175875602
+      int64_t t0 = in[7][v] * 2446;               // FIX_0_298631336
+      int64_t t1 = in[5][v] * 16819;              // FIX_2_053119869
+      int64_t t2 = in[3][v] * 25172;              // FIX_3_072711026
+      int64_t t3 = in[1][v] * 12299;              // FIX_1_501321110
+      z1 *= -7373;                                // -FIX_0_899976223
+      z2 *= -20995;                               // -FIX_2_562915447
+      z3 = z3 * -16069 + z5;                      // -FIX_1_961570560
+      z4 = z4 * -3196 + z5;                       // -FIX_0_390180644
+      t0 += z1 + z3;
+      t1 += z2 + z4;
+      t2 += z2 + z3;
+      t3 += z1 + z4;
+      out[0][v] = (t10 + t3 + half) >> shift;
+      out[1][v] = (t11 + t2 + half) >> shift;
+      out[2][v] = (t12 + t1 + half) >> shift;
+      out[3][v] = (t13 + t0 + half) >> shift;
+      out[4][v] = (t13 - t0 + half) >> shift;
+      out[5][v] = (t12 - t1 + half) >> shift;
+      out[6][v] = (t11 - t2 + half) >> shift;
+      out[7][v] = (t10 - t3 + half) >> shift;
+    }
   }
 
   void reconstruct(const Component &c, std::unique_ptr<int32_t[]> &plane_up) const {
@@ -916,14 +921,11 @@ struct Decoder {
     plane_up.reset(new int32_t[static_cast<size_t>(c.nby) * 8 * pw]);
     int32_t *plane = plane_up.get();
     const int32_t *q = qt[c.tq];
-    int64_t B[8][8], ws[8][8];
+    int64_t B[8][8], M1[8][8], M2[8][8], OUT[8][8];
     for (int byy = 0; byy < c.nby; ++byy) {
       for (int bxx = 0; bxx < c.nbx; ++bxx) {
         const int32_t *blk =
             c.coef.data() + (static_cast<int64_t>(byy) * c.nbx + bxx) * 64;
-        // one fused pass fills B and marks columns with AC energy below
-        // row 0 (most camera-content blocks have <20 of 64 coefficients)
-        uint8_t col_nz[8] = {0, 0, 0, 0, 0, 0, 0, 0};
         int nnz = 0;
         for (int u = 0; u < 8; ++u)
           for (int v = 0; v < 8; ++v) B[u][v] = 0;
@@ -932,7 +934,6 @@ struct Decoder {
           if (!blk[k]) continue;
           const int idx = kZigzag[k];
           B[idx >> 3][idx & 7] = static_cast<int64_t>(blk[k]) * q[k];
-          if (idx >> 3) col_nz[idx & 7] = 1;
           ++nnz;
         }
         if (nnz == 0) {
@@ -945,30 +946,21 @@ struct Decoder {
               plane[(static_cast<int64_t>(byy) * 8 + x) * pw + bxx * 8 + y] = p;
           continue;
         }
-        // pass 1 (columns). A column whose rows 1..7 are all zero reduces
-        // exactly to (B[0][v] << PASS1_BITS) in every output row — the
-        // libjpeg shortcut, exact in integer arithmetic (skipped terms
-        // add exactly 0), so the numpy path needs no matching branch.
-        for (int v = 0; v < 8; ++v) {
-          if (!col_nz[v]) {
-            const int64_t dcl = B[0][v] << 2;
-            for (int x = 0; x < 8; ++x) ws[x][v] = dcl;
-            continue;
-          }
-          const int64_t in[8] = {B[0][v], B[1][v], B[2][v], B[3][v],
-                                 B[4][v], B[5][v], B[6][v], B[7][v]};
-          int64_t out[8];
-          islow_1d(in, out, 11);  // CONST_BITS - PASS1_BITS
-          for (int x = 0; x < 8; ++x) ws[x][v] = out[x];
-        }
-        // pass 2 (rows) + level shift + clip
+        // pass 1 over columns (lane = v), transpose, pass 2 over rows
+        // (lane = x), transpose back. All 8 lanes computed uncondition-
+        // ally — the old zero-column shortcut contributed exactly 0, so
+        // values are unchanged and the vector path wins on throughput.
+        islow_1d_lanes(B, M1, 11);   // CONST_BITS - PASS1_BITS; M1[x][v]
+        for (int a = 0; a < 8; ++a)
+          for (int b = 0; b < 8; ++b) M2[a][b] = M1[b][a];  // M2[v][x]
+        islow_1d_lanes(M2, OUT, 18);  // CONST_BITS+PASS1_BITS+3; OUT[y][x]
+        for (int a = 0; a < 8; ++a)
+          for (int b = 0; b < 8; ++b) M1[a][b] = OUT[b][a];  // M1[x][y]
         for (int x = 0; x < 8; ++x) {
-          int64_t out[8];
-          islow_1d(ws[x], out, 18);  // CONST_BITS + PASS1_BITS + 3
           int32_t *dst =
               plane + (static_cast<int64_t>(byy) * 8 + x) * pw + bxx * 8;
           for (int y = 0; y < 8; ++y) {
-            int32_t p = static_cast<int32_t>(out[y]) + 128;
+            int32_t p = static_cast<int32_t>(M1[x][y]) + 128;
             dst[y] = p < 0 ? 0 : (p > 255 ? 255 : p);
           }
         }
