@@ -475,6 +475,35 @@ def test_jpeg_fuzz_mutations(backend):
                 pass
 
 
+def test_jpeg_fuzz_backends_agree():
+    """Differential fuzz: the NumPy and C++ decoders are designed to agree
+    even on corrupt streams (int32 predictor wrap, shared error points) —
+    a mutation where one backend decodes and the other errors, or where
+    both decode to different pixels, is a divergence bug."""
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(123)
+    for name in ("rgb_q85_420.jpg", "progressive.jpg"):
+        data, _ = _fixture(name)
+        for trial in range(80):
+            buf = bytearray(data)
+            for _ in range(rng.integers(1, 6)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            raw = bytes(buf)
+            try:
+                py = decode_jpeg(raw)
+            except JpegError:
+                py = None
+            try:
+                cc = jpeg_decode_native(raw)
+            except JpegError:
+                cc = None
+            if py is None or cc is None:
+                assert py is None and cc is None, (name, trial)
+            else:
+                np.testing.assert_array_equal(py, cc, err_msg=f"{name} #{trial}")
+
+
 def test_png_fuzz_mutations():
     data, _ = _fixture("rgb.png")
     rng = np.random.default_rng(100)
