@@ -40,7 +40,8 @@ class JpegError(ValueError):
 
 
 class UnsupportedJpegError(JpegError):
-    """Valid JPEG, but outside the baseline-sequential subset."""
+    """Valid JPEG, but outside the supported DCT subset (lossless,
+    hierarchical, arithmetic-coded, or >8-bit precision)."""
 
 
 # zig-zag scan order: _ZIGZAG[k] = raster index of the k-th coefficient
@@ -169,7 +170,8 @@ def probe_jpeg(buf: bytes) -> Tuple[int, int, int]:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8 (H, W) grayscale or (H, W, 3) RGB."""
+    """Decode a baseline or progressive JPEG to uint8 (H, W) grayscale or
+    (H, W, 3) RGB."""
     return _parse_guarded(memoryview(bytes(buf)), headers_only=False)
 
 
@@ -420,6 +422,8 @@ def _decode_scan(buf, pos, comps, qt, huff_dc, huff_ac, height, width,
                                 raise JpegError("bad Huffman code")
                             nbits -= int(ln)
                             s = int(dval[peek])
+                            if s > 15:  # legal DC categories are 0..15
+                                raise JpegError("bad DC category")
                             if s:
                                 while nbits < s:
                                     acc = (acc << 8) | (
@@ -434,8 +438,7 @@ def _decode_scan(buf, pos, comps, qt, huff_dc, huff_ac, height, width,
                             # int32 wrap: corrupt streams can run the DC
                             # predictor arbitrarily high (fuzz-found); the
                             # native path wraps identically
-                            preds[ci] = ((preds[ci] + diff + 0x80000000)
-                                         & 0xFFFFFFFF) - 0x80000000
+                            preds[ci] = _wrap32(preds[ci] + diff)
                             blk[0] = preds[ci]
                             # --- AC ---
                             k = 1
@@ -639,7 +642,11 @@ def _decode_scan_multi(buf, pos, scomps, geom, huff_dc, huff_ac,
                 bpos += 1
                 nbits += 8
             nbits -= count
-            return (acc >> nbits) & ((1 << count) - 1)
+            out = (acc >> nbits) & ((1 << count) - 1)
+            # keep the accumulator bounded — a Python int otherwise grows
+            # with every byte shifted in, turning the scan quadratic
+            acc &= (1 << nbits) - 1
+            return out
 
         def _sym(tab):
             nonlocal acc, nbits, bpos
@@ -652,6 +659,7 @@ def _decode_scan_multi(buf, pos, scomps, geom, huff_dc, huff_ac,
             if ln == 0:
                 raise JpegError("bad Huffman code")
             nbits -= int(ln)
+            acc &= (1 << nbits) - 1
             return int(tab.lut_val[peek])
 
         stop = min(unit + interval, n_units)
@@ -673,6 +681,8 @@ def _decode_scan_multi(buf, pos, scomps, geom, huff_dc, huff_ac,
                             blk[0] |= p1
                     else:
                         s = _sym(huff_dc[scomps[ci].td])
+                        if s > 15:  # legal DC categories are 0..15 (8-bit)
+                            raise JpegError("bad DC category")
                         diff = _extend(_bits(s), s) if s else 0
                         preds[ci] = _wrap32(preds[ci] + diff)
                         blk[0] = _wrap32(preds[ci] << al)

@@ -194,7 +194,7 @@ def occupancy_grid_native(
 
 
 def jpeg_decode_native(data: bytes) -> Optional[np.ndarray]:
-    """Decode a baseline JPEG with the C++ from-spec decoder.
+    """Decode a baseline or progressive JPEG with the C++ from-spec decoder.
 
     Returns (H, W) gray or (H, W, 3) RGB uint8; None when the native
     library is unavailable (callers fall back to the NumPy decoder in
@@ -215,7 +215,7 @@ def jpeg_decode_native(data: bytes) -> Optional[np.ndarray]:
     rc = lib.jpeg_probe(sp, len(src), ctypes.byref(h), ctypes.byref(w),
                         ctypes.byref(nc))
     if rc == -2:
-        raise UnsupportedJpegError("non-baseline JPEG (native probe)")
+        raise UnsupportedJpegError("unsupported JPEG coding (native probe)")
     if rc != 0:
         raise JpegError("malformed JPEG (native probe)")
     out = np.empty(h.value * w.value * nc.value, dtype=np.uint8)
@@ -223,7 +223,7 @@ def jpeg_decode_native(data: bytes) -> Optional[np.ndarray]:
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                         out.shape[0])
     if n == -2:
-        raise UnsupportedJpegError("non-baseline JPEG (native decode)")
+        raise UnsupportedJpegError("unsupported JPEG coding (native decode)")
     if n < 0:
         raise JpegError(f"malformed JPEG (native decode rc={n})")
     if nc.value == 1:

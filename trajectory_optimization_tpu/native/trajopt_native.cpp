@@ -597,6 +597,9 @@ struct Decoder {
               if (ln == 0) return kErrMalformed;
               nbits -= ln;
               const int s = entry & 0xFF;
+              // legal DC categories are 0..15; larger table values would
+              // shift past the accumulator (UB) — reject like bus/jpeg.py
+              if (s > 15) return kErrMalformed;
               int32_t diff = 0;
               if (s) {
                 refill(s);
@@ -810,7 +813,7 @@ struct Decoder {
               if (br.bits(1)) blk[0] |= p1;
             } else {
               const int s = br.sym(hdc[c.td]);
-              if (s < 0) return kErrMalformed;
+              if (s < 0 || s > 15) return kErrMalformed;  // DC category 0..15
               int32_t diff = 0;
               if (s) diff = extend(static_cast<int>(br.bits(s)), s);
               // int32 wrap on the predictor AND after the point-transform
