@@ -49,7 +49,10 @@ def test_two_process_sharded_train_step(tmp_path):
     ]
     try:
         for p in procs:
-            p.wait(timeout=300)
+            # generous: the workers compile a sharded train step each; on an
+            # oversubscribed single-core box 300 s has flaked (passes in
+            # ~50 s alone) while a genuine hang still fails fast enough
+            p.wait(timeout=600)
     except subprocess.TimeoutExpired:
         for q in procs:
             q.kill()

@@ -119,7 +119,10 @@ def _attach_process_graph(bus, broker, procs, n_clients: int):
     bridge = None
     try:
         bridge = BusBridge(bus, broker.address, name="launch-parent")
-        if not broker.wait_for_clients(n_clients):
+        # 120 s: each worker imports jax + this package before HELLO, which
+        # takes seconds normally but has exceeded 30 s on an oversubscribed
+        # single-core host; a crashed worker still fails promptly below
+        if not broker.wait_for_clients(n_clients, timeout=120.0):
             raise TimeoutError("node processes did not attach to the broker")
         return bridge
     except BaseException:
