@@ -295,6 +295,42 @@ def test_launch_pose_optimization_graph(tmp_path, cloud10):
     assert results, "pose optimizer produced no odometry"
 
 
+def test_cli_entry_point(tmp_path, cloud10, path10, capsys):
+    """`python -m trajectory_optimization_tpu` (bus/__main__): presets run
+    with rosparam-style overrides, bag replay feeds the graph, and the
+    summary reports output-topic counts."""
+    from trajectory_optimization_tpu.__main__ import main
+    from trajectory_optimization_tpu.bus.messages import CloudMsg, PathMsg, Header
+    from trajectory_optimization_tpu.bus.rosbag import write_bag
+
+    np.savez(tmp_path / "point_cloud_10.npz", pts=cloud10[::16])
+    rc = main(["pose_optimization", "opt_steps=6", "num_pub_samples=2",
+               "--steps", "1", "--data-dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert rc == 0 and "/odom:" in out
+    n = int(out.rsplit("/odom:", 1)[1].split()[0])
+    assert n > 0, out
+
+    q = np.zeros((len(path10), 4), np.float64)
+    q[:, 3] = 1.0
+    hdr = Header(stamp=1.0, frame_id="map")
+    bag = str(tmp_path / "cli.bag")
+    write_bag(bag, [("/pc", CloudMsg(hdr, cloud10[::16])),
+                    ("/path", PathMsg(hdr, path10, q))])
+    rc = main(["trajectory_optimization", "pc_topic=/pc", "path_topic=/path",
+               "opt_steps=4", "--play", bag])
+    out = capsys.readouterr().out
+    assert rc == 0 and "/path/optimized: 1 msgs" in out, out
+
+    rc = main(["voxels_filtering", "input_topic=/pc", "output_topic=/vox",
+               "leaf_size=0.3", "--play", bag])
+    out = capsys.readouterr().out
+    assert rc == 0 and "/vox: 1 msgs" in out, out
+
+    with pytest.raises(SystemExit):
+        main(["play_bag"])  # requires --play
+
+
 def test_opt_nodes_soft_hpr_config(cloud10, path10):
     """use_soft_hpr=True threads PoseProblem/TrajProblem.soft_hpr through
     both optimizer nodes: full callbacks, occlusion recomputed

@@ -1,0 +1,165 @@
+"""Shell entry point — the `roslaunch trajectory_optimization <name>.launch`
+equivalent (SURVEY.md §1 L5 / §5 config system: dataclass configs + CLI
+overrides reproducing the rosparam knob set).
+
+    python -m trajectory_optimization_tpu pose_optimization opt_steps=50 --steps 3
+    python -m trajectory_optimization_tpu trajectory_optimization \
+        pc_topic=/pts path_topic=/path --play session.bag --echo /path/optimized
+    python -m trajectory_optimization_tpu play_bag --play session.bag --echo /tf
+
+Overrides are rosparam-style ``key=value`` strings applied to the preset's
+node config (`utils.config.apply_overrides` — unknown keys error). Presets
+mirror the reference launch files; `--processes` reproduces its
+node-per-OS-process runtime shape.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+PRESETS = (
+    "trajectory_optimization",
+    "pose_optimization",
+    "pointcloud_processor",
+    "voxels_filtering",
+    "play_bag",
+)
+
+# default output topics summarized after a run, per preset
+_WATCH = {
+    "trajectory_optimization": ("{path_topic}/optimized",),
+    "pose_optimization": ("/odom",),
+    "voxels_filtering": ("{output_topic}",),
+}
+
+
+def _build(args):
+    """Construct the preset's Launch handle with overrides applied."""
+    from trajectory_optimization_tpu.bus import launch as L
+    from trajectory_optimization_tpu.utils import config as C
+
+    ov = list(args.overrides)
+    if args.preset == "trajectory_optimization":
+        cfg = C.apply_overrides(
+            C.TrajOptNodeConfig(
+                pc_topic="/X1/local_map", path_topic="/X1/path",
+                opt_steps=30, smooth_weight=28.0, lr_pose=0.12, lr_quat=0.05,
+                publish_rewards_cloud=True,
+            ), ov)
+        handle = L.launch_trajectory_optimization(
+            overrides=cfg, processes=args.processes,
+            **({"data_dir": args.data_dir} if args.data_dir else {}))
+        watch = [t.format(path_topic=cfg.path_topic) for t in _WATCH[args.preset]]
+    elif args.preset == "pose_optimization":
+        cfg = C.apply_overrides(
+            C.PoseOptNodeConfig(pc_topic="/pts", pose_topic="/pose",
+                                opt_steps=200, lr_pose=0.02, lr_quat=0.02), ov)
+        handle = L.launch_pose_optimization(
+            overrides=cfg, processes=args.processes,
+            **({"data_dir": args.data_dir} if args.data_dir else {}))
+        watch = list(_WATCH[args.preset])
+    elif args.preset == "pointcloud_processor":
+        cfg = C.apply_overrides(C.PointsProcessorConfig(), ov)
+        handle = L.launch_pointcloud_processor(
+            overrides=cfg, processes=args.processes)
+        watch = [f"/{t.rsplit('/', 2)[-2]}/pointcloud"
+                 for t in cfg.cam_info_topics]
+    elif args.preset == "voxels_filtering":
+        if args.processes:
+            raise SystemExit("voxels_filtering has no --processes variant")
+        cfg = C.apply_overrides(C.VoxelFilterConfig(), ov)
+        handle = L.launch_voxels_filtering(
+            input_topic=cfg.input_topic, output_topic=cfg.output_topic,
+            leaf_size=cfg.leaf_size, z_limits=cfg.z_limits)
+        watch = [cfg.output_topic]
+    else:  # play_bag: bare bus, replay only
+        if ov:
+            raise SystemExit("play_bag takes no config overrides")
+        from trajectory_optimization_tpu.bus.core import Bus
+
+        handle = L.Launch(Bus(), {}, [])
+        watch = []
+    return handle, watch
+
+
+def _describe(msg) -> str:
+    import numpy as np
+
+    name = type(msg).__name__
+    stamp = getattr(getattr(msg, "header", None), "stamp", None)
+    for attr in ("points", "positions", "data"):
+        v = getattr(msg, attr, None)
+        if isinstance(v, np.ndarray) or hasattr(v, "shape"):
+            return f"{name} stamp={stamp} {attr}{tuple(v.shape)}"
+    return f"{name} stamp={stamp}"
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m trajectory_optimization_tpu",
+        description=__doc__.split("\n\n")[0],
+    )
+    p.add_argument("preset", choices=PRESETS)
+    p.add_argument("overrides", nargs="*", metavar="key=value",
+                   help="rosparam-style overrides for the preset's node config")
+    p.add_argument("--processes", action="store_true",
+                   help="run nodes as separate OS processes (reference shape)")
+    p.add_argument("--steps", type=int, default=None, metavar="N",
+                   help="drive the feeders N deterministic cycles")
+    p.add_argument("--spin", type=float, default=None, metavar="SECONDS",
+                   help="run feeders threaded for SECONDS at --rate Hz")
+    p.add_argument("--rate", type=float, default=1.0,
+                   help="feeder/replay rate multiplier (default 1.0)")
+    p.add_argument("--play", metavar="PATH",
+                   help="replay a ROS1 .bag file or npz recording dir into the graph")
+    p.add_argument("--realtime", action="store_true",
+                   help="replay at recorded timing (default: as fast as possible)")
+    p.add_argument("--data-dir", default=None,
+                   help="feeder data directory (presets with feeders)")
+    p.add_argument("--echo", nargs="*", default=(), metavar="TOPIC",
+                   help="print one line per message on these topics")
+    args = p.parse_args(argv)
+    if args.preset == "play_bag" and not args.play:
+        p.error("play_bag requires --play PATH")
+
+    handle, watch = _build(args)
+    counts = {}
+
+    def _count(topic):
+        def cb(msg, _t=topic):
+            counts[_t] = counts.get(_t, 0) + 1
+        return cb
+
+    for t in dict.fromkeys(list(watch) + list(args.echo)):
+        handle.bus.subscribe(t, _count(t))
+    for t in args.echo:
+        handle.bus.subscribe(
+            t, lambda m, _t=t: print(f"[{_t}] {_describe(m)}"))
+
+    try:
+        if args.play:
+            from trajectory_optimization_tpu.bus import launch as L
+
+            n = L.launch_play_bag(args.play, handle,
+                                  realtime=args.realtime, rate=args.rate)
+            print(f"replayed {n} messages from {args.play}")
+        if args.spin is not None:
+            handle.spin(args.spin, rate=args.rate)
+        elif args.steps is not None or (not args.play and handle.feeders):
+            for _ in range(args.steps if args.steps is not None else 1):
+                handle.step()
+    finally:
+        handle.close()
+
+    for t in dict.fromkeys(list(watch) + list(args.echo)):
+        print(f"{t}: {counts.get(t, 0)} msgs")
+    errors = getattr(handle.bus, "errors", [])
+    if errors:
+        print(f"{len(errors)} subscriber errors (first: {errors[0]})",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

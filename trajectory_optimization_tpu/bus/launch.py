@@ -171,7 +171,8 @@ def launch_trajectory_optimization(
 
 
 def launch_pose_optimization(
-    *, data_dir: str = "data/points", processes: bool = False
+    *, data_dir: str = "data/points", processes: bool = False,
+    overrides: Optional[PoseOptNodeConfig] = None,
 ) -> Launch:
     """`launch/pose_optimization.launch`: cloud feeder + pose feeder + voxel
     filter + pose optimizer (opt_steps 200, lr 0.02/0.02,
@@ -191,8 +192,9 @@ def launch_pose_optimization(
     feeder_p = PoseFeederNode(bus, PoseFeederConfig(output_topic="/pose"))
     filt_cfg = VoxelFilterConfig(
         input_topic="/pts_raw", output_topic="/pts", leaf_size=0.15)
-    opt_cfg = PoseOptNodeConfig(pc_topic="/pts", pose_topic="/pose",
-                                opt_steps=200, lr_pose=0.02, lr_quat=0.02)
+    opt_cfg = overrides or PoseOptNodeConfig(
+        pc_topic="/pts", pose_topic="/pose",
+        opt_steps=200, lr_pose=0.02, lr_quat=0.02)
     if processes:
         from trajectory_optimization_tpu.bus.remote import BusBroker, NodeProcess
 
@@ -215,6 +217,7 @@ def launch_pointcloud_processor(
     cam_info_topics=("/viz/camera_0/camera_info",),
     *,
     processes: bool = False,
+    overrides: Optional[PointsProcessorConfig] = None,
 ) -> Launch:
     """`launch/pointcloud_processor.launch`: multi-camera visibility
     processor (frustum cull → HPR → render per camera).
@@ -222,7 +225,8 @@ def launch_pointcloud_processor(
     :func:`launch_pose_optimization`)."""
     enable_compilation_cache()
     bus = Bus()
-    cfg = PointsProcessorConfig(cam_info_topics=tuple(cam_info_topics))
+    cfg = overrides or PointsProcessorConfig(
+        cam_info_topics=tuple(cam_info_topics))
     if processes:
         from trajectory_optimization_tpu.bus.remote import BusBroker, NodeProcess
 
