@@ -317,10 +317,20 @@ def test_cli_entry_point(tmp_path, cloud10, path10, capsys):
     bag = str(tmp_path / "cli.bag")
     write_bag(bag, [("/pc", CloudMsg(hdr, cloud10[::16])),
                     ("/path", PathMsg(hdr, path10, q))])
+    # pipeline_depth=3 with a single pair: the result sits in-flight until
+    # Launch.close() flushes the node — the summary must still count it
     rc = main(["trajectory_optimization", "pc_topic=/pc", "path_topic=/path",
-               "opt_steps=4", "--play", bag])
+               "opt_steps=4", "pipeline_depth=3", "--play", bag])
     out = capsys.readouterr().out
     assert rc == 0 and "/path/optimized: 1 msgs" in out, out
+
+    # topic overrides rewire the pose preset's feeder/filter chain too
+    rc = main(["pose_optimization", "opt_steps=6", "num_pub_samples=2",
+               "pc_topic=/cloud", "pose_topic=/p0", "--steps", "1",
+               "--data-dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    n = int(out.rsplit("/odom:", 1)[1].split()[0])
+    assert rc == 0 and n > 0, out
 
     rc = main(["voxels_filtering", "input_topic=/pc", "output_topic=/vox",
                "leaf_size=0.3", "--play", bag])

@@ -215,6 +215,24 @@ def test_trajopt_node_cross_process(cloud10, path10):
     assert _wait(lambda: not launch.nodes["traj_opt"].alive(), timeout=20)
 
 
+def test_crashed_worker_fails_fast():
+    """A worker that dies before HELLO (bad node class here; bad import /
+    missing __main__ guard in the wild) must surface promptly as
+    RuntimeError via the liveness poll, not burn the full 120 s attach
+    budget."""
+    import time
+
+    from trajectory_optimization_tpu.bus.launch import _attach_process_graph
+
+    with BusBroker() as broker:
+        proc = NodeProcess("NoSuchNodeClass", None, broker.address)
+        bus = Bus()
+        t0 = time.monotonic()
+        with pytest.raises(RuntimeError, match="died before attaching"):
+            _attach_process_graph(bus, broker, [proc], 2)
+        assert time.monotonic() - t0 < 60, "liveness poll did not fire"
+
+
 @pytest.mark.slow
 def test_points_processor_cross_process(cloud10):
     """PointsProcessor in its own OS process: TF (list-decoded TFMessage),

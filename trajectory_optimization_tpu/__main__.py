@@ -40,20 +40,13 @@ def _build(args):
 
     ov = list(args.overrides)
     if args.preset == "trajectory_optimization":
-        cfg = C.apply_overrides(
-            C.TrajOptNodeConfig(
-                pc_topic="/X1/local_map", path_topic="/X1/path",
-                opt_steps=30, smooth_weight=28.0, lr_pose=0.12, lr_quat=0.05,
-                publish_rewards_cloud=True,
-            ), ov)
+        cfg = C.apply_overrides(L.default_trajopt_config(), ov)
         handle = L.launch_trajectory_optimization(
             overrides=cfg, processes=args.processes,
             **({"data_dir": args.data_dir} if args.data_dir else {}))
         watch = [t.format(path_topic=cfg.path_topic) for t in _WATCH[args.preset]]
     elif args.preset == "pose_optimization":
-        cfg = C.apply_overrides(
-            C.PoseOptNodeConfig(pc_topic="/pts", pose_topic="/pose",
-                                opt_steps=200, lr_pose=0.02, lr_quat=0.02), ov)
+        cfg = C.apply_overrides(L.default_poseopt_config(), ov)
         handle = L.launch_pose_optimization(
             overrides=cfg, processes=args.processes,
             **({"data_dir": args.data_dir} if args.data_dir else {}))
@@ -62,8 +55,9 @@ def _build(args):
         cfg = C.apply_overrides(C.PointsProcessorConfig(), ov)
         handle = L.launch_pointcloud_processor(
             overrides=cfg, processes=args.processes)
-        watch = [f"/{t.rsplit('/', 2)[-2]}/pointcloud"
-                 for t in cfg.cam_info_topics]
+        # output topics derive from CameraInfoMsg.header.frame_id, unknown
+        # until messages flow — use --echo with the actual frame topics
+        watch = []
     elif args.preset == "voxels_filtering":
         if args.processes:
             raise SystemExit("voxels_filtering has no --processes variant")
@@ -75,6 +69,8 @@ def _build(args):
     else:  # play_bag: bare bus, replay only
         if ov:
             raise SystemExit("play_bag takes no config overrides")
+        if args.processes:
+            raise SystemExit("play_bag has no --processes variant")
         from trajectory_optimization_tpu.bus.core import Bus
 
         handle = L.Launch(Bus(), {}, [])
@@ -118,6 +114,9 @@ def main(argv=None) -> int:
                    help="feeder data directory (presets with feeders)")
     p.add_argument("--echo", nargs="*", default=(), metavar="TOPIC",
                    help="print one line per message on these topics")
+    p.add_argument("--drain", type=float, default=240.0, metavar="SECONDS",
+                   help="with --processes: max time to wait for worker "
+                        "outputs to quiesce before teardown (default 240)")
     args = p.parse_args(argv)
     if args.preset == "play_bag" and not args.play:
         p.error("play_bag requires --play PATH")
@@ -136,6 +135,7 @@ def main(argv=None) -> int:
         handle.bus.subscribe(
             t, lambda m, _t=t: print(f"[{_t}] {_describe(m)}"))
 
+    rc = 0
     try:
         if args.play:
             from trajectory_optimization_tpu.bus import launch as L
@@ -148,7 +148,12 @@ def main(argv=None) -> int:
         elif args.steps is not None or (not args.play and handle.feeders):
             for _ in range(args.steps if args.steps is not None else 1):
                 handle.step()
+        if args.processes:
+            n_watched = len(dict.fromkeys(list(watch) + list(args.echo)))
+            rc = _drain_processes(handle, counts, n_watched, args.drain)
     finally:
+        # in-process close() flushes pipelined nodes BEFORE the summary;
+        # cross-process outputs were drained above
         handle.close()
 
     for t in dict.fromkeys(list(watch) + list(args.echo)):
@@ -156,6 +161,39 @@ def main(argv=None) -> int:
     errors = getattr(handle.bus, "errors", [])
     if errors:
         print(f"{len(errors)} subscriber errors (first: {errors[0]})",
+              file=sys.stderr)
+        rc = 1
+    return rc
+
+
+def _drain_processes(handle, counts, n_watched: int, max_wait: float) -> int:
+    """Cross-process nodes compute asynchronously (the first result can
+    take tens of seconds of XLA compile): wait for the first watched
+    output, then until counts quiesce (no change for 3 s) or ``max_wait``
+    elapses. Flag workers that died mid-run — their errors stay in the
+    worker's private bus, so death is the parent-visible failure signal."""
+    import time
+
+    def _dead():
+        return [name for name, node in handle.nodes.items()
+                if hasattr(node, "alive") and not node.alive()]
+
+    deadline = time.monotonic() + max_wait
+    if n_watched:
+        while (not sum(counts.values()) and not _dead()
+               and time.monotonic() < deadline):
+            time.sleep(0.5)
+        last = dict(counts)
+        last_change = time.monotonic()
+        while time.monotonic() < min(deadline, last_change + 3.0):
+            time.sleep(0.2)
+            if counts != last:
+                last = dict(counts)
+                last_change = time.monotonic()
+    dead = _dead()
+    if dead:
+        print(f"node process(es) died during the run: {dead} "
+              "(set TRAJOPT_NODE_DEBUG=<path> for a worker-side log)",
               file=sys.stderr)
         return 1
     return 0

@@ -75,10 +75,16 @@ class Launch:
             f.tick()
 
     def close(self) -> None:
-        """Tear down cross-process transport and node processes (no-op for
+        """Flush/close in-process nodes, then tear down cross-process
+        transport and node processes (transport part is a no-op for
         in-process graphs)."""
         from trajectory_optimization_tpu.bus.remote import NodeProcess
 
+        for node in self.nodes.values():
+            # e.g. TrajOptNode.close() publishes any pipelined in-flight
+            # results — must run before the summary a caller prints
+            if not isinstance(node, NodeProcess) and hasattr(node, "close"):
+                node.close()
         if self.bridge is not None:
             self.bridge.close()
         if self.broker is not None:
@@ -119,11 +125,23 @@ def _attach_process_graph(bus, broker, procs, n_clients: int):
     bridge = None
     try:
         bridge = BusBridge(bus, broker.address, name="launch-parent")
-        # 120 s: each worker imports jax + this package before HELLO, which
-        # takes seconds normally but has exceeded 30 s on an oversubscribed
-        # single-core host; a crashed worker still fails promptly below
-        if not broker.wait_for_clients(n_clients, timeout=120.0):
-            raise TimeoutError("node processes did not attach to the broker")
+        # 120 s budget: each worker imports jax + this package before HELLO,
+        # which takes seconds normally but has exceeded 30 s on an
+        # oversubscribed single-core host. Wait in short slices and check
+        # worker liveness so a crashed worker (bad import, missing
+        # __main__ guard in the caller's script) fails promptly instead of
+        # burning the whole budget.
+        deadline = time.monotonic() + 120.0
+        while not broker.wait_for_clients(n_clients, timeout=2.0):
+            dead = [p.name for p in procs if not p.alive()]
+            if dead:
+                raise RuntimeError(
+                    f"node process(es) died before attaching: {dead} "
+                    "(spawn scripts need an `if __name__ == '__main__'` "
+                    "guard; set TRAJOPT_NODE_DEBUG=<path> for a worker log)")
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    "node processes did not attach to the broker")
         return bridge
     except BaseException:
         if bridge is not None:
@@ -132,6 +150,28 @@ def _attach_process_graph(bus, broker, procs, n_clients: int):
             p.terminate()
         broker.close()
         raise
+
+
+def default_trajopt_config() -> TrajOptNodeConfig:
+    """The `trajectory_optimization.launch` parameter set (subt-sim topics,
+    `launch/trajectory_optimization.launch:44-49`) — the single source for
+    both the preset and the CLI."""
+    return TrajOptNodeConfig(
+        pc_topic="/X1/local_map",
+        path_topic="/X1/path",
+        opt_steps=30,
+        smooth_weight=28.0,
+        lr_pose=0.12,
+        lr_quat=0.05,
+        publish_rewards_cloud=True,
+    )
+
+
+def default_poseopt_config() -> PoseOptNodeConfig:
+    """The `pose_optimization.launch` optimizer parameters
+    (`launch/pose_optimization.launch:55-59`)."""
+    return PoseOptNodeConfig(pc_topic="/pts", pose_topic="/pose",
+                             opt_steps=200, lr_pose=0.02, lr_quat=0.02)
 
 
 def launch_trajectory_optimization(
@@ -150,15 +190,7 @@ def launch_trajectory_optimization(
     and subscribe outputs there as usual, and ``close()`` when done."""
     enable_compilation_cache()
     bus = Bus()
-    cfg = overrides or TrajOptNodeConfig(
-        pc_topic="/X1/local_map",
-        path_topic="/X1/path",
-        opt_steps=30,
-        smooth_weight=28.0,
-        lr_pose=0.12,
-        lr_quat=0.05,
-        publish_rewards_cloud=True,
-    )
+    cfg = overrides or default_trajopt_config()
     if processes:
         from trajectory_optimization_tpu.bus.remote import BusBroker, NodeProcess
 
@@ -188,13 +220,16 @@ def launch_pose_optimization(
     """
     enable_compilation_cache()
     bus = Bus()
-    feeder_c = CloudFeederNode(bus, CloudFeederConfig(output_topic="/pts_raw", data_dir=data_dir))
-    feeder_p = PoseFeederNode(bus, PoseFeederConfig(output_topic="/pose"))
+    opt_cfg = overrides or default_poseopt_config()
+    # feeders/filter follow the optimizer's topic overrides so a CLI
+    # `pc_topic=...` rewires the whole chain, not just the subscription
+    feeder_c = CloudFeederNode(bus, CloudFeederConfig(
+        output_topic="/pts_raw", data_dir=data_dir))
+    feeder_p = PoseFeederNode(bus, PoseFeederConfig(
+        output_topic=opt_cfg.pose_topic))
     filt_cfg = VoxelFilterConfig(
-        input_topic="/pts_raw", output_topic="/pts", leaf_size=0.15)
-    opt_cfg = overrides or PoseOptNodeConfig(
-        pc_topic="/pts", pose_topic="/pose",
-        opt_steps=200, lr_pose=0.02, lr_quat=0.02)
+        input_topic="/pts_raw", output_topic=opt_cfg.pc_topic,
+        leaf_size=0.15)
     if processes:
         from trajectory_optimization_tpu.bus.remote import BusBroker, NodeProcess
 
