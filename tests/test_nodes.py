@@ -318,11 +318,19 @@ def test_cli_entry_point(tmp_path, cloud10, path10, capsys):
     write_bag(bag, [("/pc", CloudMsg(hdr, cloud10[::16])),
                     ("/path", PathMsg(hdr, path10, q))])
     # pipeline_depth=3 with a single pair: the result sits in-flight until
-    # Launch.close() flushes the node — the summary must still count it
+    # Launch.close() flushes the node — the summary must still count it.
+    # --record (rosbag-record -a equivalent) captures inputs AND outputs.
+    rec = str(tmp_path / "rec.bag")
     rc = main(["trajectory_optimization", "pc_topic=/pc", "path_topic=/path",
-               "opt_steps=4", "pipeline_depth=3", "--play", bag])
+               "opt_steps=4", "pipeline_depth=3", "--play", bag,
+               "--record", rec])
     out = capsys.readouterr().out
     assert rc == 0 and "/path/optimized: 1 msgs" in out, out
+    assert "recorded" in out, out
+    from trajectory_optimization_tpu.bus.rosbag import read_bag
+
+    topics = {t for _, t, _ in read_bag(rec)}
+    assert "/path/optimized" in topics and "/pc" in topics, topics
 
     # topic overrides rewire the pose preset's feeder/filter chain too
     rc = main(["pose_optimization", "opt_steps=6", "num_pub_samples=2",

@@ -117,6 +117,11 @@ def main(argv=None) -> int:
     p.add_argument("--drain", type=float, default=240.0, metavar="SECONDS",
                    help="with --processes: max time to wait for worker "
                         "outputs to quiesce before teardown (default 240)")
+    p.add_argument("--record", metavar="PATH",
+                   help="record bus traffic to a .bag (rosbag-record "
+                        "equivalent; all topics unless --record-topics)")
+    p.add_argument("--record-topics", nargs="*", default=None,
+                   metavar="TOPIC", help="restrict --record to these topics")
     args = p.parse_args(argv)
     if args.preset == "play_bag" and not args.play:
         p.error("play_bag requires --play PATH")
@@ -135,6 +140,11 @@ def main(argv=None) -> int:
         handle.bus.subscribe(
             t, lambda m, _t=t: print(f"[{_t}] {_describe(m)}"))
 
+    recorder = None
+    if args.record:
+        recorder = _start_recorder(handle.bus, args.record,
+                                   args.record_topics)
+
     rc = 0
     try:
         if args.play:
@@ -152,9 +162,13 @@ def main(argv=None) -> int:
             n_watched = len(dict.fromkeys(list(watch) + list(args.echo)))
             rc = _drain_processes(handle, counts, n_watched, args.drain)
     finally:
-        # in-process close() flushes pipelined nodes BEFORE the summary;
-        # cross-process outputs were drained above
+        # in-process close() flushes pipelined nodes BEFORE the summary
+        # and the recorder close; cross-process outputs were drained above
         handle.close()
+        if recorder is not None:
+            n, skipped = recorder()
+            print(f"recorded {n} messages to {args.record}"
+                  + (f" ({skipped} unserializable skipped)" if skipped else ""))
 
     for t in dict.fromkeys(list(watch) + list(args.echo)):
         print(f"{t}: {counts.get(t, 0)} msgs")
@@ -164,6 +178,44 @@ def main(argv=None) -> int:
               file=sys.stderr)
         rc = 1
     return rc
+
+
+def _start_recorder(bus, path: str, topics):
+    """Start recording; returns a closer -> (n_recorded, n_skipped).
+
+    With explicit topics: BagRecorder. Without: a bus tap records EVERY
+    topic (`rosbag record -a`); messages the bag codec cannot serialize
+    are counted and skipped rather than killing the publisher."""
+    from trajectory_optimization_tpu.bus.rosbag import BagRecorder, BagWriter
+
+    if topics:
+        rec = BagRecorder(bus, topics, path)
+
+        def close():
+            n = rec.count
+            rec.close()
+            return n, 0
+
+        return close
+
+    writer = BagWriter(path)
+    skipped = [0]
+
+    def tap(topic, msg):
+        try:
+            writer.add(topic, msg)
+        except Exception:
+            skipped[0] += 1
+
+    bus.add_tap(tap)
+
+    def close():
+        bus.remove_tap(tap)
+        n = writer.count
+        writer.close()
+        return n, skipped[0]
+
+    return close
 
 
 def _drain_processes(handle, counts, n_watched: int, max_wait: float) -> int:

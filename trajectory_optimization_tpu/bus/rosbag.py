@@ -973,6 +973,10 @@ class BagRecorder:
 
         return cb
 
+    @property
+    def count(self) -> int:
+        return self._writer.count
+
     def close(self) -> str:
         for s in self._subs:
             s.unsubscribe()
