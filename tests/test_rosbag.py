@@ -197,6 +197,7 @@ def test_bag_recorder_incremental_chunks(tmp_path):
         for i in range(12):  # ~3.5 MB of clouds → several 1 MB chunks
             bus.publish("/pts", CloudMsg(Header(stamp=float(i), frame_id="m"),
                                          rng.normal(size=(25000, 3)).astype(np.float32)))
+        rec.flush()  # writer thread: drain the queue before inspecting
         assert rec._writer._chunk_infos  # chunks flushed before close
     got = list(read_bag(path))
     assert len(got) == 12
@@ -237,6 +238,26 @@ def test_bag_recorder(tmp_path):
     got = list(read_bag(path))
     assert len(got) == 1 and got[0][1] == "/pts"
     assert got[0][2].points.shape == (7, 3)
+
+
+def test_bag_recorder_all_topics(tmp_path):
+    """topics=None = `rosbag record -a`: every topic lands via the bus tap
+    (internal /__ topics excluded), unserializable messages are counted in
+    `skipped` instead of raising into the publisher, and the recorded bag
+    replays back in publish order."""
+    bus = Bus(error_policy="raise")
+    path = str(tmp_path / "all.bag")
+    with BagRecorder(bus, None, path) as rec:
+        bus.publish("/pts", CloudMsg(Header(stamp=1.0, frame_id="m"),
+                                     np.ones((5, 3), np.float32)))
+        bus.publish("/pose", PoseMsg(Header(stamp=1.1), [1, 2, 3],
+                                     [0, 0, 0, 1]))
+        bus.publish("/__errors__", {"not": "a bag message"})  # internal
+        bus.publish("/weird", object())  # no bag encoding -> skipped
+        rec.flush()
+        assert rec.count == 2 and rec.skipped == 1
+    got = list(read_bag(path))
+    assert [t for _, t, _ in got] == ["/pts", "/pose"]
 
 
 def test_bag_skips_unknown_connection_types(tmp_path):

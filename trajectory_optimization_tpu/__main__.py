@@ -125,6 +125,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.preset == "play_bag" and not args.play:
         p.error("play_bag requires --play PATH")
+    if args.record_topics is not None and not args.record:
+        p.error("--record-topics requires --record")
+    if args.record_topics is not None and not args.record_topics:
+        p.error("--record-topics needs at least one topic "
+                "(omit it to record every topic)")
 
     handle, watch = _build(args)
     counts = {}
@@ -141,12 +146,17 @@ def main(argv=None) -> int:
             t, lambda m, _t=t: print(f"[{_t}] {_describe(m)}"))
 
     recorder = None
-    if args.record:
-        recorder = _start_recorder(handle.bus, args.record,
-                                   args.record_topics)
-
     rc = 0
+    record_failed = False
     try:
+        if args.record:
+            from trajectory_optimization_tpu.bus.rosbag import BagRecorder
+
+            try:
+                recorder = BagRecorder(handle.bus, args.record_topics,
+                                       args.record)
+            except OSError as e:
+                raise SystemExit(f"cannot record to {args.record}: {e}")
         if args.play:
             from trajectory_optimization_tpu.bus import launch as L
 
@@ -162,13 +172,25 @@ def main(argv=None) -> int:
             n_watched = len(dict.fromkeys(list(watch) + list(args.echo)))
             rc = _drain_processes(handle, counts, n_watched, args.drain)
     finally:
-        # in-process close() flushes pipelined nodes BEFORE the summary
-        # and the recorder close; cross-process outputs were drained above
-        handle.close()
-        if recorder is not None:
-            n, skipped = recorder()
-            print(f"recorded {n} messages to {args.record}"
-                  + (f" ({skipped} unserializable skipped)" if skipped else ""))
+        try:
+            # in-process close() flushes pipelined nodes BEFORE the summary
+            # and the recorder close; cross-process outputs drained above
+            handle.close()
+        finally:
+            if recorder is not None:
+                try:
+                    recorder.close()
+                    print(f"recorded {recorder.count} messages to "
+                          f"{args.record}"
+                          + (f" ({recorder.skipped} unserializable skipped)"
+                             if recorder.skipped else ""))
+                except OSError as e:
+                    print(f"recording FAILED after {recorder.count} "
+                          f"messages: {e}", file=sys.stderr)
+                    record_failed = True
+
+    if record_failed:
+        rc = 1
 
     for t in dict.fromkeys(list(watch) + list(args.echo)):
         print(f"{t}: {counts.get(t, 0)} msgs")
@@ -178,44 +200,6 @@ def main(argv=None) -> int:
               file=sys.stderr)
         rc = 1
     return rc
-
-
-def _start_recorder(bus, path: str, topics):
-    """Start recording; returns a closer -> (n_recorded, n_skipped).
-
-    With explicit topics: BagRecorder. Without: a bus tap records EVERY
-    topic (`rosbag record -a`); messages the bag codec cannot serialize
-    are counted and skipped rather than killing the publisher."""
-    from trajectory_optimization_tpu.bus.rosbag import BagRecorder, BagWriter
-
-    if topics:
-        rec = BagRecorder(bus, topics, path)
-
-        def close():
-            n = rec.count
-            rec.close()
-            return n, 0
-
-        return close
-
-    writer = BagWriter(path)
-    skipped = [0]
-
-    def tap(topic, msg):
-        try:
-            writer.add(topic, msg)
-        except Exception:
-            skipped[0] += 1
-
-    bus.add_tap(tap)
-
-    def close():
-        bus.remove_tap(tap)
-        n = writer.count
-        writer.close()
-        return n, skipped[0]
-
-    return close
 
 
 def _drain_processes(handle, counts, n_watched: int, max_wait: float) -> int:

@@ -957,30 +957,105 @@ def write_bag(
 
 
 class BagRecorder:
-    """Record selected bus topics straight into a .bag file — incrementally:
-    every message flushes through BagWriter's ~1 MB chunks, so a crash keeps
+    """Record bus topics straight into a .bag file — incrementally: every
+    message flushes through BagWriter's ~1 MB chunks, so a crash keeps
     everything up to the last flushed chunk and memory stays bounded for
-    session-length recordings."""
+    session-length recordings.
 
-    def __init__(self, bus: Bus, topics: Sequence[str], path: str):
+    ``topics=None`` records EVERY topic (``rosbag record -a`` semantics)
+    via a bus tap, excluding internal ``/__*`` topics (same guard as the
+    cross-process bridge). Messages the bag codec cannot serialize are
+    counted in :attr:`skipped` instead of raising into the publisher.
+
+    Encoding runs on a dedicated writer thread behind a bounded queue:
+    heavy messages (device-array images pay a host fetch + JPEG re-encode
+    at write time) would otherwise stall every publisher inline — the
+    same reason BagPlayer prefetch-decodes on a thread. Publishers only
+    block when the queue backs up (lossless backpressure, like
+    ``rosbag record``'s buffer). An I/O failure (e.g. disk full) stops
+    the recording and re-raises from :meth:`close`.
+    """
+
+    def __init__(self, bus: Bus, topics: Optional[Sequence[str]], path: str,
+                 *, queue_len: int = 256):
+        import queue
+
         self.path = path
         self._writer = BagWriter(path)
-        self._subs = [bus.subscribe(t, self._make_cb(t), latch=False) for t in topics]
+        self._skipped = 0
+        self._io_error: Optional[OSError] = None
+        self._q: "queue.Queue" = queue.Queue(maxsize=queue_len)
+        self._thread = threading.Thread(
+            target=self._drain, daemon=True, name="bag-recorder")
+        self._thread.start()
+        self._bus = bus
+        self._tap = None
+        self._subs = []
+        if topics is None:
+            def tap(topic, msg):
+                if not topic.startswith("/__"):
+                    self._enqueue(topic, msg)
+
+            self._tap = bus.add_tap(tap)
+        else:
+            self._subs = [bus.subscribe(t, self._make_cb(t), latch=False)
+                          for t in topics]
 
     def _make_cb(self, topic):
         def cb(msg):
-            self._writer.add(topic, msg)
+            self._enqueue(topic, msg)
 
         return cb
+
+    def _enqueue(self, topic, msg):
+        if self._io_error is None:
+            self._q.put((topic, msg))
+
+    def _drain(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                if self._io_error is not None:
+                    continue  # broken recording: swallow the backlog
+                topic, msg = item
+                try:
+                    self._writer.add(topic, msg)
+                except OSError as e:
+                    self._io_error = e
+                except Exception:
+                    self._skipped += 1  # no bag encoding for this type
+            finally:
+                self._q.task_done()
 
     @property
     def count(self) -> int:
         return self._writer.count
 
+    @property
+    def skipped(self) -> int:
+        return self._skipped
+
+    def flush(self) -> None:
+        """Block until every enqueued message has been written (or
+        skipped) — counts/chunk state are only current after this."""
+        self._q.join()
+
     def close(self) -> str:
+        if self._tap is not None:
+            self._bus.remove_tap(self._tap)
+            self._tap = None
         for s in self._subs:
             s.unsubscribe()
-        return self._writer.close()
+        self._subs = []
+        if self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join()
+        path = self._writer.close()
+        if self._io_error is not None:
+            raise self._io_error
+        return path
 
     def __enter__(self):
         return self
