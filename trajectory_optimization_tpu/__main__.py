@@ -185,8 +185,9 @@ def main(argv=None) -> int:
                           + (f" ({recorder.skipped} unserializable skipped)"
                              if recorder.skipped else ""))
                 except OSError as e:
-                    print(f"recording FAILED after {recorder.count} "
-                          f"messages: {e}", file=sys.stderr)
+                    print(f"recording FAILED: {e} — {recorder.count} "
+                          "messages were encoded but the unflushed tail "
+                          "(up to one ~1 MB chunk) is lost", file=sys.stderr)
                     record_failed = True
 
     if record_failed:

@@ -42,6 +42,10 @@ class Bus:
     message (SURVEY.md §5 "failure detection"). Use ``error_policy='raise'``
     in tests to surface bugs immediately."""
 
+    # topics under this prefix are bus-internal (error events etc.) and are
+    # excluded from cross-process export (bus.remote) and -a bag recording
+    # (bus.rosbag.BagRecorder) — the one constant both guards share
+    INTERNAL_TOPIC_PREFIX = "/__"
     ERROR_TOPIC = "/__errors__"
 
     def __init__(self, error_policy: str = "isolate", history: int = 0):

@@ -357,7 +357,7 @@ class BusBridge:
         # message's callback, on this same reader thread) MUST still export
         if getattr(self._injecting, "current", None) == (topic, id(msg)):
             return
-        if topic.startswith("/__"):
+        if topic.startswith(Bus.INTERNAL_TOPIC_PREFIX):
             return
         if self._export is not None and topic not in self._export:
             return

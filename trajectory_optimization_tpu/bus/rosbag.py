@@ -30,6 +30,7 @@ from __future__ import annotations
 import bz2
 import dataclasses
 import os
+import queue as _queue
 import struct
 import threading
 import time as _time
@@ -911,27 +912,31 @@ class BagWriter:
     def _close_locked(self) -> str:
         if self._f.closed:
             return self.path
-        self._flush_chunk()
-        index_pos = self._f.tell()
-        for conn_id, topic, ros_type in self._conn_meta:
-            self._f.write(self._conn_record_bytes(conn_id, topic, ros_type))
-        for pos, t0, t1, counts in self._chunk_infos:
-            info_data = b"".join(struct.pack("<II", c, n) for c, n in counts.items())
-            _write_record(
-                self._f,
-                {
-                    "op": bytes([_OP_CHUNK_INFO]),
-                    "ver": struct.pack("<I", 1),
-                    "chunk_pos": struct.pack("<Q", pos),
-                    "start_time": _time_bytes(t0),
-                    "end_time": _time_bytes(t1),
-                    "count": struct.pack("<I", len(counts)),
-                },
-                info_data,
-            )
-        self._f.seek(self._bag_hdr_pos)
-        self._write_bag_header(index_pos, len(self._conn_meta), len(self._chunk_infos))
-        self._f.close()
+        try:
+            self._flush_chunk()
+            index_pos = self._f.tell()
+            for conn_id, topic, ros_type in self._conn_meta:
+                self._f.write(self._conn_record_bytes(conn_id, topic, ros_type))
+            for pos, t0, t1, counts in self._chunk_infos:
+                info_data = b"".join(struct.pack("<II", c, n) for c, n in counts.items())
+                _write_record(
+                    self._f,
+                    {
+                        "op": bytes([_OP_CHUNK_INFO]),
+                        "ver": struct.pack("<I", 1),
+                        "chunk_pos": struct.pack("<Q", pos),
+                        "start_time": _time_bytes(t0),
+                        "end_time": _time_bytes(t1),
+                        "count": struct.pack("<I", len(counts)),
+                    },
+                    info_data,
+                )
+            self._f.seek(self._bag_hdr_pos)
+            self._write_bag_header(index_pos, len(self._conn_meta), len(self._chunk_infos))
+        finally:
+            # even when the index write fails (disk full), release the fd —
+            # the bag stays readable up to the last flushed chunk
+            self._f.close()
         return self.path
 
     def __enter__(self):
@@ -978,13 +983,12 @@ class BagRecorder:
 
     def __init__(self, bus: Bus, topics: Optional[Sequence[str]], path: str,
                  *, queue_len: int = 256):
-        import queue
-
         self.path = path
         self._writer = BagWriter(path)
         self._skipped = 0
         self._io_error: Optional[OSError] = None
-        self._q: "queue.Queue" = queue.Queue(maxsize=queue_len)
+        self._closed = False
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=queue_len)
         self._thread = threading.Thread(
             target=self._drain, daemon=True, name="bag-recorder")
         self._thread.start()
@@ -993,7 +997,7 @@ class BagRecorder:
         self._subs = []
         if topics is None:
             def tap(topic, msg):
-                if not topic.startswith("/__"):
+                if not topic.startswith(Bus.INTERNAL_TOPIC_PREFIX):
                     self._enqueue(topic, msg)
 
             self._tap = bus.add_tap(tap)
@@ -1008,7 +1012,10 @@ class BagRecorder:
         return cb
 
     def _enqueue(self, topic, msg):
-        if self._io_error is None:
+        # publishers mid-flight when close() runs may still call in here
+        # (Bus.publish invokes taps outside its lock); the _closed gate plus
+        # close()'s post-join drain keep that window from wedging flush()
+        if not self._closed and self._io_error is None:
             self._q.put((topic, msg))
 
     def _drain(self):
@@ -1038,11 +1045,14 @@ class BagRecorder:
         return self._skipped
 
     def flush(self) -> None:
-        """Block until every enqueued message has been written (or
-        skipped) — counts/chunk state are only current after this."""
+        """Block until the enqueued backlog is consumed — counts/chunk
+        state are only current after this. Note after an I/O failure the
+        backlog is discarded (neither written nor counted as skipped);
+        :meth:`close` raises the failure."""
         self._q.join()
 
     def close(self) -> str:
+        self._closed = True
         if self._tap is not None:
             self._bus.remove_tap(self._tap)
             self._tap = None
@@ -1052,7 +1062,22 @@ class BagRecorder:
         if self._thread.is_alive():
             self._q.put(None)
             self._thread.join()
-        path = self._writer.close()
+        # drain stragglers a mid-flight publisher raced past _closed, so a
+        # later flush() can never wedge on an unconsumed item
+        while True:
+            try:
+                self._q.get_nowait()
+                self._q.task_done()
+            except _queue.Empty:
+                break
+        try:
+            path = self._writer.close()
+        except OSError as e:
+            if self._io_error is not None:
+                # the root cause is the mid-run failure, not the follow-on
+                # index-write error on the same broken volume
+                raise self._io_error from e
+            raise
         if self._io_error is not None:
             raise self._io_error
         return path
