@@ -310,3 +310,118 @@ def test_bag_moving_robot_tf_replay(tmp_path):
     # at cloud stamp 2.5 the robot sat between x=4 (t=2) and x=6 (t=3)
     t_, _ = fg.lookup("map", "base", time=2.5)
     np.testing.assert_allclose(t_, [5.0, 0.0, 0.0], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# bag introspection — rosbag info equivalent (reference launch/rosbag_info.txt)
+# ---------------------------------------------------------------------------
+
+
+def test_bag_info_summary(tmp_path):
+    """bag_info scans headers + index records only and reproduces the
+    rosbag-info view: counts, span, types, per-topic rows, compression."""
+    from trajectory_optimization_tpu.bus.rosbag import bag_info
+
+    msgs = []
+    for i in range(20):  # /pts at 10 Hz, /pose at 5 Hz
+        msgs.append(("/pts", CloudMsg(Header(stamp=1000.0 + 0.1 * i, frame_id="map"),
+                                      np.ones((50, 3), np.float32))))
+        if i % 2 == 0:
+            msgs.append(("/pose", PoseMsg(Header(stamp=1000.0 + 0.2 * (i // 2),
+                                                 frame_id="map"),
+                                          [0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0])))
+    path = str(tmp_path / "info.bag")
+    write_bag(path, msgs, compression="bz2")
+
+    info = bag_info(path)
+    assert info.version == "2.0"
+    assert info.messages == len(msgs) == 30
+    assert info.start == pytest.approx(1000.0)
+    assert info.end == pytest.approx(1001.9)
+    assert info.duration == pytest.approx(1.9)
+    assert info.chunk_count >= 1
+    assert info.compression == {"bz2": info.chunk_count}
+    assert 0 < info.compressed < info.uncompressed
+    assert info.types["sensor_msgs/PointCloud2"]  # md5 present
+    assert info.types["geometry_msgs/PoseStamped"]
+    by_topic = {t.topic: t for t in info.topics}
+    assert by_topic["/pts"].count == 20
+    assert by_topic["/pts"].ros_type == "sensor_msgs/PointCloud2"
+    assert by_topic["/pts"].frequency == pytest.approx(10.0, rel=1e-6)
+    assert by_topic["/pose"].count == 10
+    assert by_topic["/pose"].frequency == pytest.approx(5.0, rel=1e-6)
+
+    import re
+
+    text = info.format()
+    assert "version:" in text and "2.0" in text
+    assert re.search(r"messages:\s+30\b", text)
+    assert "/pts" in text and "sensor_msgs/PointCloud2" in text
+    assert "compression:" in text and "bz2" in text
+    assert "duration:" in text and "start:" in text and "end:" in text
+
+
+def test_bag_info_never_decompresses(tmp_path, monkeypatch):
+    """The scan must seek past chunk payloads — a 15 GB bag summarizes in
+    seconds only if bz2/lz4 decompression never runs."""
+    import bz2 as _bz2
+
+    from trajectory_optimization_tpu.bus.rosbag import bag_info
+
+    path = str(tmp_path / "sealed.bag")
+    write_bag(path, _sample_messages(), compression="bz2")
+
+    def _boom(*a, **k):  # pragma: no cover - the assertion IS the test
+        raise AssertionError("bag_info decompressed a chunk")
+
+    monkeypatch.setattr(_bz2, "decompress", _boom)
+    info = bag_info(path)
+    assert info.messages == len(_sample_messages())
+
+
+def test_bag_info_crash_tail(tmp_path):
+    """A recording cut off before the trailing index section (worker crash)
+    still reports counts/times from the per-chunk index records; topic
+    names (trailing connection records) are the only loss."""
+    from trajectory_optimization_tpu.bus.rosbag import BagWriter, bag_info
+
+    path = str(tmp_path / "crash.bag")
+    w = BagWriter(path)
+    big = CloudMsg(Header(stamp=5.0, frame_id="map"),
+                   np.ones((60000, 3), np.float32))  # ~720 KB/msg
+    for i in range(3):  # crosses the ~1 MB chunk target -> >=1 flushed chunk
+        w.add("/pts", CloudMsg(Header(stamp=5.0 + i, frame_id="map"), big.points))
+    flushed_chunks = len(w._chunk_infos)
+    flushed_msgs = sum(sum(c.values()) for _, _, _, c in w._chunk_infos)
+    assert flushed_chunks >= 1
+    w._f.close()  # simulate a crash: no trailing connection/index section
+
+    info = bag_info(path)
+    assert info.chunk_count == flushed_chunks
+    assert info.messages == flushed_msgs
+    assert info.start == pytest.approx(5.0)
+    assert info.topics == []  # names were only in the (missing) trailer
+    assert "messages:" in info.format()
+
+
+def test_bag_info_bad_magic(tmp_path):
+    from trajectory_optimization_tpu.bus.rosbag import bag_info
+
+    path = tmp_path / "not_a_bag.bag"
+    path.write_bytes(b"PK\x03\x04 definitely a zip")
+    with pytest.raises(ValueError, match="bad magic"):
+        bag_info(str(path))
+
+
+def test_cli_info(tmp_path, capsys):
+    """`python -m trajectory_optimization_tpu info PATH` prints the summary."""
+    from trajectory_optimization_tpu.__main__ import main
+
+    path = str(tmp_path / "cli.bag")
+    write_bag(path, _sample_messages())
+    assert main(["info", path]) == 0
+    out = capsys.readouterr().out
+    assert "messages:" in out and "/pts" in out and "types:" in out
+
+    assert main(["info", str(tmp_path / "missing.bag")]) == 1
+    assert "info:" in capsys.readouterr().err

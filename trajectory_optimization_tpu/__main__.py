@@ -6,11 +6,15 @@ overrides reproducing the rosparam knob set).
     python -m trajectory_optimization_tpu trajectory_optimization \
         pc_topic=/pts path_topic=/path --play session.bag --echo /path/optimized
     python -m trajectory_optimization_tpu play_bag --play session.bag --echo /tf
+    python -m trajectory_optimization_tpu info session.bag
 
-Overrides are rosparam-style ``key=value`` strings applied to the preset's
-node config (`utils.config.apply_overrides` — unknown keys error). Presets
-mirror the reference launch files; `--processes` reproduces its
-node-per-OS-process runtime shape.
+`info PATH` prints a rosbag-info-style summary of a .bag (the reference
+documents its dataset with exactly that output, `launch/rosbag_info.txt`);
+it scans record headers + index records only, so a 15 GB session summarizes
+in seconds. Overrides are rosparam-style ``key=value`` strings applied to
+the preset's node config (`utils.config.apply_overrides` — unknown keys
+error). Presets mirror the reference launch files; `--processes` reproduces
+its node-per-OS-process runtime shape.
 """
 from __future__ import annotations
 
@@ -90,12 +94,34 @@ def _describe(msg) -> str:
     return f"{name} stamp={stamp}"
 
 
+def _info(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m trajectory_optimization_tpu info",
+        description="Print a rosbag-info-style summary of a .bag file.",
+    )
+    p.add_argument("path", help=".bag file to summarize")
+    args = p.parse_args(argv)
+    from trajectory_optimization_tpu.bus.rosbag import bag_info
+
+    try:
+        print(bag_info(args.path).format())
+    except (OSError, ValueError) as e:
+        print(f"info: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "info":
+        return _info(argv[1:])
     p = argparse.ArgumentParser(
         prog="python -m trajectory_optimization_tpu",
         description=__doc__.split("\n\n")[0],
     )
-    p.add_argument("preset", choices=PRESETS)
+    p.add_argument("preset", choices=PRESETS + ("info",),
+                   help="launch preset, or `info PATH` to summarize a bag")
     p.add_argument("overrides", nargs="*", metavar="key=value",
                    help="rosparam-style overrides for the preset's node config")
     p.add_argument("--processes", action="store_true",

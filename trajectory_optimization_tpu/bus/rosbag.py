@@ -744,6 +744,208 @@ def read_bag(
 
 
 # ---------------------------------------------------------------------------
+# bag introspection (rosbag info equivalent)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BagTopicInfo:
+    topic: str
+    ros_type: str
+    count: int
+    connections: int
+    frequency: Optional[float]  # None when <2 stamps or zero median period
+
+
+@dataclasses.dataclass
+class BagInfo:
+    """Summary of a format-2.0 bag, gathered WITHOUT decompressing chunks:
+    one forward pass over record headers, seeking past chunk payloads and
+    reading only connection + index records (a 15 GB session scans in
+    seconds). The reference ships exactly this view of its dataset
+    (`launch/rosbag_info.txt`); :meth:`format` reproduces that layout."""
+
+    path: str
+    version: str
+    size: int  # file size, bytes
+    messages: int
+    start: Optional[float]
+    end: Optional[float]
+    chunk_count: int
+    compression: Dict[str, int]  # compression name -> chunk count
+    uncompressed: int  # Σ chunk 'size' headers (payload bytes before comp)
+    compressed: int  # Σ chunk payload bytes on disk
+    topics: List[BagTopicInfo]
+    types: Dict[str, str]  # ros type -> md5sum
+
+    @property
+    def duration(self) -> float:
+        if self.start is None or self.end is None:
+            return 0.0
+        return self.end - self.start
+
+    def format(self) -> str:
+        """rosbag-info-style text (`/root/reference/launch/rosbag_info.txt`
+        is the layout oracle)."""
+        rows = [("path:", self.path), ("version:", self.version)]
+        dur = self.duration
+        if self.start is not None:
+            m, s = divmod(dur, 60.0)
+            dtxt = (f"{int(dur // 3600)}hr {int(m % 60)}:{s:04.1f}s"
+                    if dur >= 3600 else f"{int(m)}:{s:04.1f}s")
+            rows.append(("duration:", f"{dtxt} ({dur:.1f}s)"))
+            for name, t in (("start:", self.start), ("end:", self.end)):
+                lt = _time.localtime(t)
+                frac = f"{t % 1.0:.2f}"[1:]
+                rows.append((name, _time.strftime("%b %d %Y %H:%M:%S", lt)
+                             + f"{frac} ({t:.2f})"))
+        rows.append(("size:", _human_size(self.size)))
+        rows.append(("messages:", str(self.messages)))
+        if self.chunk_count:
+            main = max(self.compression, key=lambda c: self.compression[c])
+            n_main = self.compression[main]
+            ctxt = f"{main} [{n_main}/{self.chunk_count} chunks"
+            if main != "none" and self.uncompressed:
+                ctxt += f"; {100.0 * self.compressed / self.uncompressed:.2f}%"
+            rows.append(("compression:", ctxt + "]"))
+            if any(c != "none" for c in self.compression) and dur > 0:
+                ratio = (100.0 * self.compressed / self.uncompressed
+                         if self.uncompressed else 0.0)
+                rows.append(("uncompressed:", f"{_human_size(self.uncompressed)} "
+                             f"@ {_human_size(self.uncompressed / dur)}/s"))
+                rows.append(("compressed:", f"{_human_size(self.compressed)} "
+                             f"@ {_human_size(self.compressed / dur)}/s ({ratio:.2f}%)"))
+        if self.types:
+            w = max(len(t) for t in self.types)
+            vals = [f"{t:<{w}} [{md5}]" for t, md5 in sorted(self.types.items())]
+            rows.extend((("types:" if i == 0 else ""), v)
+                        for i, v in enumerate(vals))
+        if self.topics:
+            wt = max(len(t.topic) for t in self.topics)
+            wc = max(len(str(t.count)) for t in self.topics)
+            vals = []
+            for t in sorted(self.topics, key=lambda t: t.topic):
+                hz = (f" @ {t.frequency:5.1f} Hz" if t.frequency is not None
+                      else " " * 12)
+                vals.append(f"{t.topic:<{wt}} {t.count:>{wc}} msgs{hz} : "
+                            f"{t.ros_type}")
+            rows.extend((("topics:" if i == 0 else ""), v)
+                        for i, v in enumerate(vals))
+        w = max(len(r[0]) for r in rows) + 1
+        return "\n".join(f"{k:<{w}} {v}".rstrip() for k, v in rows)
+
+
+def _human_size(n: float) -> str:
+    for unit in ("B", "KB", "MB", "GB", "TB"):
+        if abs(n) < 1024.0 or unit == "TB":
+            return f"{n:.1f} {unit}" if unit != "B" else f"{n:.0f} B"
+        n /= 1024.0
+    return f"{n:.1f} TB"  # pragma: no cover
+
+
+def bag_info(path: str) -> BagInfo:
+    """Scan a bag's record structure (headers + index records only; chunk
+    payloads are seeked past, never decompressed) into a :class:`BagInfo`.
+
+    Message counts/stamps come from the per-chunk index records that
+    ``rosbag record`` and :class:`BagWriter` both emit right after each
+    chunk, so a recording cut off by a crash (no trailing index section)
+    still reports counts/times/size up to its last flushed chunk — where
+    ``rosbag info`` demands a reindex. Topic NAMES live in the trailing
+    connection records (and inside chunk payloads, which this scan never
+    opens), so a crash tail reports its per-connection totals under the
+    whole-bag ``messages:`` line without named topic rows. Unchunked bags
+    (top-level message records) are counted directly."""
+    size = os.path.getsize(path)
+    conns: Dict[int, Tuple[str, str, str]] = {}  # id -> topic, type, md5
+    stamps: Dict[int, List[float]] = {}
+    counts: Dict[int, int] = {}
+    comp: Dict[str, int] = {}
+    uncompressed = compressed = chunk_count = 0
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"{path!r} is not a ROS1 v2.0 bag (bad magic)")
+        while True:
+            b = f.read(4)
+            if len(b) < 4:
+                break
+            (hlen,) = struct.unpack("<I", b)
+            hbuf = f.read(hlen)
+            lbuf = f.read(4)
+            if len(hbuf) < hlen or len(lbuf) < 4:
+                break  # truncated mid-record (crash tail): keep what we have
+            hdr = _parse_header(hbuf)
+            (dlen,) = struct.unpack("<I", lbuf)
+            op = hdr["op"][0]
+            if op == _OP_CHUNK:
+                chunk_count += 1
+                name = hdr.get("compression", b"none").decode()
+                comp[name] = comp.get(name, 0) + 1
+                uncompressed += struct.unpack("<I", hdr["size"])[0]
+                compressed += dlen
+                f.seek(dlen, os.SEEK_CUR)
+            elif op == _OP_CONNECTION:
+                data = f.read(dlen)
+                if len(data) < dlen:
+                    break
+                conn_hdr = _parse_header(data)
+                conns[struct.unpack("<I", hdr["conn"])[0]] = (
+                    hdr["topic"].decode(),
+                    conn_hdr.get("type", b"").decode(),
+                    conn_hdr.get("md5sum", b"*").decode(),
+                )
+            elif op == _OP_INDEX:
+                data = f.read(dlen)
+                if len(data) < dlen:
+                    break
+                conn_id = struct.unpack("<I", hdr["conn"])[0]
+                n = struct.unpack("<I", hdr["count"])[0]
+                ts = stamps.setdefault(conn_id, [])
+                for i in range(min(n, len(data) // 12)):
+                    ts.append(_time_from(data[12 * i : 12 * i + 8]))
+                counts[conn_id] = counts.get(conn_id, 0) + n
+            elif op == _OP_MSG:  # unchunked bag
+                conn_id = struct.unpack("<I", hdr["conn"])[0]
+                counts[conn_id] = counts.get(conn_id, 0) + 1
+                stamps.setdefault(conn_id, []).append(_time_from(hdr["time"]))
+                f.seek(dlen, os.SEEK_CUR)
+            else:  # bag header / chunk info: everything they hold is re-derived
+                f.seek(dlen, os.SEEK_CUR)
+
+    by_topic: Dict[str, List[int]] = {}
+    for conn_id, (topic, _, _) in conns.items():
+        by_topic.setdefault(topic, []).append(conn_id)
+    topics = []
+    for topic, ids in by_topic.items():
+        total = sum(counts.get(i, 0) for i in ids)
+        if total == 0:
+            continue  # connection advertised, no messages indexed
+        ts = sorted(t for i in ids for t in stamps.get(i, ()))
+        freq = None
+        if len(ts) > 1:
+            periods = np.diff(np.asarray(ts))
+            med = float(np.median(periods))
+            if med > 0.0:  # rosbag omits Hz at zero median period (e.g. /tf)
+                freq = 1.0 / med
+        topics.append(BagTopicInfo(topic, conns[ids[0]][1], total, len(ids), freq))
+    all_ts = [t for ts in stamps.values() for t in ts]
+    return BagInfo(
+        path=path,
+        version="2.0",
+        size=size,
+        messages=sum(counts.values()),
+        start=min(all_ts) if all_ts else None,
+        end=max(all_ts) if all_ts else None,
+        chunk_count=chunk_count,
+        compression=comp,
+        uncompressed=uncompressed,
+        compressed=compressed,
+        topics=topics,
+        types={t: md5 for _, t, md5 in conns.values()},
+    )
+
+
+# ---------------------------------------------------------------------------
 # bag writing
 # ---------------------------------------------------------------------------
 
