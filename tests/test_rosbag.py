@@ -425,3 +425,120 @@ def test_cli_info(tmp_path, capsys):
 
     assert main(["info", str(tmp_path / "missing.bag")]) == 1
     assert "info:" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# bag filtering — rosbag filter / compress / decompress equivalent
+# ---------------------------------------------------------------------------
+
+
+def test_filter_bag_topics_and_time(tmp_path):
+    from trajectory_optimization_tpu.bus.rosbag import filter_bag
+
+    msgs = []
+    for i in range(10):
+        msgs.append(("/pts", CloudMsg(Header(stamp=float(i), frame_id="map"),
+                                      np.full((4, 3), i, np.float32))))
+        msgs.append(("/pose", PoseMsg(Header(stamp=float(i) + 0.5, frame_id="map"),
+                                      [float(i), 0.0, 0.0], [0.0, 0.0, 0.0, 1.0])))
+    src = str(tmp_path / "src.bag")
+    write_bag(src, msgs)
+
+    dst = str(tmp_path / "dst.bag")
+    n = filter_bag(src, dst, topics=["/pts"], start=3.0, end=6.0)
+    got = list(read_bag(dst))
+    assert n == len(got) == 4  # stamps 3,4,5,6 inclusive both ends
+    assert all(topic == "/pts" for _, topic, _ in got)
+    assert [m.header.stamp for _, _, m in got] == [3.0, 4.0, 5.0, 6.0]
+    np.testing.assert_array_equal(got[0][2].points, np.full((4, 3), 3, np.float32))
+
+
+def test_filter_bag_recompress_roundtrip(tmp_path):
+    """No filters + compression= is rosbag compress/decompress: messages
+    survive none -> bz2 -> none with identical decoded content."""
+    from trajectory_optimization_tpu.bus.rosbag import bag_info, filter_bag
+
+    msgs = _sample_messages()
+    src = str(tmp_path / "plain.bag")
+    write_bag(src, msgs)
+
+    packed = str(tmp_path / "packed.bag")
+    assert filter_bag(src, packed, compression="bz2") == len(msgs)
+    info = bag_info(packed)
+    assert set(info.compression) == {"bz2"}
+    assert info.messages == len(msgs)
+
+    unpacked = str(tmp_path / "unpacked.bag")
+    assert filter_bag(packed, unpacked) == len(msgs)
+    a = list(read_bag(src))
+    b = list(read_bag(unpacked))
+    assert [(t, topic) for t, topic, _ in a] == [(t, topic) for t, topic, _ in b]
+    np.testing.assert_array_equal(a[0][2].points, b[0][2].points)
+    np.testing.assert_array_equal(
+        [m.data for _, _, m in a if hasattr(m, "encoding")][0],
+        [m.data for _, _, m in b if hasattr(m, "encoding")][0])
+
+
+def test_filter_bag_preserves_unknown_types(tmp_path):
+    """Records whose type this package can't decode must pass through
+    byte-identical, with the source connection header (md5sum) preserved —
+    rosbag filter keeps everything, so must we."""
+    from trajectory_optimization_tpu.bus import rosbag as rb
+    from trajectory_optimization_tpu.bus.rosbag import bag_info, filter_bag
+
+    src = str(tmp_path / "mixed.bag")
+    write_bag(src, [("/pose", _sample_messages()[1][1])])
+    payload = b"\x13\x37" * 9
+    with open(src, "r+b") as f:
+        f.seek(0, 2)  # append unchunked records after the index section
+        conn_hdr = rb._pack_header({"topic": b"/imu",
+                                    "type": b"sensor_msgs/Imu",
+                                    "md5sum": b"6a62c6daae103f4ff57a132d6f95cec2",
+                                    "message_definition": b"original def"})
+        rec_hdr = rb._pack_header({"op": bytes([0x07]),
+                                   "conn": struct.pack("<I", 55),
+                                   "topic": b"/imu"})
+        f.write(struct.pack("<I", len(rec_hdr)) + rec_hdr)
+        f.write(struct.pack("<I", len(conn_hdr)) + conn_hdr)
+        msg_hdr = rb._pack_header({"op": bytes([0x02]),
+                                   "conn": struct.pack("<I", 55),
+                                   "time": rb._time_bytes(7.0)})
+        f.write(struct.pack("<I", len(msg_hdr)) + msg_hdr)
+        f.write(struct.pack("<I", len(payload)) + payload)
+
+    dst = str(tmp_path / "copy.bag")
+    assert filter_bag(src, dst) == 2  # pose + the foreign Imu record
+
+    info = bag_info(dst)
+    assert info.types["sensor_msgs/Imu"] == "6a62c6daae103f4ff57a132d6f95cec2"
+    by_topic = {t.topic: t for t in info.topics}
+    assert by_topic["/imu"].count == 1
+
+    # the raw payload survives byte-identical inside the copy's chunk
+    found = []
+    with open(dst, "rb") as f:
+        f.read(len(rb.MAGIC))
+        while True:
+            rec = rb._read_record_stream(f)
+            if rec is None:
+                break
+            hdr, data = rec
+            if hdr["op"][0] == 0x05:
+                for _, chdr, cdata in rb._iter_records(rb._decompress_chunk(hdr, data)):
+                    if chdr["op"][0] == 0x02:
+                        found.append(cdata)
+    assert payload in found
+
+
+def test_cli_filter(tmp_path, capsys):
+    from trajectory_optimization_tpu.__main__ import main
+
+    src = str(tmp_path / "s.bag")
+    write_bag(src, _sample_messages())
+    dst = str(tmp_path / "d.bag")
+    assert main(["filter", src, dst, "--topics", "/pts", "/tf"]) == 0
+    assert "wrote 2 messages" in capsys.readouterr().out
+    assert [topic for _, topic, _ in read_bag(dst)] == ["/pts", "/tf"]
+
+    assert main(["filter", str(tmp_path / "nope.bag"), dst]) == 1
+    assert "filter:" in capsys.readouterr().err

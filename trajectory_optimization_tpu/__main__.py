@@ -7,11 +7,16 @@ overrides reproducing the rosparam knob set).
         pc_topic=/pts path_topic=/path --play session.bag --echo /path/optimized
     python -m trajectory_optimization_tpu play_bag --play session.bag --echo /tf
     python -m trajectory_optimization_tpu info session.bag
+    python -m trajectory_optimization_tpu filter in.bag out.bag \
+        --topics /tf /points --start 1.5e9 --compression bz2
 
 `info PATH` prints a rosbag-info-style summary of a .bag (the reference
 documents its dataset with exactly that output, `launch/rosbag_info.txt`);
 it scans record headers + index records only, so a 15 GB session summarizes
-in seconds. Overrides are rosparam-style ``key=value`` strings applied to
+in seconds. `filter SRC DST` copies selected topics / a time window into a
+new bag with byte-identical payloads (rosbag filter; with no filters and
+`--compression`, rosbag compress/decompress). Overrides are rosparam-style
+``key=value`` strings applied to
 the preset's node config (`utils.config.apply_overrides` — unknown keys
 error). Presets mirror the reference launch files; `--processes` reproduces
 its node-per-OS-process runtime shape.
@@ -111,17 +116,51 @@ def _info(argv) -> int:
     return 0
 
 
+def _filter(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m trajectory_optimization_tpu filter",
+        description="Copy a .bag keeping selected topics / a time window "
+                    "(byte-identical payloads; rosbag filter/compress/"
+                    "decompress equivalent).",
+    )
+    p.add_argument("src", help="input .bag")
+    p.add_argument("dst", help="output .bag")
+    p.add_argument("--topics", nargs="+", default=None, metavar="TOPIC",
+                   help="keep only these topics (default: all)")
+    p.add_argument("--start", type=float, default=None, metavar="T",
+                   help="keep messages with bag time >= T (seconds)")
+    p.add_argument("--end", type=float, default=None, metavar="T",
+                   help="keep messages with bag time <= T (seconds)")
+    p.add_argument("--compression", choices=("none", "bz2", "lz4"),
+                   default="none", help="output chunk compression")
+    args = p.parse_args(argv)
+    from trajectory_optimization_tpu.bus.rosbag import filter_bag
+
+    try:
+        n = filter_bag(args.src, args.dst, topics=args.topics,
+                       start=args.start, end=args.end,
+                       compression=args.compression)
+    except (OSError, ValueError) as e:
+        print(f"filter: {e}", file=sys.stderr)
+        return 1
+    print(f"wrote {n} messages to {args.dst}")
+    return 0
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "info":
         return _info(argv[1:])
+    if argv and argv[0] == "filter":
+        return _filter(argv[1:])
     p = argparse.ArgumentParser(
         prog="python -m trajectory_optimization_tpu",
         description=__doc__.split("\n\n")[0],
     )
-    p.add_argument("preset", choices=PRESETS + ("info",),
-                   help="launch preset, or `info PATH` to summarize a bag")
+    p.add_argument("preset", choices=PRESETS + ("info", "filter"),
+                   help="launch preset, or the bag tools `info PATH` / "
+                        "`filter SRC DST [--topics ...]`")
     p.add_argument("overrides", nargs="*", metavar="key=value",
                    help="rosparam-style overrides for the preset's node config")
     p.add_argument("--processes", action="store_true",

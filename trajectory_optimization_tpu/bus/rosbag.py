@@ -945,6 +945,84 @@ def bag_info(path: str) -> BagInfo:
     )
 
 
+def filter_bag(
+    src: str,
+    dst: str,
+    *,
+    topics: Optional[Sequence[str]] = None,
+    start: Optional[float] = None,
+    end: Optional[float] = None,
+    compression: str = "none",
+) -> int:
+    """``rosbag filter``/``compress``/``decompress`` equivalent: stream
+    ``src`` into a new bag at ``dst``, keeping messages whose topic is in
+    ``topics`` (all when None) and whose bag time t satisfies
+    ``start <= t <= end`` (each bound optional, inclusive). Returns the
+    number of messages written.
+
+    Operates at the RECORD level: chunks are decompressed to reach the
+    message records, but payloads are copied byte-identical — no message
+    decode/encode cycle, no JPEG re-compression generation loss, and
+    message types this package has no codec for pass through untouched
+    (their source connection headers — md5sum, message_definition — are
+    preserved verbatim, so the output stays readable by real rosbag
+    tools). With no filters this is a re-chunking copy: ``compression=``
+    'bz2'/'lz4'/'none' gives rosbag compress/decompress. Memory stays
+    O(one chunk). Matches the rosbag CLI surface the reference's workflow
+    leans on (its dataset is a 15 GB recorded session,
+    `launch/rosbag_info.txt`)."""
+    topics_set = set(topics) if topics is not None else None
+    conns: Dict[int, Tuple[str, str, bytes]] = {}
+    n = 0
+
+    with open(src, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"{src!r} is not a ROS1 v2.0 bag (bad magic)")
+        writer = BagWriter(dst, compression=compression)
+        try:
+
+            def handle(hdr: Dict[str, bytes], data: bytes) -> None:
+                nonlocal n
+                op = hdr["op"][0]
+                if op == _OP_CONNECTION:
+                    conn_hdr = _parse_header(data)
+                    conns[struct.unpack("<I", hdr["conn"])[0]] = (
+                        hdr["topic"].decode(),
+                        conn_hdr.get("type", b"").decode(),
+                        data,
+                    )
+                    return
+                if op != _OP_MSG:
+                    return
+                conn = conns.get(struct.unpack("<I", hdr["conn"])[0])
+                if conn is None:
+                    return
+                topic, ros_type, conn_data = conn
+                if topics_set is not None and topic not in topics_set:
+                    return
+                t = _time_from(hdr["time"])
+                if (start is not None and t < start) or (
+                        end is not None and t > end):
+                    return
+                writer.add_raw(topic, ros_type, t, data, conn_header=conn_data)
+                n += 1
+
+            while True:
+                rec = _read_record_stream(f)
+                if rec is None:
+                    break
+                hdr, data = rec
+                op = hdr["op"][0]
+                if op == _OP_CHUNK:
+                    for _, chdr, cdata in _iter_records(_decompress_chunk(hdr, data)):
+                        handle(chdr, cdata)
+                elif op in (_OP_CONNECTION, _OP_MSG):
+                    handle(hdr, data)  # unchunked bags
+        finally:
+            writer.close()
+    return n
+
+
 # ---------------------------------------------------------------------------
 # bag writing
 # ---------------------------------------------------------------------------
@@ -976,6 +1054,7 @@ class BagWriter:
         self._lock = threading.Lock()
         self._conn_ids: Dict[Tuple[str, str], int] = {}
         self._conn_meta: List[Tuple[int, str, str]] = []
+        self._conn_raw: Dict[int, bytes] = {}  # preserved source conn headers
         self._chunk_infos: List[Tuple[int, float, float, Dict[int, int]]] = []
         self._chunk_parts: List[bytes] = []
         self._chunk_index: Dict[int, List[Tuple[float, int]]] = {}
@@ -1003,6 +1082,22 @@ class BagWriter:
         return (
             struct.pack("<I", len(rec_hdr)) + rec_hdr
             + struct.pack("<I", len(conn_hdr)) + conn_hdr
+        )
+
+    def _conn_record_bytes_for(self, conn_id: int, topic: str, ros_type: str) -> bytes:
+        """Connection record, preferring a preserved source header (keeps
+        md5sum/message_definition verbatim for types this package can't
+        encode — a filtered copy stays readable by real rosbag tools)."""
+        raw = self._conn_raw.get(conn_id)
+        if raw is None:
+            return self._conn_record_bytes(conn_id, topic, ros_type)
+        rec_hdr = _pack_header(
+            {"op": bytes([_OP_CONNECTION]), "conn": struct.pack("<I", conn_id),
+             "topic": topic.encode()}
+        )
+        return (
+            struct.pack("<I", len(rec_hdr)) + rec_hdr
+            + struct.pack("<I", len(raw)) + raw
         )
 
     def _write_bag_header(self, index_pos: int, conn_count: int, chunk_count: int):
@@ -1080,17 +1175,35 @@ class BagWriter:
             self._add_locked(topic, msg, ros_type, encoder)
 
     def _add_locked(self, topic: str, msg, ros_type: str, encoder) -> None:
+        conn_id = self._conn_id_locked(topic, ros_type)
+        stamp = float(getattr(msg, "header").stamp)
+        self._append_msg_record(conn_id, stamp, encoder(msg))
+
+    def add_raw(self, topic: str, ros_type: str, stamp: float, payload: bytes,
+                conn_header: Optional[bytes] = None) -> None:
+        """Write a pre-serialized message record — a byte-identical payload
+        copy, no decode/encode cycle (the :func:`filter_bag` path).
+        ``conn_header`` preserves the source connection header verbatim
+        (md5sum, message_definition), so message types this package has no
+        codec for survive a copy readable by real rosbag tools."""
+        with self._lock:
+            if conn_header is not None and (topic, ros_type) not in self._conn_ids:
+                self._conn_raw[len(self._conn_ids)] = conn_header
+            conn_id = self._conn_id_locked(topic, ros_type)
+            self._append_msg_record(conn_id, float(stamp), payload)
+
+    def _conn_id_locked(self, topic: str, ros_type: str) -> int:
         key = (topic, ros_type)
         if key not in self._conn_ids:
             conn_id = len(self._conn_ids)
             self._conn_ids[key] = conn_id
             self._conn_meta.append((conn_id, topic, ros_type))
-            b = self._conn_record_bytes(conn_id, topic, ros_type)
+            b = self._conn_record_bytes_for(conn_id, topic, ros_type)
             self._chunk_parts.append(b)
             self._chunk_offset += len(b)
-        conn_id = self._conn_ids[key]
-        stamp = float(getattr(msg, "header").stamp)
-        payload = encoder(msg)
+        return self._conn_ids[key]
+
+    def _append_msg_record(self, conn_id: int, stamp: float, payload: bytes) -> None:
         rec_hdr = _pack_header(
             {"op": bytes([_OP_MSG]), "conn": struct.pack("<I", conn_id),
              "time": _time_bytes(stamp)}
@@ -1118,7 +1231,7 @@ class BagWriter:
             self._flush_chunk()
             index_pos = self._f.tell()
             for conn_id, topic, ros_type in self._conn_meta:
-                self._f.write(self._conn_record_bytes(conn_id, topic, ros_type))
+                self._f.write(self._conn_record_bytes_for(conn_id, topic, ros_type))
             for pos, t0, t1, counts in self._chunk_infos:
                 info_data = b"".join(struct.pack("<II", c, n) for c, n in counts.items())
                 _write_record(
