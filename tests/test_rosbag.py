@@ -542,3 +542,28 @@ def test_cli_filter(tmp_path, capsys):
 
     assert main(["filter", str(tmp_path / "nope.bag"), dst]) == 1
     assert "filter:" in capsys.readouterr().err
+
+
+def test_filter_bag_reindexes_crash_tail(tmp_path):
+    """rosbag reindex equivalent: a crash-truncated recording (flushed
+    chunks, no trailing section, partial final record) copies through
+    filter_bag into a fully indexed bag — info names topics again."""
+    from trajectory_optimization_tpu.bus.rosbag import BagWriter, bag_info, filter_bag
+
+    path = str(tmp_path / "crash.bag")
+    w = BagWriter(path)
+    pts = np.ones((60000, 3), np.float32)
+    for i in range(3):
+        w.add("/pts", CloudMsg(Header(stamp=5.0 + i, frame_id="map"), pts))
+    flushed = sum(sum(c.values()) for _, _, _, c in w._chunk_infos)
+    assert flushed >= 1
+    w._f.write(b"\x40\x00\x00\x00partial rec")  # torn final write
+    w._f.close()
+
+    fixed = str(tmp_path / "fixed.bag")
+    assert filter_bag(path, fixed) == flushed
+    info = bag_info(fixed)
+    assert info.messages == flushed
+    assert [t.topic for t in info.topics] == ["/pts"]
+    assert [m.header.stamp for _, _, m in read_bag(fixed)] == [
+        5.0 + i for i in range(flushed)]

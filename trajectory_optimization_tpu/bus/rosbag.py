@@ -651,13 +651,23 @@ class _Connection:
 
 
 def _read_record_stream(f) -> Optional[Tuple[Dict[str, bytes], bytes]]:
+    """Next (header, data) record, or None at EOF — including a mid-record
+    EOF (a recording cut off by a crash): the partial tail reads as end of
+    bag, so streaming consumers keep everything up to the last whole
+    record, like ``rosbag reindex`` recovery."""
     b = f.read(4)
     if len(b) < 4:
         return None
     (hlen,) = struct.unpack("<I", b)
-    hdr = _parse_header(f.read(hlen))
-    (dlen,) = struct.unpack("<I", f.read(4))
+    hbuf = f.read(hlen)
+    lbuf = f.read(4)
+    if len(hbuf) < hlen or len(lbuf) < 4:
+        return None
+    hdr = _parse_header(hbuf)
+    (dlen,) = struct.unpack("<I", lbuf)
     data = f.read(dlen)
+    if len(data) < dlen:
+        return None
     return hdr, data
 
 
@@ -970,7 +980,11 @@ def filter_bag(
     'bz2'/'lz4'/'none' gives rosbag compress/decompress. Memory stays
     O(one chunk). Matches the rosbag CLI surface the reference's workflow
     leans on (its dataset is a 15 GB recorded session,
-    `launch/rosbag_info.txt`)."""
+    `launch/rosbag_info.txt`).
+
+    Also the ``rosbag reindex`` recovery path: a recording cut off by a
+    crash (truncated tail, no trailing index section) copies cleanly —
+    every whole record survives and the output gets a fresh index."""
     topics_set = set(topics) if topics is not None else None
     conns: Dict[int, Tuple[str, str, bytes]] = {}
     n = 0
