@@ -504,6 +504,28 @@ def test_jpeg_fuzz_backends_agree():
                 np.testing.assert_array_equal(py, cc, err_msg=f"{name} #{trial}")
 
 
+def test_jpeg_single_component_subsampled_noninterleaved():
+    """T.81 A.2.2: an ns==1 scan is ALWAYS non-interleaved — a grayscale
+    frame declaring sampling factors h=v=2 still codes one block per MCU
+    over the true ceil(w/8) x ceil(h/8) grid (for nf=1 the component spans
+    the full image regardless of h,v since h/hmax == 1). Routing such
+    frames to the interleaved fast path desyncs the bitstream on files
+    libjpeg/PIL decode fine (regression: dispatch in bus/jpeg.py and
+    trajopt_native.cpp::decode_all)."""
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (23, 17), dtype=np.uint8)  # odd dims on purpose
+    data = encode_jpeg(img, quality=90)
+    idx = data.find(b"\xff\xc0")
+    assert idx >= 0 and data[idx + 11] == 0x11  # SOF0 comp-0 sampling byte
+    patched = bytes(bytearray(data[:idx + 11]) + b"\x22" + data[idx + 12:])
+    ref = decode_jpeg(data)
+    np.testing.assert_array_equal(decode_jpeg(patched), ref)
+    if native_available():
+        np.testing.assert_array_equal(jpeg_decode_native(patched), ref)
+
+
 def test_png_fuzz_mutations():
     data, _ = _fixture("rgb.png")
     rng = np.random.default_rng(100)

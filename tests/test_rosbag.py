@@ -530,6 +530,88 @@ def test_filter_bag_preserves_unknown_types(tmp_path):
     assert payload in found
 
 
+def test_filter_bag_keeps_distinct_connections(tmp_path):
+    """Two source connections sharing (topic, type) — multiple publishers /
+    merged bags with differing callerid/md5sum — must stay TWO connections
+    in the copy, each with its own preserved header (rosbag filter keeps
+    connections individually; collapsing them re-homes messages under the
+    wrong md5sum/message_definition)."""
+    from trajectory_optimization_tpu.bus import rosbag as rb
+    from trajectory_optimization_tpu.bus.rosbag import bag_info, filter_bag
+
+    src = str(tmp_path / "two_conns.bag")
+    write_bag(src, [("/pose", _sample_messages()[1][1])])
+    with open(src, "r+b") as f:
+        f.seek(0, 2)
+        for conn_id, md5 in ((55, b"a" * 32), (56, b"b" * 32)):
+            conn_hdr = rb._pack_header({
+                "topic": b"/imu", "type": b"sensor_msgs/Imu", "md5sum": md5,
+                "callerid": b"/node%d" % conn_id,
+                "message_definition": b"def %d" % conn_id})
+            rec_hdr = rb._pack_header({"op": bytes([0x07]),
+                                       "conn": struct.pack("<I", conn_id),
+                                       "topic": b"/imu"})
+            f.write(struct.pack("<I", len(rec_hdr)) + rec_hdr)
+            f.write(struct.pack("<I", len(conn_hdr)) + conn_hdr)
+            msg_hdr = rb._pack_header({"op": bytes([0x02]),
+                                       "conn": struct.pack("<I", conn_id),
+                                       "time": rb._time_bytes(7.0 + conn_id)})
+            f.write(struct.pack("<I", len(msg_hdr)) + msg_hdr)
+            f.write(struct.pack("<I", 4) + b"\x13\x37" + struct.pack("<H", conn_id))
+
+    dst = str(tmp_path / "copy.bag")
+    assert filter_bag(src, dst) == 3  # pose + both Imu records
+
+    info = bag_info(dst)
+    by_topic = {t.topic: t for t in info.topics}
+    assert by_topic["/imu"].count == 2
+    assert by_topic["/imu"].connections == 2
+
+    # both source headers survive verbatim in the copy
+    md5s, definitions = set(), set()
+    with open(dst, "rb") as f:
+        f.read(len(rb.MAGIC))
+        while True:
+            rec = rb._read_record_stream(f)
+            if rec is None:
+                break
+            hdr, data = rec
+            records = ([(None, hdr, data)] if hdr["op"][0] != 0x05 else
+                       rb._iter_records(rb._decompress_chunk(hdr, data)))
+            for _, chdr, cdata in records:
+                if chdr["op"][0] == 0x07 and chdr["topic"] == b"/imu":
+                    ch = rb._parse_header(cdata)
+                    md5s.add(ch["md5sum"])
+                    definitions.add(ch["message_definition"])
+    assert md5s == {b"a" * 32, b"b" * 32}
+    assert definitions == {b"def 55", b"def 56"}
+
+
+def test_bag_recorder_post_close_enqueue_never_wedges(tmp_path):
+    """A publisher preempted between the recorder's closed-check and its
+    queue put must not leave an unconsumed item behind close() — that item
+    would wedge any later flush() in Queue.join() forever (regression:
+    BagRecorder._enqueue/close gate)."""
+    bus = Bus()
+    path = str(tmp_path / "race.bag")
+    rec = BagRecorder(bus, ["/pts"], path)
+    msg = CloudMsg(Header(stamp=1.0, frame_id="map"), np.ones((4, 3), np.float32))
+    bus.publish("/pts", msg)
+    rec.flush()
+    assert rec.count == 1
+    rec.close()
+    # simulates the raced publisher arriving after close(): must be a no-op
+    rec._enqueue("/pts", msg)
+    import threading
+
+    done = []
+    t = threading.Thread(target=lambda: (rec.flush(), done.append(True)))
+    t.start()
+    t.join(timeout=10.0)
+    assert done, "flush() wedged on a post-close enqueue"
+    assert rec.count == 1
+
+
 def test_cli_filter(tmp_path, capsys):
     from trajectory_optimization_tpu.__main__ import main
 

@@ -74,7 +74,8 @@ def _build(args):
         handle = L.launch_voxels_filtering(
             input_topic=cfg.input_topic, output_topic=cfg.output_topic,
             leaf_size=cfg.leaf_size, z_limits=cfg.z_limits)
-        watch = [cfg.output_topic]
+        watch = [t.format(output_topic=cfg.output_topic)
+                 for t in _WATCH[args.preset]]
     else:  # play_bag: bare bus, replay only
         if ov:
             raise SystemExit("play_bag takes no config overrides")

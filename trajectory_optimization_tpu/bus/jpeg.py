@@ -296,8 +296,18 @@ def _parse(buf, headers_only: bool):
                         break
                 else:
                     raise JpegError("SOS references unknown component")
-            if not progressive and ns == len(comps):
-                # the classic single-scan interleaved stream — the fast path
+            if (not progressive and ns == len(comps) and geom is None
+                    and (ns > 1 or (comps[0].h == 1 and comps[0].v == 1))):
+                # The classic single-scan interleaved stream — the fast
+                # path. Only for the FIRST scan (a later all-component SOS
+                # must merge into the coefficients already decoded — the
+                # C++ decode_all decides its fast path once, at the first
+                # SOS, and the two backends must stay bit-identical), and
+                # never for a subsampled single-component frame: T.81
+                # A.2.2 makes every ns==1 scan non-interleaved (one block
+                # per MCU over the component's true ceil(w/8)xceil(h/8)
+                # grid), so the h*v-blocks-per-MCU geometry below would
+                # desync on files libjpeg/PIL decode fine.
                 return _decode_scan(buf, i, comps, qt, huff_dc, huff_ac,
                                     height, width, restart_interval)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]

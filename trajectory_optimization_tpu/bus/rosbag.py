@@ -868,7 +868,7 @@ def bag_info(path: str) -> BagInfo:
     (top-level message records) are counted directly."""
     size = os.path.getsize(path)
     conns: Dict[int, Tuple[str, str, str]] = {}  # id -> topic, type, md5
-    stamps: Dict[int, List[float]] = {}
+    stamps: Dict[int, list] = {}  # float64 arrays and/or bare floats
     counts: Dict[int, int] = {}
     comp: Dict[str, int] = {}
     uncompressed = compressed = chunk_count = 0
@@ -910,9 +910,15 @@ def bag_info(path: str) -> BagInfo:
                     break
                 conn_id = struct.unpack("<I", hdr["conn"])[0]
                 n = struct.unpack("<I", hdr["count"])[0]
-                ts = stamps.setdefault(conn_id, [])
-                for i in range(min(n, len(data) // 12)):
-                    ts.append(_time_from(data[12 * i : 12 * i + 8]))
+                # vectorized: entries are (sec u4, nsec u4, offset u4); a
+                # per-entry Python loop costs minutes + ~32 B/stamp on a
+                # 15 GB multi-million-message session bag
+                m = min(n, len(data) // 12)
+                if m:
+                    arr = np.frombuffer(data, dtype="<u4", count=3 * m)
+                    arr = arr.reshape(-1, 3)
+                    stamps.setdefault(conn_id, []).append(
+                        arr[:, 0] + arr[:, 1] * 1e-9)
                 counts[conn_id] = counts.get(conn_id, 0) + n
             elif op == _OP_MSG:  # unchunked bag
                 conn_id = struct.unpack("<I", hdr["conn"])[0]
@@ -922,6 +928,13 @@ def bag_info(path: str) -> BagInfo:
             else:  # bag header / chunk info: everything they hold is re-derived
                 f.seek(dlen, os.SEEK_CUR)
 
+    def _flat(parts) -> np.ndarray:
+        # per-conn stamp parts: float64 arrays (chunk index records) and/or
+        # bare floats (unchunked message records)
+        arrs = [np.atleast_1d(np.asarray(p, np.float64)) for p in parts]
+        return np.concatenate(arrs) if arrs else np.empty(0)
+
+    flat = {cid: _flat(parts) for cid, parts in stamps.items()}
     by_topic: Dict[str, List[int]] = {}
     for conn_id, (topic, _, _) in conns.items():
         by_topic.setdefault(topic, []).append(conn_id)
@@ -930,22 +943,23 @@ def bag_info(path: str) -> BagInfo:
         total = sum(counts.get(i, 0) for i in ids)
         if total == 0:
             continue  # connection advertised, no messages indexed
-        ts = sorted(t for i in ids for t in stamps.get(i, ()))
+        ts = np.sort(np.concatenate(
+            [flat.get(i, np.empty(0)) for i in ids]))
         freq = None
         if len(ts) > 1:
-            periods = np.diff(np.asarray(ts))
+            periods = np.diff(ts)
             med = float(np.median(periods))
             if med > 0.0:  # rosbag omits Hz at zero median period (e.g. /tf)
                 freq = 1.0 / med
         topics.append(BagTopicInfo(topic, conns[ids[0]][1], total, len(ids), freq))
-    all_ts = [t for ts in stamps.values() for t in ts]
+    nonempty = [a for a in flat.values() if len(a)]
     return BagInfo(
         path=path,
         version="2.0",
         size=size,
         messages=sum(counts.values()),
-        start=min(all_ts) if all_ts else None,
-        end=max(all_ts) if all_ts else None,
+        start=min(float(a.min()) for a in nonempty) if nonempty else None,
+        end=max(float(a.max()) for a in nonempty) if nonempty else None,
         chunk_count=chunk_count,
         compression=comp,
         uncompressed=uncompressed,
@@ -1066,7 +1080,10 @@ class BagWriter:
         # bus callbacks may run from several publisher threads; add()/close()
         # mutate chunk state and the file handle, so serialize them
         self._lock = threading.Lock()
-        self._conn_ids: Dict[Tuple[str, str], int] = {}
+        # key: (topic, ros_type, raw source header or None) — the raw
+        # header participates so add_raw copies keep distinct source
+        # connections (callerid/md5sum variants) distinct in the output
+        self._conn_ids: Dict[Tuple[str, str, Optional[bytes]], int] = {}
         self._conn_meta: List[Tuple[int, str, str]] = []
         self._conn_raw: Dict[int, bytes] = {}  # preserved source conn headers
         self._chunk_infos: List[Tuple[int, float, float, Dict[int, int]]] = []
@@ -1199,18 +1216,22 @@ class BagWriter:
         copy, no decode/encode cycle (the :func:`filter_bag` path).
         ``conn_header`` preserves the source connection header verbatim
         (md5sum, message_definition), so message types this package has no
-        codec for survive a copy readable by real rosbag tools."""
+        codec for survive a copy readable by real rosbag tools. Distinct
+        source connections sharing a (topic, type) — multiple publishers /
+        callerids, merged bags with differing definitions — stay distinct
+        connections in the output, like ``rosbag filter``."""
         with self._lock:
-            if conn_header is not None and (topic, ros_type) not in self._conn_ids:
-                self._conn_raw[len(self._conn_ids)] = conn_header
-            conn_id = self._conn_id_locked(topic, ros_type)
+            conn_id = self._conn_id_locked(topic, ros_type, conn_header)
             self._append_msg_record(conn_id, float(stamp), payload)
 
-    def _conn_id_locked(self, topic: str, ros_type: str) -> int:
-        key = (topic, ros_type)
+    def _conn_id_locked(self, topic: str, ros_type: str,
+                        raw_header: Optional[bytes] = None) -> int:
+        key = (topic, ros_type, raw_header)
         if key not in self._conn_ids:
             conn_id = len(self._conn_ids)
             self._conn_ids[key] = conn_id
+            if raw_header is not None:
+                self._conn_raw[conn_id] = raw_header
             self._conn_meta.append((conn_id, topic, ros_type))
             b = self._conn_record_bytes_for(conn_id, topic, ros_type)
             self._chunk_parts.append(b)
@@ -1317,6 +1338,12 @@ class BagRecorder:
         self._skipped = 0
         self._io_error: Optional[OSError] = None
         self._closed = False
+        # serializes the closed-check-then-put in _enqueue against close()
+        # flipping _closed: without it a publisher preempted between the
+        # check and the put can land an item AFTER close() drained the
+        # queue — silently dropped and, worse, leaving an un-task_done'd
+        # item that wedges any later flush() forever
+        self._gate = threading.Lock()
         self._q: "_queue.Queue" = _queue.Queue(maxsize=queue_len)
         self._thread = threading.Thread(
             target=self._drain, daemon=True, name="bag-recorder")
@@ -1342,10 +1369,14 @@ class BagRecorder:
 
     def _enqueue(self, topic, msg):
         # publishers mid-flight when close() runs may still call in here
-        # (Bus.publish invokes taps outside its lock); the _closed gate plus
-        # close()'s post-join drain keep that window from wedging flush()
-        if not self._closed and self._io_error is None:
-            self._q.put((topic, msg))
+        # (Bus.publish invokes taps outside its lock); the gate makes the
+        # closed-check + put atomic vs close(). A put blocking on a full
+        # queue while holding the gate is fine: the writer thread is still
+        # draining at that point (close() only enqueues its sentinel after
+        # taking the gate, i.e. after this put lands).
+        with self._gate:
+            if not self._closed and self._io_error is None:
+                self._q.put((topic, msg))
 
     def _drain(self):
         while True:
@@ -1381,7 +1412,11 @@ class BagRecorder:
         self._q.join()
 
     def close(self) -> str:
-        self._closed = True
+        with self._gate:
+            self._closed = True
+        # after the gate: no _enqueue can put again (any in-flight one
+        # either landed its item before we took the gate — the writer
+        # thread drains it below — or sees _closed and returns)
         if self._tap is not None:
             self._bus.remove_tap(self._tap)
             self._tap = None
@@ -1391,14 +1426,6 @@ class BagRecorder:
         if self._thread.is_alive():
             self._q.put(None)
             self._thread.join()
-        # drain stragglers a mid-flight publisher raced past _closed, so a
-        # later flush() can never wedge on an unconsumed item
-        while True:
-            try:
-                self._q.get_nowait()
-                self._q.task_done()
-            except _queue.Empty:
-                break
         try:
             path = self._writer.close()
         except OSError as e:

@@ -21,19 +21,37 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than its sources — editing
+    trajopt_native.cpp (or the build flags) must not leave a stale binary
+    silently serving the old code."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for src in ("trajopt_native.cpp", "Makefile"):
+        p = os.path.join(_HERE, src)
+        if os.path.exists(p) and os.path.getmtime(p) > so_mtime:
+            return True
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
+        if _stale():
             try:
                 subprocess.run(
-                    ["make", "-s"], cwd=_HERE, check=True, capture_output=True, timeout=120
+                    ["make", "-sB"], cwd=_HERE, check=True, capture_output=True,
+                    timeout=120,
                 )
             except (OSError, subprocess.SubprocessError):
-                return None
+                if not os.path.exists(_LIB_PATH):
+                    return None
+                # no toolchain but a prebuilt .so exists: use it (the
+                # AttributeError guards below tolerate missing entry points)
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -844,7 +844,13 @@ struct Decoder {
   int decode_all() {
     int rc = parse_headers();
     if (rc) return rc;
-    if (!progressive && scan_ns == ncomp) return decode_scan();
+    // fast path only when interleaved geometry applies: T.81 A.2.2 makes
+    // every ns==1 scan non-interleaved, so a subsampled single-component
+    // frame must go through decode_scan_multi's true block grid
+    // (bus/jpeg.py dispatch parity)
+    if (!progressive && scan_ns == ncomp &&
+        (ncomp > 1 || (comps[0].h == 1 && comps[0].v == 1)))
+      return decode_scan();
     alloc_coefs();
     int64_t pos = scan_pos;
     while (true) {
