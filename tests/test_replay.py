@@ -43,6 +43,29 @@ def test_record_replay_roundtrip(tmp_path):
     assert order == sorted(order)
 
 
+def test_player_loop_start_duration(tmp_path):
+    """npz Player mirrors rosbag play -l/-s/-u like BagPlayer: bag-time
+    window [start, start+duration], `loop` passes."""
+    bus = Bus()
+    with Recorder(bus, ["/pose"], str(tmp_path / "bag")):
+        for i in range(6):
+            bus.publish("/pose", PoseMsg(Header(stamp=float(i), frame_id="m"),
+                                         [0, 0, 0], [0, 0, 0, 1]))
+    player = Player(str(tmp_path / "bag"))
+
+    def stamps(**kw):
+        b = Bus()
+        seen = []
+        b.subscribe("/pose", lambda m: seen.append(m.header.stamp))
+        n = player.play(b, **kw)
+        assert n == len(seen)
+        return seen
+
+    assert stamps(start=2.0) == [2.0, 3.0, 4.0, 5.0]
+    assert stamps(start=1.0, duration=2.0) == [1.0, 2.0, 3.0]
+    assert stamps(duration=0.0, loop=2) == [0.0, 0.0]
+
+
 def test_record_device_array_image(tmp_path):
     """On TPU, renderer nodes publish ImageMsg with an on-device payload;
     recording one must force the host copy, not mis-route the array into

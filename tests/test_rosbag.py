@@ -530,6 +530,32 @@ def test_filter_bag_preserves_unknown_types(tmp_path):
     assert payload in found
 
 
+@pytest.mark.parametrize("streaming", [False, True])
+def test_bag_player_loop_start_duration(tmp_path, streaming):
+    """rosbag play -l/-s/-u semantics: skip the first `start` seconds of
+    bag time, stop `duration` seconds after that offset, repeat `loop`
+    times."""
+    from trajectory_optimization_tpu.bus.rosbag import BagPlayer
+
+    path = str(tmp_path / "ten.bag")
+    pts = np.ones((8, 3), np.float32)
+    write_bag(path, [("/pts", CloudMsg(Header(stamp=float(i), frame_id="map"), pts))
+                     for i in range(10)])
+
+    def stamps(**kw):
+        bus = Bus()
+        seen = []
+        bus.subscribe("/pts", lambda m: seen.append(m.header.stamp))
+        n = BagPlayer(path, streaming=streaming).play(bus, **kw)
+        assert n == len(seen)
+        return seen
+
+    assert stamps() == [float(i) for i in range(10)]
+    assert stamps(start=3.0) == [float(i) for i in range(3, 10)]
+    assert stamps(start=2.0, duration=4.0) == [2.0, 3.0, 4.0, 5.0, 6.0]
+    assert stamps(duration=1.0, loop=3) == [0.0, 1.0] * 3
+
+
 def test_filter_bag_keeps_distinct_connections(tmp_path):
     """Two source connections sharing (topic, type) — multiple publishers /
     merged bags with differing callerid/md5sum — must stay TWO connections

@@ -176,6 +176,12 @@ def main(argv=None) -> int:
                    help="replay a ROS1 .bag file or npz recording dir into the graph")
     p.add_argument("--realtime", action="store_true",
                    help="replay at recorded timing (default: as fast as possible)")
+    p.add_argument("--loop", type=int, default=1, metavar="N",
+                   help="replay the recording N times (rosbag play -l)")
+    p.add_argument("--start-offset", type=float, default=0.0, metavar="SEC",
+                   help="skip the first SEC seconds of bag time (rosbag play -s)")
+    p.add_argument("--duration", type=float, default=None, metavar="SEC",
+                   help="replay only SEC seconds past the offset (rosbag play -u)")
     p.add_argument("--data-dir", default=None,
                    help="feeder data directory (presets with feeders)")
     p.add_argument("--echo", nargs="*", default=(), metavar="TOPIC",
@@ -196,6 +202,11 @@ def main(argv=None) -> int:
     if args.record_topics is not None and not args.record_topics:
         p.error("--record-topics needs at least one topic "
                 "(omit it to record every topic)")
+    if not args.play and (args.loop != 1 or args.start_offset
+                          or args.duration is not None):
+        p.error("--loop/--start-offset/--duration require --play PATH")
+    if args.loop < 1:
+        p.error("--loop must be >= 1")
 
     handle, watch = _build(args)
     counts = {}
@@ -227,7 +238,9 @@ def main(argv=None) -> int:
             from trajectory_optimization_tpu.bus import launch as L
 
             n = L.launch_play_bag(args.play, handle,
-                                  realtime=args.realtime, rate=args.rate)
+                                  realtime=args.realtime, rate=args.rate,
+                                  loop=args.loop, start=args.start_offset,
+                                  duration=args.duration)
             print(f"replayed {n} messages from {args.play}")
         if args.spin is not None:
             handle.spin(args.spin, rate=args.rate)

@@ -296,14 +296,20 @@ def launch_voxels_filtering(
     return Launch(bus, {"voxel_filter": node}, [])
 
 
-def launch_play_bag(bag_dir: str, nodes_launch: Launch, *, realtime: bool = False, rate: float = 1.0) -> int:
+def launch_play_bag(bag_dir: str, nodes_launch: Launch, *, realtime: bool = False,
+                    rate: float = 1.0, loop: int = 1, start: float = 0.0,
+                    duration=None) -> int:
     """`launch/play_bag.launch`: replay a recording into an existing node
     graph's bus (the 'multi-node without a robot' workflow). Accepts either
     an npz recording directory (bus.replay) or a real ROS1 ``.bag`` file
-    (bus.rosbag)."""
+    (bus.rosbag). ``loop``/``start``/``duration`` mirror
+    ``rosbag play -l/-s/-u`` (the reference replays its session with
+    ``rosbag play --clock -r 5 -k``, launch/play_bag.launch:11-12; sim-time
+    /clock is unnecessary here — nodes consume message stamps directly)."""
     from trajectory_optimization_tpu.bus.rosbag import open_player
 
     # streaming: session bags are GB-scale; record order = chunk time order
     return open_player(bag_dir, streaming=True).play(
-        nodes_launch.bus, realtime=realtime, rate=rate
+        nodes_launch.bus, realtime=realtime, rate=rate,
+        loop=loop, start=start, duration=duration,
     )

@@ -123,24 +123,36 @@ class Player:
     def __len__(self):
         return len(self.index)
 
-    def messages(self):
-        """Yield (topic, message) in stamp order."""
+    def messages(self, *, start: float = 0.0, duration=None):
+        """Yield (topic, message) in stamp order, optionally windowed to
+        bag-time offsets [start, start+duration] (rosbag play -s/-u
+        semantics). Skipped messages are never loaded from disk — the
+        index stamp decides."""
+        t0 = self.index[0]["stamp"] if self.index else 0.0
         for meta in self.index:
+            off = meta["stamp"] - t0
+            if off < start:
+                continue
+            if duration is not None and off > start + duration:
+                break
             with np.load(os.path.join(self.bag_dir, meta["file"])) as data:
                 arrays = {k: data[k] for k in data.files}
             yield meta["topic"], _decode(meta, arrays)
 
-    def play(self, bus: Bus, *, realtime: bool = False, rate: float = 1.0) -> int:
+    def play(self, bus: Bus, *, realtime: bool = False, rate: float = 1.0,
+             loop: int = 1, start: float = 0.0, duration=None) -> int:
         """Publish every message; with ``realtime`` sleep to preserve original
-        inter-message gaps (scaled by 1/rate)."""
-        prev_stamp = None
+        inter-message gaps (scaled by 1/rate). ``loop``/``start``/``duration``
+        mirror ``rosbag play -l/-s/-u`` (each pass restarts its clock)."""
         n = 0
-        for topic, msg in self.messages():
-            if realtime and prev_stamp is not None:
-                gap = max(msg.header.stamp - prev_stamp, 0.0) / rate
-                if gap > 0:
-                    time.sleep(min(gap, 10.0))
-            prev_stamp = msg.header.stamp
-            bus.publish(topic, msg)
-            n += 1
+        for _ in range(max(1, int(loop))):
+            prev_stamp = None
+            for topic, msg in self.messages(start=start, duration=duration):
+                if realtime and prev_stamp is not None:
+                    gap = max(msg.header.stamp - prev_stamp, 0.0) / rate
+                    if gap > 0:
+                        time.sleep(min(gap, 10.0))
+                prev_stamp = msg.header.stamp
+                bus.publish(topic, msg)
+                n += 1
         return n

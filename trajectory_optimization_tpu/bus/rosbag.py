@@ -1484,7 +1484,8 @@ class BagPlayer:
             yield topic, msg
 
     def play(self, bus: Bus, *, realtime: bool = False, rate: float = 1.0,
-             prefetch: int = 16) -> int:
+             prefetch: int = 16, loop: int = 1, start: float = 0.0,
+             duration: Optional[float] = None) -> int:
         """Publish every event onto ``bus``; returns the message count.
 
         ``prefetch`` > 0 moves record decode (chunk decompression, message
@@ -1493,7 +1494,24 @@ class BagPlayer:
         subscribers' device work. Order is preserved exactly; 0 restores
         fully synchronous iteration. Non-streaming players decoded
         everything in __init__, so the thread is skipped — there is
-        nothing left to overlap."""
+        nothing left to overlap.
+
+        ``loop``/``start``/``duration`` mirror ``rosbag play -l/-s/-u``:
+        replay the bag ``loop`` times, skipping messages stamped within
+        the first ``start`` seconds of bag time and stopping ``duration``
+        seconds after that offset (each pass restarts its realtime clock,
+        like rosbag's loop). Streaming bags replay in record order, so
+        the window cut uses a monotone high-water stamp — a single
+        out-of-order record cannot end the pass early."""
+        total = 0
+        for _ in range(max(1, int(loop))):
+            total += self._play_once(bus, realtime, rate, prefetch,
+                                     start, duration)
+        return total
+
+    def _play_once(self, bus: Bus, realtime: bool, rate: float,
+                   prefetch: int, start: float,
+                   duration: Optional[float]) -> int:
         src = self._iter()
         stop = None
         if prefetch > 0 and self._events is None:
@@ -1545,8 +1563,17 @@ class BagPlayer:
             src = drain()
         prev_t = None
         n = 0
+        t0 = None  # first record's stamp = bag start for the -s/-u window
+        hw = None  # monotone high-water stamp (record order can jitter)
         try:
             for t, topic, msg in src:
+                if t0 is None:
+                    t0 = t
+                hw = t if hw is None else max(hw, t)
+                if duration is not None and hw - t0 > start + duration:
+                    break
+                if t - t0 < start:
+                    continue
                 if realtime and prev_t is not None:
                     gap = max(t - prev_t, 0.0) / rate
                     if gap > 0:
