@@ -530,6 +530,45 @@ def test_filter_bag_preserves_unknown_types(tmp_path):
     assert payload in found
 
 
+@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_read_bag_topic_filter_skips_chunks(tmp_path, monkeypatch, compression):
+    """A topics filter on an indexed bag must drive the scan off the
+    trailing chunk-info records: chunks with no wanted messages are seeked
+    past, never decompressed — replaying one sparse topic out of a session
+    bag costs I/O proportional to the topic, not the 15 GB file."""
+    from trajectory_optimization_tpu.bus import rosbag as rb
+
+    path = str(tmp_path / "two.bag")
+    big = np.ones((60000, 3), np.float32)  # ~720 KB/cloud -> several chunks
+    msgs = [("/pts", CloudMsg(Header(stamp=float(i), frame_id="map"), big))
+            for i in range(6)]
+    msgs.append(("/pose", PoseMsg(Header(stamp=99.0, frame_id="map"),
+                                  [1.0, 2.0, 3.0], [0.0, 0.0, 0.0, 1.0])))
+    write_bag(path, msgs, compression=compression)
+    from trajectory_optimization_tpu.bus.rosbag import bag_info
+    n_chunks = bag_info(path).chunk_count
+    assert n_chunks >= 3  # the clouds alone span multiple chunks
+
+    calls = []
+    orig = rb._decompress_chunk
+    monkeypatch.setattr(rb, "_decompress_chunk",
+                        lambda h, d: (calls.append(1), orig(h, d))[1])
+    got = list(read_bag(path, topics=["/pose"]))
+    assert [(t, m.header.stamp) for _, t, m in got] == [("/pose", 99.0)]
+    assert len(calls) < n_chunks, "filtered read decompressed every chunk"
+
+    # unknown topic: resolved from the index alone, zero chunks touched
+    calls.clear()
+    assert list(read_bag(path, topics=["/nope"])) == []
+    assert not calls
+
+    # the indexed path returns exactly what the full scan would
+    full = [(t, m.header.stamp) for _, t, m in read_bag(path)
+            if t == "/pts"]
+    filt = [(t, m.header.stamp) for _, t, m in read_bag(path, topics=["/pts"])]
+    assert filt == full
+
+
 @pytest.mark.parametrize("streaming", [False, True])
 def test_bag_player_loop_start_duration(tmp_path, streaming):
     """rosbag play -l/-s/-u semantics: skip the first `start` seconds of

@@ -691,6 +691,50 @@ def _decompress_chunk(hdr: Dict[str, bytes], data: bytes) -> bytes:
     raise ValueError(f"unknown chunk compression {comp!r}")
 
 
+def _read_trailing_index(f):
+    """Parse a bag's trailing connection/chunk-info section (reached via
+    the bag header's index_pos). Returns (conns, chunk_infos) — conns maps
+    conn_id -> _Connection, chunk_infos is the ordered list of
+    (chunk_pos, start_time, end_time, {conn_id: msg_count}) — or None when
+    the bag is unindexed (index_pos == 0: an in-progress or
+    crash-truncated recording) or the section is unreadable."""
+    f.seek(len(MAGIC))
+    rec = _read_record_stream(f)
+    if rec is None:
+        return None
+    hdr, _ = rec
+    if hdr.get("op", b"\x00")[0] != _OP_BAG_HEADER or "index_pos" not in hdr:
+        return None
+    index_pos = struct.unpack("<Q", hdr["index_pos"])[0]
+    if index_pos == 0:
+        return None
+    f.seek(index_pos)
+    conns: Dict[int, _Connection] = {}
+    infos = []
+    while True:
+        rec = _read_record_stream(f)
+        if rec is None:
+            break
+        hdr, data = rec
+        op = hdr["op"][0]
+        if op == _OP_CONNECTION:
+            conn_id = struct.unpack("<I", hdr["conn"])[0]
+            ch = _parse_header(data)
+            conns[conn_id] = _Connection(
+                conn_id, hdr["topic"].decode(), ch.get("type", b"").decode())
+        elif op == _OP_CHUNK_INFO:
+            pos = struct.unpack("<Q", hdr["chunk_pos"])[0]
+            t0 = _time_from(hdr["start_time"])
+            t1 = _time_from(hdr["end_time"])
+            n = struct.unpack("<I", hdr["count"])[0]
+            counts = {}
+            for i in range(min(n, len(data) // 8)):
+                c, k = struct.unpack_from("<II", data, 8 * i)
+                counts[c] = k
+            infos.append((pos, t0, t1, counts))
+    return (conns, infos) if infos else None
+
+
 def read_bag(
     path: str, topics: Optional[Sequence[str]] = None
 ) -> Iterator[Tuple[float, str, object]]:
@@ -699,6 +743,13 @@ def read_bag(
     loading the file. Events come in file order, which is chunk time order
     for bags written by ``rosbag record`` (and by :func:`write_bag`); use
     BagPlayer when strict global stamp ordering matters.
+
+    With a ``topics`` filter on an indexed bag, the trailing chunk-info
+    records drive the scan: chunks holding no messages from the wanted
+    connections are skipped with a seek — never read, never decompressed —
+    so replaying one sparse topic out of a session bag costs I/O
+    proportional to that topic, not to the file (rosbag's own index
+    semantics; an unindexed crash tail falls back to the full scan).
 
     TFMessage records expand to one TransformMsg per contained transform.
     Connections of unsupported types are skipped.
@@ -738,6 +789,33 @@ def read_bag(
     with open(path, "rb") as f:
         if f.read(len(MAGIC)) != MAGIC:
             raise ValueError(f"{path!r} is not a ROS1 v2.0 bag (bad magic)")
+        if topics_set is not None:
+            try:
+                idx = _read_trailing_index(f)
+            except (ValueError, KeyError, struct.error):
+                idx = None  # malformed tail: the full scan below copes
+            if idx is not None:
+                tconns, infos = idx
+                conns.update(tconns)
+                wanted = {cid for cid, c in tconns.items()
+                          if c.topic in topics_set}
+                if not wanted:
+                    return
+                for pos, _, _, chunk_counts in infos:
+                    if not any(chunk_counts.get(c) for c in wanted):
+                        continue  # seek past: never read nor decompressed
+                    f.seek(pos)
+                    rec = _read_record_stream(f)
+                    if rec is None or rec[0]["op"][0] != _OP_CHUNK:
+                        raise ValueError(
+                            f"{path!r}: chunk-info points at a non-chunk "
+                            f"record (offset {pos})")
+                    hdr, data = rec
+                    for _, chdr, cdata in _iter_records(
+                            _decompress_chunk(hdr, data)):
+                        yield from decode_events(chdr, cdata)
+                return
+            f.seek(len(MAGIC))  # _read_trailing_index moved the cursor
         while True:
             rec = _read_record_stream(f)
             if rec is None:
