@@ -172,6 +172,100 @@ def test_frame_with_compressed_blocks():
     assert lz4.decompress(frame) == part1 + part2
 
 
+def _varied_payloads():
+    rng = np.random.default_rng(42)
+    payloads = [
+        b"", b"a", b"hello", bytes(12), bytes(13), bytes(14), bytes(64),
+        b"abcabcabcabcabcabcabc",
+        b"the quick brown fox jumps over the lazy dog. " * 500,
+        bytes(100000),                                          # long matches
+        rng.integers(0, 256, 5000, dtype=np.uint8).tobytes(),   # pure noise
+        rng.integers(0, 4, 70000, dtype=np.uint8).tobytes(),    # small alphabet
+        rng.integers(0, 256, 80, dtype=np.uint8).tobytes() * 1000,
+    ]
+    # far-reference structure: 2 KB of noise repeated ~70 KB later — the
+    # repeat sits beyond the 65535 offset cap, so it must stay literal
+    blob = rng.integers(0, 256, 70000, dtype=np.uint8).tobytes()
+    payloads.append(blob[:2000] + blob + blob[:2000])
+    return payloads
+
+
+def test_encode_block_backends_bit_identical():
+    """The C++ and pure-Python block encoders share hash, probe order and
+    acceleration schedule by design — their outputs must be byte-equal
+    (native b'' = 'did not shrink' maps to the Python encoder's None)."""
+    from trajectory_optimization_tpu.native import (
+        lz4_block_encode_native,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    for i, data in enumerate(_varied_payloads()):
+        nat = lz4_block_encode_native(data)
+        assert nat is not None  # library present
+        py = lz4._encode_block_py(data) if data else None
+        assert (nat or None) == py, f"payload #{i} ({len(data)} B) diverged"
+
+
+def test_encode_block_roundtrip_both_decoders():
+    """Everything the encoder emits must decode back exactly, through both
+    the Python and (when built) native block decoders."""
+    from trajectory_optimization_tpu.native import lz4_block_decode_native
+
+    for i, data in enumerate(_varied_payloads()):
+        if not data:
+            continue
+        comp = lz4._encode_block_py(data)
+        if comp is None:
+            continue  # incompressible: stored-block path, nothing to decode
+        assert len(comp) < len(data)
+        out = np.empty(len(data), np.uint8)
+        assert lz4._decode_block_py(comp, out, 0) == len(data)
+        assert out.tobytes() == data, f"payload #{i}"
+        nat = lz4_block_decode_native(comp, out, 0)
+        if nat is not None:
+            assert nat == len(data) and out.tobytes() == data
+
+
+def test_frame_compress_real_ratio():
+    """compress() now actually compresses: repetitive payloads shrink
+    (stored blocks only where data doesn't), and everything round-trips."""
+    text = b"scan %05d: all systems nominal; " * 40000
+    framed = lz4.compress(text)
+    assert len(framed) < len(text) // 4
+    assert lz4.decompress(framed) == text
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, 300000, dtype=np.uint8).tobytes()
+    mixed = text[:300000] + noise  # one compressible + one stored block
+    framed = lz4.compress(mixed, block_size=300000)
+    assert lz4.decompress(framed) == mixed
+    assert len(framed) < len(mixed)
+
+
+def test_bag_lz4_actually_compresses(tmp_path):
+    """An lz4 bag of structured clouds must come out smaller than its
+    chunks (rosbag parity: the reference session bag is lz4 at 79.5%)."""
+    from trajectory_optimization_tpu.bus.messages import CloudMsg, Header
+    from trajectory_optimization_tpu.bus.rosbag import bag_info, read_bag, write_bag
+
+    # organized-grid cloud: smooth coordinates, the repetitive structure a
+    # real sensor stream has (random floats would be entropy-limited)
+    g = np.mgrid[0:100, 0:120].astype(np.float32)
+    pts = np.stack([g[0].ravel(), g[1].ravel(), np.zeros(12000, np.float32)], 1)
+    msgs = [("/pc", CloudMsg(Header(stamp=float(i), frame_id="map"), pts))
+            for i in range(8)]
+    bag = tmp_path / "compressed.bag"
+    write_bag(str(bag), msgs, compression="lz4")
+    info = bag_info(str(bag))
+    assert info.compression.get("lz4", 0) >= 1
+    assert info.compressed < 0.75 * info.uncompressed
+    got = list(read_bag(str(bag)))
+    assert len(got) == 8
+    np.testing.assert_array_equal(got[3][2].xyz, pts.astype(np.float64))
+
+
 def test_bag_roundtrip_lz4(tmp_path):
     from trajectory_optimization_tpu.bus.messages import CloudMsg, Header
     from trajectory_optimization_tpu.bus.rosbag import read_bag, write_bag

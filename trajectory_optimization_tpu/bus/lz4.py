@@ -9,19 +9,22 @@ frames. This module implements, from the public LZ4 frame/block specs:
   verify) the optional xxHash checksums. Block decoding uses the native C
   decoder (``native.lz4_block_decode_native``) when built, else a pure-
   Python fallback with identical semantics.
-* :func:`compress` — spec-valid frame writer using STORED blocks (every
-  block flagged uncompressed). Any conformant LZ4 decoder reads it; the
-  trade is ratio 1.0 for zero encoder complexity — bz2 remains the choice
-  when bag size matters. The frame-descriptor checksum byte is a real
-  XXH32, so strict decoders (the lz4 CLI) accept the output.
+* :func:`compress` — spec-valid frame writer with REAL block compression:
+  a greedy hash-table matcher (native C++ at ~1.2 GB/s, bit-identical
+  pure-Python fallback for small blocks) in the shape of
+  LZ4_compress_default; incompressible blocks are stored per the spec.
+  The frame-descriptor checksum byte is a real XXH32, so strict decoders
+  (the lz4 CLI) accept the output.
 
 Written from the format specifications; decompression validated against
 hand-assembled vectors covering literals, extended lengths, and
-overlapping matches (tests/test_lz4.py).
+overlapping matches; compression round-trips through the decoder and the
+two encoder backends are pinned bit-identical (tests/test_lz4.py).
 """
 from __future__ import annotations
 
 import struct
+from typing import Optional
 
 import numpy as np
 
@@ -186,8 +189,102 @@ def decompress(data: bytes) -> bytes:
     return out[:pos].tobytes()
 
 
+def _encode_block_py(data: bytes) -> Optional[bytes]:
+    """Pure-Python LZ4 block encoder — BIT-IDENTICAL to the C++
+    ``lz4_block_encode`` (same 64K prefix hash, probe order, skip
+    acceleration, backward extension), so tests can pin backend agreement.
+    Returns None when the output would reach ``len(data)`` bytes (callers
+    then emit a stored block). ~1-2 s/MB interpreted — the native encoder
+    is the production path; see :func:`compress` for the size gate."""
+    n = len(data)
+    cap = n - 1
+    out = bytearray()
+
+    def emit_seq(lit_from: int, lit_n: int, offset: int, ml: int) -> bool:
+        # ml = match length - 4, or -1 for the final literal-only sequence
+        tok_pos = len(out)
+        out.append(0)
+        tok = 0xF0 if lit_n >= 15 else lit_n << 4
+        if lit_n >= 15:
+            rem = lit_n - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(data[lit_from : lit_from + lit_n])
+        if ml >= 0:
+            out.append(offset & 0xFF)
+            out.append(offset >> 8)
+            if ml >= 15:
+                tok |= 15
+                rem = ml - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+            else:
+                tok |= ml
+        out[tok_pos] = tok
+        return len(out) <= cap
+
+    anchor = 0
+    if n >= 13:  # LZ4_minLength: shorter inputs are all-literal
+        matchlimit = n - 5
+        table = {}
+        read32 = struct.Struct("<I").unpack_from
+        ip = 0
+        search_nb = 1 << 6  # acceleration 1, skipTrigger 6
+        while ip <= n - 13:
+            (v,) = read32(data, ip)
+            h = ((v * 2654435761) & 0xFFFFFFFF) >> 16
+            ref = table.get(h, -1)
+            table[h] = ip
+            if ref >= 0 and ip - ref <= 65535 and data[ref:ref + 4] == data[ip:ip + 4]:
+                mip, mref = ip, ref
+                while mip > anchor and mref > 0 and data[mip - 1] == data[mref - 1]:
+                    mip -= 1
+                    mref -= 1
+                mlen = 4
+                while mip + mlen < matchlimit and data[mref + mlen] == data[mip + mlen]:
+                    mlen += 1
+                if not emit_seq(anchor, mip - anchor, mip - mref, mlen - 4):
+                    return None
+                ip = mip + mlen
+                anchor = ip
+                search_nb = 1 << 6
+            else:
+                ip += search_nb >> 6
+                search_nb += 1
+    if not emit_seq(anchor, n - anchor, 0, -1):
+        return None
+    return bytes(out)
+
+
+# pure-Python encoding is ~1-2 s/MB; above this size a toolchain-less host
+# stores the block instead (spec-valid, ratio 1.0 — the old behavior)
+_PY_ENCODE_MAX = 256 << 10
+
+
+def _encode_block(data: bytes) -> Optional[bytes]:
+    """Compress one block, or None to store it (incompressible, or no
+    native encoder and the block is too big for the Python fallback)."""
+    from trajectory_optimization_tpu.native import lz4_block_encode_native
+
+    enc = lz4_block_encode_native(data)
+    if enc is None:  # no native library — the encoders are bit-identical,
+        if len(data) > _PY_ENCODE_MAX:  # so only block size gates here
+            return None
+        return _encode_block_py(data)
+    return enc or None  # b"" = did not shrink: store
+
+
 def compress(data: bytes, block_size: int = 4 << 20) -> bytes:
-    """Encode ``data`` as an LZ4 frame of STORED blocks (ratio 1.0)."""
+    """Encode ``data`` as a standard LZ4 frame (block-independent).
+
+    Blocks are REALLY compressed (greedy hash matcher, ~79% on the
+    reference's own session-bag mix per launch/rosbag_info.txt; ~1.2 GB/s
+    native): incompressible blocks are stored per the frame spec. Any
+    conformant reader (rosbag/roslz4, the lz4 CLI) decodes the output."""
     parts = [struct.pack("<I", _MAGIC)]
     # FLG: version 01, block-independent, no checksums/size/dict
     flg, bd = 0x60, 0x70  # BD code 7 = 4 MB max block
@@ -196,7 +293,12 @@ def compress(data: bytes, block_size: int = 4 << 20) -> bytes:
     parts.append(desc + bytes([hc]))
     for i in range(0, len(data), block_size):
         chunk = data[i : i + block_size]
-        parts.append(struct.pack("<I", 0x80000000 | len(chunk)))
-        parts.append(chunk)
+        enc = _encode_block(chunk) if chunk else None
+        if enc is None:
+            parts.append(struct.pack("<I", 0x80000000 | len(chunk)))
+            parts.append(chunk)
+        else:
+            parts.append(struct.pack("<I", len(enc)))
+            parts.append(enc)
     parts.append(struct.pack("<I", 0))  # EndMark
     return b"".join(parts)

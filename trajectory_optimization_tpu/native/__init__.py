@@ -84,6 +84,14 @@ def _load() -> Optional[ctypes.CDLL]:
         except AttributeError:
             lib.lz4_block_decode = None
         try:
+            lib.lz4_block_encode.restype = ctypes.c_int64
+            lib.lz4_block_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
+        except AttributeError:
+            lib.lz4_block_encode = None
+        try:
             lib.jpeg_probe.restype = ctypes.c_int32
             lib.jpeg_probe.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -310,6 +318,29 @@ def png_unfilter_native(raw: bytes, height: int, stride: int,
     if rc != 0:
         raise ValueError("bad PNG filter type")
     return out
+
+
+def lz4_block_encode_native(src: bytes) -> Optional[bytes]:
+    """Compress one LZ4 block in C++. Returns the compressed bytes,
+    ``b""`` when the data does not shrink (output would reach
+    ``len(src)`` — caller stores the block; do NOT retry in Python, the
+    encoders are bit-identical), or None when the native library is
+    unavailable (caller may fall back to the pure-Python encoder)."""
+    lib = _load()
+    if lib is None or getattr(lib, "lz4_block_encode", None) is None:
+        return None
+    s = np.frombuffer(src, dtype=np.uint8)
+    cap = len(s) - 1
+    if cap <= 0:
+        return b""
+    dst = np.empty(cap, dtype=np.uint8)
+    n = lib.lz4_block_encode(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(s),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if n < 0:
+        return b""
+    return dst[:n].tobytes()
 
 
 def lz4_block_decode_native(src: bytes, dst: np.ndarray, dst_pos: int):

@@ -125,8 +125,7 @@ void occupancy_grid(const float *pts, int64_t n, float resolution, float x0,
 // LZ4 *block* decoder (format per the public LZ4 block spec): sequences of
 // [token][literals][2-byte LE match offset][ext match len]. Written from the
 // spec for decoding lz4-compressed rosbag chunks (the reference's session
-// bag is lz4, launch/rosbag_info.txt); decompression only — the bag writer
-// emits spec-valid stored blocks and needs no encoder. Decodes into dst AT
+// bag is lz4, launch/rosbag_info.txt). Decodes into dst AT
 // dst_pos so block-DEPENDENT frames (matches reaching into prior blocks'
 // output) work by construction. Returns the new dst_pos, or -1 on malformed
 // input / insufficient dst capacity.
@@ -174,6 +173,96 @@ int64_t lz4_block_decode(const uint8_t *src, int64_t src_len, uint8_t *dst,
     }
     op += mlen;
   }
+  return op;
+}
+
+// LZ4 *block* encoder: greedy hash-table matcher in the shape of the
+// reference LZ4_compress_default (64K-entry hash of 4-byte prefixes,
+// skip-acceleration over incompressible runs, backward match extension),
+// honoring the spec's end-of-block rules: the last 5 bytes stay literal,
+// no match starts within the last 12 bytes. Output is spec-conformant but
+// NOT byte-identical to liblz4 (greedy choices differ slightly); it IS
+// bit-identical to the pure-Python mirror bus/lz4.py::_encode_block_py
+// (same hash, same probe order, same acceleration schedule) so tests pin
+// backend agreement. Little-endian hosts only (like the rest of the bag
+// codec — bus/codec.py guards big-endian loudly). Returns the compressed
+// size, or -1 when the output would not fit cap — callers hand the block
+// to the stored path (callers pass cap = n-1, so "doesn't fit" doubles as
+// "didn't shrink").
+int64_t lz4_block_encode(const uint8_t *src, int64_t n, uint8_t *dst,
+                         int64_t cap) {
+  int64_t op = 0;
+  auto emit_ext = [&](int64_t len) -> bool {  // the 15+ length extension
+    while (len >= 255) {
+      if (op >= cap) return false;
+      dst[op++] = 255;
+      len -= 255;
+    }
+    if (op >= cap) return false;
+    dst[op++] = static_cast<uint8_t>(len);
+    return true;
+  };
+  auto read32 = [&](int64_t i) -> uint32_t {
+    uint32_t v;
+    std::memcpy(&v, src + i, 4);
+    return v;
+  };
+  auto emit_seq = [&](int64_t lit_from, int64_t lit_n, int64_t offset,
+                      int64_t ml) -> bool {  // ml = match len - 4, or -1
+    if (op >= cap) return false;
+    const int64_t tok_pos = op++;
+    uint8_t tok = lit_n >= 15 ? 0xF0 : static_cast<uint8_t>(lit_n << 4);
+    if (lit_n >= 15 && !emit_ext(lit_n - 15)) return false;
+    if (op + lit_n > cap) return false;
+    std::memcpy(dst + op, src + lit_from, static_cast<size_t>(lit_n));
+    op += lit_n;
+    if (ml >= 0) {
+      if (op + 2 > cap) return false;
+      dst[op++] = static_cast<uint8_t>(offset & 0xFF);
+      dst[op++] = static_cast<uint8_t>(offset >> 8);
+      if (ml >= 15) {
+        tok |= 15;
+        if (!emit_ext(ml - 15)) return false;
+      } else {
+        tok |= static_cast<uint8_t>(ml);
+      }
+    }
+    dst[tok_pos] = tok;
+    return true;
+  };
+
+  int64_t anchor = 0;
+  if (n >= 13) {  // LZ4_minLength: shorter inputs are all-literal
+    const int64_t matchlimit = n - 5;  // matches may run up to here
+    std::vector<int32_t> table(1 << 16, -1);
+    int64_t ip = 0;
+    int64_t search_nb = 1 << 6;  // acceleration 1, skipTrigger 6
+    while (ip <= n - 13) {  // conservative 12-byte-tail rule for starts
+      const uint32_t v = read32(ip);
+      const uint32_t h =
+          static_cast<uint32_t>(v * UINT32_C(2654435761)) >> 16;
+      const int64_t ref = table[h];
+      table[h] = static_cast<int32_t>(ip);
+      if (ref >= 0 && ip - ref <= 65535 && read32(ref) == v) {
+        int64_t mip = ip, mref = ref;
+        while (mip > anchor && mref > 0 && src[mip - 1] == src[mref - 1]) {
+          --mip;
+          --mref;
+        }
+        int64_t mlen = 4;
+        while (mip + mlen < matchlimit && src[mref + mlen] == src[mip + mlen])
+          ++mlen;
+        if (!emit_seq(anchor, mip - anchor, mip - mref, mlen - 4)) return -1;
+        ip = mip + mlen;
+        anchor = ip;
+        search_nb = 1 << 6;
+      } else {
+        ip += search_nb >> 6;
+        ++search_nb;
+      }
+    }
+  }
+  if (!emit_seq(anchor, n - anchor, 0, -1)) return -1;
   return op;
 }
 
