@@ -652,6 +652,46 @@ def test_filter_bag_keeps_distinct_connections(tmp_path):
     assert definitions == {b"def 55", b"def 56"}
 
 
+def test_bag_recorder_split_size(tmp_path):
+    """rosbag record --split --size: the recording rolls to fresh,
+    independently indexed bags as the active file passes the size cap;
+    counts total across files and every file replays on its own."""
+    from trajectory_optimization_tpu.bus.rosbag import bag_info
+
+    bus = Bus()
+    pts = np.random.default_rng(0).normal(size=(9000, 3)).astype(np.float32)
+    with BagRecorder(bus, ["/pts"], str(tmp_path / "out.bag"),
+                     split_size=300_000) as rec:
+        for i in range(10):  # ~108 KB/cloud -> rolls every ~3 messages
+            bus.publish("/pts", CloudMsg(Header(stamp=float(i), frame_id="m"),
+                                         pts))
+        rec.flush()
+        assert rec.count == 10
+    assert len(rec.paths) >= 3
+    assert rec.paths[0].endswith("out_0.bag")
+    total, seen = 0, []
+    for p in rec.paths:
+        info = bag_info(p)  # each file carries its own trailing index
+        total += info.messages
+        seen += [m.header.stamp for _, _, m in read_bag(p)]
+    assert total == 10 and seen == [float(i) for i in range(10)]
+
+
+def test_bag_recorder_split_duration(tmp_path):
+    """rosbag record --split --duration: rolls on message-stamp span."""
+    bus = Bus()
+    with BagRecorder(bus, ["/pose"], str(tmp_path / "out.bag"),
+                     split_duration=3.0) as rec:
+        for i in range(10):
+            bus.publish("/pose", PoseMsg(Header(stamp=float(i), frame_id="m"),
+                                         [0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]))
+        rec.flush()
+    assert rec.count == 10 and len(rec.paths) >= 3
+    for p in rec.paths:
+        stamps = [m.header.stamp for _, _, m in read_bag(p)]
+        assert stamps and stamps[-1] - stamps[0] < 3.0  # span under the cap
+
+
 def test_bag_recorder_post_close_enqueue_never_wedges(tmp_path):
     """A publisher preempted between the recorder's closed-check and its
     queue put must not leave an unconsumed item behind close() — that item

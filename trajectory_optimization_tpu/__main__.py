@@ -194,6 +194,13 @@ def main(argv=None) -> int:
                         "equivalent; all topics unless --record-topics)")
     p.add_argument("--record-topics", nargs="*", default=None,
                    metavar="TOPIC", help="restrict --record to these topics")
+    p.add_argument("--record-split-size", type=float, default=None,
+                   metavar="MB", help="roll the recording to a new bag "
+                   "every MB megabytes (rosbag record --split --size)")
+    p.add_argument("--record-split-duration", type=float, default=None,
+                   metavar="SEC", help="roll the recording every SEC "
+                   "seconds of message time (rosbag record --split "
+                   "--duration)")
     args = p.parse_args(argv)
     if args.preset == "play_bag" and not args.play:
         p.error("play_bag requires --play PATH")
@@ -207,6 +214,9 @@ def main(argv=None) -> int:
         p.error("--loop/--start-offset/--duration require --play PATH")
     if args.loop < 1:
         p.error("--loop must be >= 1")
+    if ((args.record_split_size is not None
+         or args.record_split_duration is not None) and not args.record):
+        p.error("--record-split-* require --record PATH")
 
     handle, watch = _build(args)
     counts = {}
@@ -230,8 +240,11 @@ def main(argv=None) -> int:
             from trajectory_optimization_tpu.bus.rosbag import BagRecorder
 
             try:
-                recorder = BagRecorder(handle.bus, args.record_topics,
-                                       args.record)
+                recorder = BagRecorder(
+                    handle.bus, args.record_topics, args.record,
+                    split_size=(int(args.record_split_size * (1 << 20))
+                                if args.record_split_size else None),
+                    split_duration=args.record_split_duration)
             except OSError as e:
                 raise SystemExit(f"cannot record to {args.record}: {e}")
         if args.play:
@@ -259,8 +272,10 @@ def main(argv=None) -> int:
             if recorder is not None:
                 try:
                     recorder.close()
-                    print(f"recorded {recorder.count} messages to "
-                          f"{args.record}"
+                    where = (args.record if len(recorder.paths) == 1 else
+                             f"{len(recorder.paths)} files "
+                             f"({recorder.paths[0]} ..)")
+                    print(f"recorded {recorder.count} messages to {where}"
                           + (f" ({recorder.skipped} unserializable skipped)"
                              if recorder.skipped else ""))
                 except OSError as e:

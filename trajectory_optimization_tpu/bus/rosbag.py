@@ -1174,6 +1174,13 @@ class BagWriter:
         self._bag_hdr_pos = self._f.tell()
         self._write_bag_header(0, 0, 0)
 
+    @property
+    def size_bytes(self) -> int:
+        """Bytes flushed to disk plus the buffered chunk — approximately
+        the final file size (the trailing index adds a few hundred bytes
+        per connection/chunk). Call from the thread doing add()."""
+        return self._f.tell() + self._chunk_offset
+
     @staticmethod
     def _conn_record_bytes(conn_id: int, topic: str, ros_type: str) -> bytes:
         rec_hdr = _pack_header(
@@ -1407,12 +1414,33 @@ class BagRecorder:
     block when the queue backs up (lossless backpressure, like
     ``rosbag record``'s buffer). An I/O failure (e.g. disk full) stops
     the recording and re-raises from :meth:`close`.
+
+    ``split_size`` / ``split_duration`` mirror ``rosbag record --split
+    --size/--duration``: the recording rolls to a fresh, independently
+    indexed bag when the active file reaches ``split_size`` bytes (checked
+    after each write) or spans ``split_duration`` seconds of message-stamp
+    time (checked before the write that would exceed it). With either
+    set, ``out.bag`` becomes ``out_0.bag``, ``out_1.bag``, ...;
+    :attr:`paths` lists every file, :attr:`count` totals across them.
     """
 
     def __init__(self, bus: Bus, topics: Optional[Sequence[str]], path: str,
-                 *, queue_len: int = 256):
+                 *, queue_len: int = 256,
+                 split_size: Optional[int] = None,
+                 split_duration: Optional[float] = None):
+        if split_size is not None and split_size <= 0:
+            raise ValueError("split_size must be positive bytes")
+        if split_duration is not None and split_duration <= 0:
+            raise ValueError("split_duration must be positive seconds")
         self.path = path
-        self._writer = BagWriter(path)
+        self._split_size = split_size
+        self._split_duration = split_duration
+        self._seq = 0
+        self._count_closed = 0
+        self._file_first_stamp: Optional[float] = None
+        first = self._seq_path() if self._splitting else path
+        self.paths: List[str] = [first]
+        self._writer = BagWriter(first)
         self._skipped = 0
         self._io_error: Optional[OSError] = None
         self._closed = False
@@ -1445,6 +1473,24 @@ class BagRecorder:
 
         return cb
 
+    @property
+    def _splitting(self) -> bool:
+        return self._split_size is not None or self._split_duration is not None
+
+    def _seq_path(self) -> str:
+        base = self.path[:-4] if self.path.endswith(".bag") else self.path
+        return f"{base}_{self._seq}.bag"
+
+    def _roll(self) -> None:
+        """Close the active file and start the next (writer thread only)."""
+        self._count_closed += self._writer.count
+        self._writer.close()
+        self._seq += 1
+        nxt = self._seq_path()
+        self._writer = BagWriter(nxt)
+        self.paths.append(nxt)
+        self._file_first_stamp = None
+
     def _enqueue(self, topic, msg):
         # publishers mid-flight when close() runs may still call in here
         # (Bus.publish invokes taps outside its lock); the gate makes the
@@ -1466,7 +1512,20 @@ class BagRecorder:
                     continue  # broken recording: swallow the backlog
                 topic, msg = item
                 try:
+                    stamp = None
+                    if self._split_duration is not None:
+                        stamp = float(getattr(msg, "header").stamp)
+                        if (self._file_first_stamp is not None
+                                and stamp - self._file_first_stamp
+                                >= self._split_duration):
+                            self._roll()
                     self._writer.add(topic, msg)
+                    if stamp is not None and self._file_first_stamp is None:
+                        self._file_first_stamp = stamp
+                    if (self._split_size is not None
+                            and self._writer.size_bytes >= self._split_size
+                            and self._writer.count > 0):
+                        self._roll()
                 except OSError as e:
                     self._io_error = e
                 except Exception:
@@ -1476,7 +1535,7 @@ class BagRecorder:
 
     @property
     def count(self) -> int:
-        return self._writer.count
+        return self._count_closed + self._writer.count
 
     @property
     def skipped(self) -> int:
