@@ -230,23 +230,32 @@ def test_encode_block_roundtrip_both_decoders():
 
 def test_frame_compress_real_ratio():
     """compress() now actually compresses: repetitive payloads shrink
-    (stored blocks only where data doesn't), and everything round-trips."""
+    (stored blocks only where data doesn't), and everything round-trips.
+    Blocks stay under _PY_ENCODE_MAX so the pure-Python fallback engages
+    on toolchain-less hosts too."""
     text = b"scan %05d: all systems nominal; " * 40000
-    framed = lz4.compress(text)
+    framed = lz4.compress(text, block_size=200_000)
     assert len(framed) < len(text) // 4
     assert lz4.decompress(framed) == text
 
     rng = np.random.default_rng(3)
-    noise = rng.integers(0, 256, 300000, dtype=np.uint8).tobytes()
-    mixed = text[:300000] + noise  # one compressible + one stored block
-    framed = lz4.compress(mixed, block_size=300000)
+    noise = rng.integers(0, 256, 150000, dtype=np.uint8).tobytes()
+    mixed = text[:150000] + noise  # one compressible + one stored block
+    framed = lz4.compress(mixed, block_size=150000)
     assert lz4.decompress(framed) == mixed
     assert len(framed) < len(mixed)
 
 
 def test_bag_lz4_actually_compresses(tmp_path):
     """An lz4 bag of structured clouds must come out smaller than its
-    chunks (rosbag parity: the reference session bag is lz4 at 79.5%)."""
+    chunks (rosbag parity: the reference session bag is lz4 at 79.5%).
+    Bag chunks are ~1 MB — above the Python encoder's size gate — so this
+    needs the native encoder (frame-level ratios without it are covered
+    by test_frame_compress_real_ratio)."""
+    from trajectory_optimization_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain: 1 MB chunks store without it")
     from trajectory_optimization_tpu.bus.messages import CloudMsg, Header
     from trajectory_optimization_tpu.bus.rosbag import bag_info, read_bag, write_bag
 

@@ -595,6 +595,32 @@ def test_bag_player_loop_start_duration(tmp_path, streaming):
     assert stamps(duration=1.0, loop=3) == [0.0, 1.0] * 3
 
 
+def test_bag_player_duration_survives_stamp_jitter(tmp_path):
+    """Streaming replay runs in record order, where stamps jitter: one
+    out-of-order record past the window must be SKIPPED, not end the
+    pass — in-window messages behind it still play (regression: the
+    duration break originally fired on the first out-of-window stamp)."""
+    from trajectory_optimization_tpu.bus.rosbag import BagPlayer, BagWriter
+
+    path = str(tmp_path / "jitter.bag")
+    pts = np.ones((8, 3), np.float32)
+    w = BagWriter(path)
+    for s in [0.0, 1.0, 2.0, 8.0, 3.0, 4.0]:  # 8.0 jitters past the window
+        w.add("/pts", CloudMsg(Header(stamp=s, frame_id="m"), pts))
+    w.close()
+    bus = Bus()
+    seen = []
+    bus.subscribe("/pts", lambda m: seen.append(m.header.stamp))
+    BagPlayer(path, streaming=True).play(bus, duration=5.0)
+    assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
+    # the globally sorted player cuts exactly, jitter or not
+    bus2 = Bus()
+    seen2 = []
+    bus2.subscribe("/pts", lambda m: seen2.append(m.header.stamp))
+    BagPlayer(path).play(bus2, duration=5.0)
+    assert seen2 == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
 def test_filter_bag_keeps_distinct_connections(tmp_path):
     """Two source connections sharing (topic, type) — multiple publishers /
     merged bags with differing callerid/md5sum — must stay TWO connections
@@ -690,6 +716,25 @@ def test_bag_recorder_split_duration(tmp_path):
     for p in rec.paths:
         stamps = [m.header.stamp for _, _, m in read_bag(p)]
         assert stamps and stamps[-1] - stamps[0] < 3.0  # span under the cap
+
+
+def test_bag_recorder_duration_split_skips_unserializable(tmp_path):
+    """A message with no bag encoder must neither roll the recording nor
+    leave an empty split file — rosbag record never rolls for a message
+    it does not write (regression: the duration check originally ran
+    before encodability was known)."""
+    bus = Bus()
+    with BagRecorder(bus, None, str(tmp_path / "out.bag"),
+                     split_duration=3.0) as rec:
+        bus.publish("/pose", PoseMsg(Header(stamp=0.0, frame_id="m"),
+                                     [0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]))
+        bus.publish("/weird", object())  # stamp 5 equivalent: unencodable
+        bus.publish("/pose", PoseMsg(Header(stamp=1.0, frame_id="m"),
+                                     [0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]))
+        rec.flush()
+        assert rec.count == 2 and rec.skipped == 1
+    assert rec.paths == [str(tmp_path / "out_0.bag")]  # no spurious roll
+    assert [m.header.stamp for _, _, m in read_bag(rec.paths[0])] == [0.0, 1.0]
 
 
 def test_bag_recorder_post_close_enqueue_never_wedges(tmp_path):

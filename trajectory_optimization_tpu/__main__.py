@@ -217,6 +217,10 @@ def main(argv=None) -> int:
     if ((args.record_split_size is not None
          or args.record_split_duration is not None) and not args.record):
         p.error("--record-split-* require --record PATH")
+    if args.record_split_size is not None and args.record_split_size <= 0:
+        p.error("--record-split-size must be positive megabytes")
+    if args.record_split_duration is not None and args.record_split_duration <= 0:
+        p.error("--record-split-duration must be positive seconds")
 
     handle, watch = _build(args)
     counts = {}
@@ -243,7 +247,8 @@ def main(argv=None) -> int:
                 recorder = BagRecorder(
                     handle.bus, args.record_topics, args.record,
                     split_size=(int(args.record_split_size * (1 << 20))
-                                if args.record_split_size else None),
+                                if args.record_split_size is not None
+                                else None),
                     split_duration=args.record_split_duration)
             except OSError as e:
                 raise SystemExit(f"cannot record to {args.record}: {e}")
@@ -272,9 +277,11 @@ def main(argv=None) -> int:
             if recorder is not None:
                 try:
                     recorder.close()
-                    where = (args.record if len(recorder.paths) == 1 else
-                             f"{len(recorder.paths)} files "
-                             f"({recorder.paths[0]} ..)")
+                    # recorder.paths[0], not args.record: in splitting
+                    # mode even a single file is named out_0.bag
+                    where = (recorder.paths[0] if len(recorder.paths) == 1
+                             else f"{len(recorder.paths)} files "
+                                  f"({recorder.paths[0]} ..)")
                     print(f"recorded {recorder.count} messages to {where}"
                           + (f" ({recorder.skipped} unserializable skipped)"
                              if recorder.skipped else ""))

@@ -1512,6 +1512,14 @@ class BagRecorder:
                     continue  # broken recording: swallow the backlog
                 topic, msg = item
                 try:
+                    if type(msg) not in _TYPE_OF_MSG:
+                        # no bag encoder: skip BEFORE any duration roll —
+                        # rosbag record never rolls for a message it does
+                        # not write (a -a tap sees unserializable types
+                        # routinely; rolling on them would litter empty
+                        # split files)
+                        self._skipped += 1
+                        continue
                     stamp = None
                     if self._split_duration is not None:
                         stamp = float(getattr(msg, "header").stamp)
@@ -1582,6 +1590,12 @@ class BagRecorder:
         self.close()
 
 
+# record-order stamp jitter tolerated before a duration-windowed streaming
+# replay concludes the bag is past the window (rosbag chunks are in time
+# order; intra/inter-chunk interleave jitters stamps by far less than this)
+_STREAM_REORDER_SLACK = 30.0
+
+
 class BagPlayer:
     """Replay a .bag file onto a bus (rosbag-play equivalent; same API as
     replay.Player).
@@ -1637,9 +1651,12 @@ class BagPlayer:
         replay the bag ``loop`` times, skipping messages stamped within
         the first ``start`` seconds of bag time and stopping ``duration``
         seconds after that offset (each pass restarts its realtime clock,
-        like rosbag's loop). Streaming bags replay in record order, so
-        the window cut uses a monotone high-water stamp — a single
-        out-of-order record cannot end the pass early."""
+        like rosbag's loop). Streaming bags replay in record order, where
+        stamps jitter: out-of-window records are skipped individually,
+        and the pass only ENDS once the high-water stamp runs
+        ``_STREAM_REORDER_SLACK`` seconds past the window — a single
+        jittered stamp cannot drop in-window messages behind it.
+        Non-streaming (globally sorted) players cut exactly."""
         total = 0
         for _ in range(max(1, int(loop))):
             total += self._play_once(bus, realtime, rate, prefetch,
@@ -1698,6 +1715,7 @@ class BagPlayer:
                     yield item
 
             src = drain()
+        sorted_events = self._events is not None
         prev_t = None
         n = 0
         t0 = None  # first record's stamp = bag start for the -s/-u window
@@ -1707,8 +1725,18 @@ class BagPlayer:
                 if t0 is None:
                     t0 = t
                 hw = t if hw is None else max(hw, t)
-                if duration is not None and hw - t0 > start + duration:
-                    break
+                if duration is not None:
+                    end = start + duration
+                    if t - t0 > end:
+                        # out-of-window. Sorted events: nothing in-window
+                        # can follow — stop. Record order: one jittered
+                        # stamp must not drop in-window messages behind
+                        # it — skip, and stop only once the high-water
+                        # stamp is well past the window (chunk time order
+                        # bounds the jitter to roughly a chunk's span).
+                        if sorted_events or hw - t0 > end + _STREAM_REORDER_SLACK:
+                            break
+                        continue
                 if t - t0 < start:
                     continue
                 if realtime and prev_t is not None:
