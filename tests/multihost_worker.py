@@ -1,24 +1,94 @@
-"""Subprocess worker for the real multi-process multihost test.
+"""Subprocess worker for the real multi-process multihost tests.
 
 Launched (not imported) by tests/test_multihost_process.py, twice, with
-argv = [pid, nproc, port, outdir]. Each process owns 2 virtual CPU devices;
-together they form the 4-device ('wps'=1, 'pts'=4) multihost mesh that
-parallel.multihost builds over the distributed runtime, with cross-process
-collectives riding Gloo — the CPU stand-in for DCN.
+argv = [pid, nproc, port, outdir, mode]. Each process owns 2 virtual CPU
+devices; together they form the 4-device ('wps'=1, 'pts'=4) multihost mesh
+that parallel.multihost builds over the distributed runtime, with
+cross-process collectives riding Gloo — the CPU stand-in for DCN.
 
-The worker runs N full sharded-Pallas train steps (the production multi-chip
+mode='traj': N full sharded-Pallas train steps (the production multi-chip
 path, parallel.sharded.make_sharded_train_step backend='pallas') on per-
 process cloud slices assembled via shard_points_multihost, then process 0
 saves the final params next to a single-device ground truth computed from
 the full cloud (models.traj.traj_forward + the same optimizer) for the
 parent test to compare.
+
+mode='pose': the occlusion-aware sharded pose loss+step
+(parallel.pose_sharded) — its differentiable binned-HPR candidate
+exchange is an all_gather per grid, here genuinely crossing processes
+over Gloo. Process 0 saves the sharded init loss next to the single-chip
+pose_forward(soft_hpr=True) loss, plus two Adam steps' losses.
 """
 import os
 import sys
 
 
+def _pose_phase(pid: int, nproc: int, mesh, outdir: str) -> None:
+    """Occlusion-aware sharded pose step across processes (mode='pose')."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem,
+        init_pose_params,
+        pose_forward,
+    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+    from trajectory_optimization_tpu.parallel.multihost import (
+        shard_points_multihost,
+    )
+    from trajectory_optimization_tpu.parallel.pose_sharded import (
+        make_sharded_pose_step,
+        pose_loss_sharded,
+    )
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    n_pts = 4096
+    rng = np.random.default_rng(11)
+    full = rng.uniform(-8.0, 8.0, size=(n_pts, 3)).astype(np.float32)
+    full[:, 2] += 6.0  # in front of the initial camera
+    n_local = n_pts // nproc
+    local = full[pid * n_local : (pid + 1) * n_local]
+    pts, valid = shard_points_multihost(mesh, local, np.ones(n_local, np.float32))
+
+    intr = default_intrinsics()
+    # soft_hpr_dense_max=0: the single-chip reference must route through
+    # the binned kernel (the tier _local_mask shards) even at this small N,
+    # with the same default cap — else it compares the O(N^2) relaxation
+    prob = PoseProblem(img_width=intr.width, img_height=intr.height,
+                       min_dist=1.0, max_dist=12.0, soft_hpr=True,
+                       soft_hpr_dense_max=0)
+    K = intr.matrix()
+    params = init_pose_params(jnp.zeros(3), jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+
+    # init-loss parity vs the single-chip soft-HPR pose loss — the
+    # candidate exchange underneath is an all_gather that here REALLY
+    # crosses processes over Gloo
+    loss0, _ = pose_loss_sharded(mesh, params, pts, valid, K, prob)
+    loss0 = float(loss0)
+
+    init_fn, step_fn = make_sharded_pose_step(
+        mesh, prob, OptimizerConfig(lr_pose=0.05, lr_quat=0.02))
+    opt_state = init_fn(params)
+    losses = []
+    for _ in range(2):
+        params, opt_state, loss, obs = step_fn(params, opt_state, pts, valid, K)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+
+    if pid == 0:
+        ref_loss, _ = pose_forward(
+            init_pose_params(jnp.zeros(3), jnp.asarray([1.0, 0.0, 0.0, 0.0])),
+            jnp.asarray(full), K, prob)
+        np.savez(os.path.join(outdir, "pose_result.npz"),
+                 loss0=loss0, ref_loss0=float(ref_loss),
+                 losses=np.asarray(losses))
+    print(f"[worker {pid}] pose ok loss0={loss0} steps={losses}", flush=True)
+
+
 def main() -> None:
     pid, nproc, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "traj"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     xla_flags = os.environ.get("XLA_FLAGS", "")
@@ -54,6 +124,10 @@ def main() -> None:
     assert len(jax.devices()) == 2 * nproc, jax.devices()
     mesh = make_multihost_mesh()
     assert dict(mesh.shape) == {"wps": 1, "pts": 2 * nproc}
+
+    if mode == "pose":
+        _pose_phase(pid, nproc, mesh, outdir)
+        return
 
     # Deterministic shared workload: every process regenerates the same full
     # cloud and takes its own contiguous slice (as a real multi-host loader

@@ -24,8 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_sharded_train_step(tmp_path):
+def _run_workers(tmp_path, mode: str):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
     port = _free_port()
@@ -39,7 +38,8 @@ def test_two_process_sharded_train_step(tmp_path):
     logs = [open(tmp_path / f"worker{pid}.log", "w+") for pid in range(2)]
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+            [sys.executable, worker, str(pid), "2", str(port), str(tmp_path),
+             mode],
             env=env,
             stdout=logs[pid],
             stderr=subprocess.STDOUT,
@@ -66,6 +66,10 @@ def test_two_process_sharded_train_step(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
 
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step(tmp_path):
+    _run_workers(tmp_path, "traj")
     r = np.load(tmp_path / "result.npz")
     assert np.isfinite(r["loss"]) and np.isfinite(r["ref_loss"])
     # same algorithm, different reduction topology (Gloo tree vs one-device):
@@ -73,3 +77,18 @@ def test_two_process_sharded_train_step(tmp_path):
     np.testing.assert_allclose(r["loss"], r["ref_loss"], rtol=1e-4)
     np.testing.assert_allclose(r["poses"], r["ref_poses"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(r["quats"], r["ref_quats"], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_occlusion_aware_pose_step(tmp_path):
+    """The occlusion-aware sharded pose loss/step over a REAL 2-process
+    jax.distributed runtime: the differentiable binned-HPR candidate
+    exchange is an all_gather per grid that here genuinely crosses
+    processes over Gloo (the DCN stand-in). Init loss must match the
+    single-chip pose_forward(soft_hpr=True) binned tier, and two Adam
+    steps must stay finite."""
+    _run_workers(tmp_path, "pose")
+    r = np.load(tmp_path / "pose_result.npz")
+    assert np.isfinite(r["loss0"]) and np.isfinite(r["ref_loss0"])
+    np.testing.assert_allclose(r["loss0"], r["ref_loss0"], rtol=1e-4)
+    assert np.isfinite(r["losses"]).all()
