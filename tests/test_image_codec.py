@@ -295,9 +295,11 @@ def test_jpeg_encoder_roundtrip_self():
     assert gout.ndim == 2 and grms < 6.0
 
 
-def test_jpeg_encoder_native_matches_python():
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_jpeg_encoder_native_matches_python(subsampling):
     """The C++ and Python encoders share tables and numerics; their
-    streams must decode identically (measured: byte-identical sizes)."""
+    streams must decode identically to within +-1 count (double FDCT
+    summation order is the only difference; sizes track within noise)."""
     if not native_available():
         pytest.skip("no native toolchain")
     import trajectory_optimization_tpu.native as nat
@@ -306,17 +308,45 @@ def test_jpeg_encoder_native_matches_python():
 
     rng = np.random.default_rng(15)
     img = _structured_image_for_fixtures(rng, 61, 83)
-    blob_native = jpeg_encode_native(img, 90)
+    blob_native = jpeg_encode_native(img, 90, subsampling=subsampling)
     real = nat._load
     nat._load = lambda: None  # force the Python bit-writer
     try:
-        blob_py = encode_jpeg(img, 90)
+        blob_py = encode_jpeg(img, 90, subsampling=subsampling)
     finally:
         nat._load = real
     a = decode_jpeg(blob_native).astype(int)
     b = decode_jpeg(blob_py).astype(int)
     assert np.abs(a - b).max() <= 1
     assert abs(len(blob_native) - len(blob_py)) <= 64  # headers identical
+
+
+def test_jpeg_encode_420(tmp_path):
+    """4:2:0 encoding: valid streams PIL decodes bit-identically to us,
+    meaningfully smaller than 4:4:4 on photo-like content, correct at odd
+    dims, and the transcoded-bag path uses it (camera streams re-encoded
+    at roughly their source size, not double)."""
+    from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(4)
+    g = np.mgrid[0:97, 0:121]
+    img = np.stack([
+        128 + 80 * np.sin(g[0] / 17.0) + rng.normal(0, 5, g[0].shape),
+        128 + 80 * np.cos(g[1] / 23.0) + rng.normal(0, 5, g[0].shape),
+        (g[0] + g[1]) % 200,
+    ], -1).clip(0, 255).astype(np.uint8)
+    b420 = encode_jpeg(img, quality=85, subsampling="420")
+    b444 = encode_jpeg(img, quality=85, subsampling="444")
+    assert len(b420) < 0.8 * len(b444)
+    out = decode_jpeg(b420)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 6.0, err
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, subsampling="422")
+    # gray ignores the knob
+    assert encode_jpeg(img[:, :, 0], subsampling="420") == encode_jpeg(
+        img[:, :, 0], subsampling="444")
 
 
 def test_jpeg_encode_noise_q100_and_dtype_guard():
@@ -410,7 +440,18 @@ def test_bag_roundtrip_compressed_streams(tmp_path):
     dec2 = out2["/viz/camera_0/image/compressed"]
     assert dec2.encoding == "rgb8" and dec2.data.shape == img.shape
     rms2 = np.sqrt(((dec2.data.astype(int) - img.astype(int)) ** 2).mean())
-    assert rms2 < 35.0  # one extra q90 transcode generation
+    # transcode re-encodes at 4:2:0 (the camera-stream default): on pure
+    # random noise the 2x2 chroma average discards per-pixel chroma by
+    # design — the adversarial case (structured content transcodes at
+    # rms ~3, pinned below on camera_2). Luma must stay q-error only.
+    assert rms2 < 65.0
+
+    def _luma(a):
+        a = np.asarray(a, np.float64)
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    yerr = np.abs(_luma(dec2.data) - _luma(dec.data)).mean()
+    assert yerr < 12.0, yerr  # luma is NOT subsampled: q-error only
     assert bytes(out2["/viz/camera_1/image/compressed"].data) == LOSSLESS_STUB
     pm2 = out2["/viz/camera_2/image/compressed"]
     assert pm2.encoding == "rgb8"  # progressive -> baseline transcode on copy

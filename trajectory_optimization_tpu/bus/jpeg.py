@@ -945,20 +945,27 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """Encode uint8 (H, W) gray or (H, W, 3) RGB as baseline JPEG (4:4:4).
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "444") -> bytes:
+    """Encode uint8 (H, W) gray or (H, W, 3) RGB as baseline JPEG.
+
+    ``subsampling``: "444" (one chroma sample per pixel) or "420" (2x2
+    box-averaged chroma, the libjpeg/cv2 ecosystem default — about half
+    the bytes on camera content). Ignored for gray.
 
     From-spec encoder with the T.81 Annex K example tables; output decodes
     with this module, the native C++ path, and any standard decoder.
     C++ fast path when built (native.jpeg_encode — the Python bit writer
     costs seconds per 2MP frame); same tables and numerics either way.
     """
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     img = np.asarray(img)
     if img.dtype == np.uint8 and img.ndim in (2, 3) and (
             img.ndim == 2 or img.shape[-1] == 3):
         from trajectory_optimization_tpu.native import jpeg_encode_native
 
-        blob = jpeg_encode_native(img, quality)
+        blob = jpeg_encode_native(img, quality, subsampling=subsampling)
         if blob is not None:
             return blob
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
@@ -966,10 +973,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     gray = img.ndim == 2
     if not gray and img.shape[2] != 3:
         raise ValueError(f"expected 3 channels, got {img.shape[2]}")
+    sub420 = subsampling == "420" and not gray
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    mcu = 16 if sub420 else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu  # luma padded dims
     q_luma = _scaled_qtable(_Q_LUMA, quality)
     q_chroma = _scaled_qtable(_Q_CHROMA, quality)
 
@@ -986,6 +995,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     for ci, p in enumerate(planes):
         p = np.clip(np.floor(p + 0.5), 0, 255)
         p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        if sub420 and ci > 0:
+            # integer 2x2 box average on the rounded samples (bias +2;
+            # the C++ path computes the same samples — streams then agree
+            # to the usual encoder contract: decode within ±1 count)
+            ip = p.astype(np.int64)
+            p = ((ip[0::2, 0::2] + ip[0::2, 1::2]
+                  + ip[1::2, 0::2] + ip[1::2, 1::2] + 2) >> 2).astype(np.float64)
         coefs.append(_fdct_quant(p, q_luma if ci == 0 else q_chroma))
 
     dc_tabs = [_enc_table(_DC_LUMA_SPEC), _enc_table(_DC_CHROMA_SPEC)]
@@ -1006,7 +1022,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytearray([8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, ncomp])
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        hv = 0x22 if (sub420 and c == 0) else 0x11
+        sof += bytes([c + 1, hv, 0 if c == 0 else 1])
     seg(0xC0, bytes(sof))
     for tc, th, spec in [(0, 0, _DC_LUMA_SPEC), (1, 0, _AC_LUMA_SPEC)] + (
             [] if gray else [(0, 1, _DC_CHROMA_SPEC), (1, 1, _AC_CHROMA_SPEC)]):
@@ -1021,44 +1038,57 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _BitWriter()
     preds = [0] * ncomp
-    nblocks = coefs[0].shape[0]
-    for bi in range(nblocks):
-        for ci in range(ncomp):
-            t = 0 if ci == 0 else 1
-            dct, act = dc_tabs[t], ac_tabs[t]
-            blk = coefs[ci][bi]
-            dc = int(blk[0])
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            s = _category(diff)
-            code, ln = dct[s]
-            bw.put(code, ln)
-            if s:
-                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = 0
-            nz = np.flatnonzero(blk[1:])
-            last_nz = (nz[-1] + 1) if nz.size else 0
-            k = 1
-            while k <= last_nz:
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    k += 1
-                    continue
-                while run > 15:
-                    code, ln = act[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                s = _category(v)
-                code, ln = act[(run << 4) | s]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
+
+    def emit_block(blk, ci):
+        t = 0 if ci == 0 else 1
+        dct, act = dc_tabs[t], ac_tabs[t]
+        dc = int(blk[0])
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = _category(diff)
+        code, ln = dct[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.flatnonzero(blk[1:])
+        last_nz = (nz[-1] + 1) if nz.size else 0
+        k = 1
+        while k <= last_nz:
+            v = int(blk[k])
+            if v == 0:
+                run += 1
                 k += 1
-            if last_nz < 63:
-                code, ln = act[0x00]  # EOB
+                continue
+            while run > 15:
+                code, ln = act[0xF0]  # ZRL
                 bw.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = act[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            code, ln = act[0x00]  # EOB
+            bw.put(code, ln)
+
+    if sub420:
+        # MCU = 2x2 Y blocks (row-major within the MCU) + Cb + Cr
+        mx, my = pw // 16, ph // 16
+        nbx_y = pw // 8
+        for m in range(mx * my):
+            mr, mc = divmod(m, mx)
+            for by in range(2):
+                for bx in range(2):
+                    emit_block(coefs[0][(2 * mr + by) * nbx_y + 2 * mc + bx], 0)
+            emit_block(coefs[1][m], 1)
+            emit_block(coefs[2][m], 2)
+    else:
+        for bi in range(coefs[0].shape[0]):
+            for ci in range(ncomp):
+                emit_block(coefs[ci][bi], ci)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI

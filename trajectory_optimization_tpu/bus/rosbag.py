@@ -583,7 +583,9 @@ def _encode_transcoded_image(msg: ImageMsg) -> bytes:
 
     data = np.asarray(msg.data)
     if msg.wire_format == "jpeg":
-        blob = encode_jpeg(data, quality=90)
+        # 4:2:0 like the source streams (the libjpeg/cv2 ecosystem
+        # default) — 4:4:4 would roughly double the re-encoded size
+        blob = encode_jpeg(data, quality=90, subsampling="420")
         fmt = "jpeg"
     else:
         blob = encode_png(data)

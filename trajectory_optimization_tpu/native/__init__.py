@@ -116,6 +116,16 @@ def _load() -> Optional[ctypes.CDLL]:
         except AttributeError:
             lib.jpeg_encode = None
         try:
+            lib.jpeg_encode_sub.restype = ctypes.c_int64
+            lib.jpeg_encode_sub.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
+        except AttributeError:
+            lib.jpeg_encode_sub = None
+        try:
             lib.png_unfilter.restype = ctypes.c_int32
             lib.png_unfilter.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -257,15 +267,21 @@ def jpeg_decode_native(data: bytes) -> Optional[np.ndarray]:
     return out.reshape(h.value, w.value, nc.value)
 
 
-def jpeg_encode_native(img: np.ndarray, quality: int = 85) -> Optional[bytes]:
-    """Encode uint8 gray/(H,W,3) RGB as baseline 4:4:4 JPEG in C++.
+def jpeg_encode_native(img: np.ndarray, quality: int = 85,
+                       subsampling: str = "444") -> Optional[bytes]:
+    """Encode uint8 gray/(H,W,3) RGB as baseline JPEG (4:4:4 or 4:2:0)
+    in C++.
 
-    Returns None when the native library is unavailable (bus.jpeg's
+    Returns None when the native library is unavailable, or lacks the
+    jpeg_encode_sub entry point and 4:2:0 was requested (bus.jpeg's
     Python encoder is the fallback — same tables/design, ~100x slower).
     """
     lib = _load()
     if lib is None or getattr(lib, "jpeg_encode", None) is None:
         return None
+    sub420 = subsampling == "420"
+    if sub420 and getattr(lib, "jpeg_encode_sub", None) is None:
+        return None  # stale prebuilt .so without the 4:2:0 entry point
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError(f"JPEG encode needs uint8 input, got {img.dtype}")
@@ -285,10 +301,13 @@ def jpeg_encode_native(img: np.ndarray, quality: int = 85) -> Optional[bytes]:
     for mult in (2, 4):
         cap = mult * h * w * ncomp + (1 << 16)
         out = np.empty(cap, dtype=np.uint8)
-        n = lib.jpeg_encode(
-            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ncomp,
-            int(quality), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            cap)
+        src = img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        dst = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if sub420:
+            n = lib.jpeg_encode_sub(src, h, w, ncomp, int(quality), 1,
+                                    dst, cap)
+        else:
+            n = lib.jpeg_encode(src, h, w, ncomp, int(quality), dst, cap)
         if n != -3:  # -3 = output buffer overflow
             break
     if n == -3:

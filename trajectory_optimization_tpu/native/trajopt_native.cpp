@@ -1348,12 +1348,18 @@ inline int category(int v) {
 extern "C" {
 
 // Encode uint8 gray (ncomp=1) or interleaved RGB (ncomp=3) as a baseline
-// 4:4:4 JPEG with the Annex K tables. Returns bytes written, or
-// -1 bad args / -3 dst too small.
-int64_t jpeg_encode(const uint8_t *img, int32_t h, int32_t w, int32_t ncomp,
-                    int32_t quality, uint8_t *dst, int64_t cap) {
+// JPEG with the Annex K tables — 4:4:4, or 4:2:0 (sub420 != 0, RGB only;
+// 2x2 integer box-averaged chroma, same samples as bus/jpeg.py's
+// subsampling="420" path; streams agree with the Python encoder to the
+// 4:4:4 contract — decode within +-1 count, double FDCT summation order
+// is the only difference). Returns bytes written, or -1 bad args /
+// -3 dst too small.
+int64_t jpeg_encode_sub(const uint8_t *img, int32_t h, int32_t w,
+                        int32_t ncomp, int32_t quality, int32_t sub420,
+                        uint8_t *dst, int64_t cap) {
   using namespace jpegenc;
   if (h <= 0 || w <= 0 || (ncomp != 1 && ncomp != 3)) return -1;
+  if (ncomp == 1) sub420 = 0;  // gray has no chroma to subsample
   quality = quality < 1 ? 1 : (quality > 100 ? 100 : quality);
   const int scale = quality < 50 ? 5000 / quality : 200 - 2 * quality;
   int32_t qluma[64], qchroma[64];
@@ -1403,7 +1409,7 @@ int64_t jpeg_encode(const uint8_t *img, int32_t h, int32_t w, int32_t ncomp,
   sof[sn++] = static_cast<uint8_t>(ncomp);
   for (int c = 0; c < ncomp; ++c) {
     sof[sn++] = static_cast<uint8_t>(c + 1);
-    sof[sn++] = 0x11;
+    sof[sn++] = (sub420 && c == 0) ? 0x22 : 0x11;
     sof[sn++] = c == 0 ? 0 : 1;
   }
   bw.seg(0xC0, sof, sn);
@@ -1440,97 +1446,143 @@ int64_t jpeg_encode(const uint8_t *img, int32_t h, int32_t w, int32_t ncomp,
   sos[sn++] = 0;
   bw.seg(0xDA, sos, sn);
 
-  // entropy-coded scan: per MCU (8x8, 4:4:4) all components
-  const int bh = (h + 7) / 8, bwid = (w + 7) / 8;
+  // entropy-coded scan
   int preds[3] = {0, 0, 0};
-  double plane[3][8][8], B[8][8], tmp[8][8];
+  double B[8][8], tmp[8][8];
   int32_t coef[64];
-  for (int by = 0; by < bh; ++by) {
-    for (int bx = 0; bx < bwid; ++bx) {
-      // load + color convert one 8x8 block (edge-replicated padding)
+  // FDCT (F = A^T (blk - 128) A, double precision) + quantize +
+  // huffman-emit one 8x8 block of component c
+  auto encode_block = [&](const double blk[8][8], int c) {
+    for (int y = 0; y < 8; ++y)
+      for (int x = 0; x < 8; ++x) B[y][x] = blk[y][x] - 128.0;
+    for (int u = 0; u < 8; ++u)
       for (int y = 0; y < 8; ++y) {
-        int sy = by * 8 + y;
-        sy = sy >= h ? h - 1 : sy;
-        for (int x = 0; x < 8; ++x) {
-          int sx = bx * 8 + x;
-          sx = sx >= w ? w - 1 : sx;
-          if (ncomp == 1) {
-            plane[0][y][x] = img[static_cast<int64_t>(sy) * w + sx];
-          } else {
-            const uint8_t *p = img + (static_cast<int64_t>(sy) * w + sx) * 3;
-            const double r = p[0], g = p[1], b = p[2];
-            double yv = 0.299 * r + 0.587 * g + 0.114 * b;
-            double cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0;
-            double cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0;
-            yv = std::floor(yv + 0.5);
-            cb = std::floor(cb + 0.5);
-            cr = std::floor(cr + 0.5);
-            plane[0][y][x] = yv < 0 ? 0 : (yv > 255 ? 255 : yv);
-            plane[1][y][x] = cb < 0 ? 0 : (cb > 255 ? 255 : cb);
-            plane[2][y][x] = cr < 0 ? 0 : (cr > 255 ? 255 : cr);
-          }
-        }
+        double s = 0.0;
+        for (int x = 0; x < 8; ++x) s += A[x][u] * B[x][y];
+        tmp[u][y] = s;
       }
-      for (int c = 0; c < ncomp; ++c) {
-        // FDCT: F = A^T (plane - 128) A, double precision
-        for (int y = 0; y < 8; ++y)
-          for (int x = 0; x < 8; ++x) B[y][x] = plane[c][y][x] - 128.0;
-        for (int u = 0; u < 8; ++u)
-          for (int y = 0; y < 8; ++y) {
-            double s = 0.0;
-            for (int x = 0; x < 8; ++x) s += A[x][u] * B[x][y];
-            tmp[u][y] = s;
-          }
-        const int32_t *q = c == 0 ? qluma : qchroma;
-        for (int u = 0; u < 8; ++u)
-          for (int v = 0; v < 8; ++v) {
-            double s = 0.0;
-            for (int y = 0; y < 8; ++y) s += tmp[u][y] * A[y][v];
-            const int idx = u * 8 + v;
-            const double scaled = s / q[idx];
-            coef[idx] = static_cast<int32_t>(
-                scaled >= 0 ? std::floor(scaled + 0.5) : std::ceil(scaled - 0.5));
-          }
-        // huffman-emit in zigzag order
-        const EncTable &dct = dc[c == 0 ? 0 : 1];
-        const EncTable &act = ac[c == 0 ? 0 : 1];
-        const int dcv = coef[0];
-        int diff = dcv - preds[c];
-        preds[c] = dcv;
-        int s = category(diff);
-        bw.put(dct.code[s], dct.len[s]);
-        if (s) bw.put(diff >= 0 ? diff : diff + (1 << s) - 1, s);
-        int run = 0, last_nz = 0;
-        for (int k = 63; k >= 1; --k) {
-          if (coef[jpeg::kZigzag[k]]) {
-            last_nz = k;
-            break;
-          }
-        }
-        for (int k = 1; k <= last_nz; ++k) {
-          const int v = coef[jpeg::kZigzag[k]];
-          if (v == 0) {
-            ++run;
-            continue;
-          }
-          while (run > 15) {
-            bw.put(act.code[0xF0], act.len[0xF0]);
-            run -= 16;
-          }
-          s = category(v);
-          bw.put(act.code[(run << 4) | s], act.len[(run << 4) | s]);
-          bw.put(v >= 0 ? v : v + (1 << s) - 1, s);
-          run = 0;
-        }
-        if (last_nz < 63) bw.put(act.code[0x00], act.len[0x00]);
+    const int32_t *q = c == 0 ? qluma : qchroma;
+    for (int u = 0; u < 8; ++u)
+      for (int v = 0; v < 8; ++v) {
+        double s = 0.0;
+        for (int y = 0; y < 8; ++y) s += tmp[u][y] * A[y][v];
+        const int idx = u * 8 + v;
+        const double scaled = s / q[idx];
+        coef[idx] = static_cast<int32_t>(
+            scaled >= 0 ? std::floor(scaled + 0.5) : std::ceil(scaled - 0.5));
+      }
+    const EncTable &dct = dc[c == 0 ? 0 : 1];
+    const EncTable &act = ac[c == 0 ? 0 : 1];
+    const int dcv = coef[0];
+    int diff = dcv - preds[c];
+    preds[c] = dcv;
+    int s = category(diff);
+    bw.put(dct.code[s], dct.len[s]);
+    if (s) bw.put(diff >= 0 ? diff : diff + (1 << s) - 1, s);
+    int run = 0, last_nz = 0;
+    for (int k = 63; k >= 1; --k) {
+      if (coef[jpeg::kZigzag[k]]) {
+        last_nz = k;
+        break;
       }
     }
+    for (int k = 1; k <= last_nz; ++k) {
+      const int v = coef[jpeg::kZigzag[k]];
+      if (v == 0) {
+        ++run;
+        continue;
+      }
+      while (run > 15) {
+        bw.put(act.code[0xF0], act.len[0xF0]);
+        run -= 16;
+      }
+      s = category(v);
+      bw.put(act.code[(run << 4) | s], act.len[(run << 4) | s]);
+      bw.put(v >= 0 ? v : v + (1 << s) - 1, s);
+      run = 0;
+    }
+    if (last_nz < 63) bw.put(act.code[0x00], act.len[0x00]);
+  };
+  // rounded + clamped YCbCr of source pixel (sy, sx), edge-replicated
+  auto load_ycc = [&](int sy, int sx, double out[3]) {
+    sy = sy >= h ? h - 1 : sy;
+    sx = sx >= w ? w - 1 : sx;
+    if (ncomp == 1) {
+      out[0] = img[static_cast<int64_t>(sy) * w + sx];
+      return;
+    }
+    const uint8_t *p = img + (static_cast<int64_t>(sy) * w + sx) * 3;
+    const double r = p[0], g = p[1], b = p[2];
+    double yv = std::floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5);
+    double cb = std::floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5);
+    double cr = std::floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5);
+    out[0] = yv < 0 ? 0 : (yv > 255 ? 255 : yv);
+    out[1] = cb < 0 ? 0 : (cb > 255 ? 255 : cb);
+    out[2] = cr < 0 ? 0 : (cr > 255 ? 255 : cr);
+  };
+
+  if (sub420) {
+    // MCU = 16x16 luma (2x2 blocks, row-major) + one 8x8 Cb + Cr from a
+    // 2x2 integer box average (bias +2) of the rounded chroma samples —
+    // the same samples bus/jpeg.py feeds its FDCT (pad-then-average ==
+    // clamp-then-average under edge replication)
+    const int mx = (w + 15) / 16, my = (h + 15) / 16;
+    double y16[16][16];
+    int cb16[16][16], cr16[16][16];
+    double blk8[8][8], cbb[8][8], crb[8][8];
+    for (int m = 0; m < mx * my; ++m) {
+      const int mr = m / mx, mc = m % mx;
+      for (int yy = 0; yy < 16; ++yy)
+        for (int xx = 0; xx < 16; ++xx) {
+          double ycc[3] = {0.0, 0.0, 0.0};  // gray never reaches sub420
+          load_ycc(mr * 16 + yy, mc * 16 + xx, ycc);
+          y16[yy][xx] = ycc[0];
+          cb16[yy][xx] = static_cast<int>(ycc[1]);
+          cr16[yy][xx] = static_cast<int>(ycc[2]);
+        }
+      for (int by = 0; by < 2; ++by)
+        for (int bx = 0; bx < 2; ++bx) {
+          for (int y = 0; y < 8; ++y)
+            for (int x = 0; x < 8; ++x)
+              blk8[y][x] = y16[by * 8 + y][bx * 8 + x];
+          encode_block(blk8, 0);
+        }
+      for (int y = 0; y < 8; ++y)
+        for (int x = 0; x < 8; ++x) {
+          cbb[y][x] = (cb16[2 * y][2 * x] + cb16[2 * y][2 * x + 1] +
+                       cb16[2 * y + 1][2 * x] + cb16[2 * y + 1][2 * x + 1] + 2) >> 2;
+          crb[y][x] = (cr16[2 * y][2 * x] + cr16[2 * y][2 * x + 1] +
+                       cr16[2 * y + 1][2 * x] + cr16[2 * y + 1][2 * x + 1] + 2) >> 2;
+        }
+      encode_block(cbb, 1);
+      encode_block(crb, 2);
+    }
+  } else {
+    // 4:4:4 (or gray): per 8x8 MCU, all components
+    const int bh = (h + 7) / 8, bwid = (w + 7) / 8;
+    double plane[3][8][8];
+    for (int by = 0; by < bh; ++by)
+      for (int bx = 0; bx < bwid; ++bx) {
+        for (int y = 0; y < 8; ++y)
+          for (int x = 0; x < 8; ++x) {
+            double ycc[3];
+            load_ycc(by * 8 + y, bx * 8 + x, ycc);
+            for (int c = 0; c < ncomp; ++c) plane[c][y][x] = ycc[c];
+          }
+        for (int c = 0; c < ncomp; ++c) encode_block(plane[c], c);
+      }
   }
   bw.flush();
   bw.emit(0xFF);
   bw.emit(0xD9);
   if (bw.overflow) return -3;
   return bw.pos;
+}
+
+// backward-compatible 4:4:4 entry point
+int64_t jpeg_encode(const uint8_t *img, int32_t h, int32_t w, int32_t ncomp,
+                    int32_t quality, uint8_t *dst, int64_t cap) {
+  return jpeg_encode_sub(img, h, w, ncomp, quality, 0, dst, cap);
 }
 
 }  // extern "C"
