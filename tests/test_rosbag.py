@@ -621,6 +621,50 @@ def test_bag_player_duration_survives_stamp_jitter(tmp_path):
     assert seen2 == [0.0, 1.0, 2.0, 3.0, 4.0]
 
 
+def test_filter_bag_rides_chunk_index(tmp_path, monkeypatch):
+    """Topic- or time-filtered copies of an indexed bag must skip chunks
+    via the trailing chunk-info records — unwanted chunks are never
+    decompressed. Filterless copies still full-scan (the reindex path for
+    post-index appended records)."""
+    from trajectory_optimization_tpu.bus import rosbag as rb
+    from trajectory_optimization_tpu.bus.rosbag import filter_bag
+
+    path = str(tmp_path / "sess.bag")
+    big = np.ones((60000, 3), np.float32)  # ~720 KB/cloud -> several chunks
+    msgs = [("/pts", CloudMsg(Header(stamp=float(i), frame_id="map"), big))
+            for i in range(6)]
+    msgs.append(("/pose", PoseMsg(Header(stamp=99.0, frame_id="map"),
+                                  [1.0, 2.0, 3.0], [0.0, 0.0, 0.0, 1.0])))
+    write_bag(path, msgs)
+    from trajectory_optimization_tpu.bus.rosbag import bag_info
+    n_chunks = bag_info(path).chunk_count
+    assert n_chunks >= 3
+
+    calls = []
+    orig = rb._decompress_chunk
+    monkeypatch.setattr(rb, "_decompress_chunk",
+                        lambda h, d: (calls.append(1), orig(h, d))[1])
+
+    # topic filter: only the /pose chunk decompresses
+    dst = str(tmp_path / "pose.bag")
+    assert filter_bag(path, dst, topics=["/pose"]) == 1
+    assert len(calls) < n_chunks
+    assert [m.header.stamp for _, _, m in read_bag(dst)] == [99.0]
+
+    # time window: chunks wholly outside [4.5, 99] are skipped
+    calls.clear()
+    dst2 = str(tmp_path / "tail.bag")
+    n = filter_bag(path, dst2, start=4.5)
+    assert n == 2  # cloud at 5.0 + pose at 99.0
+    assert len(calls) < n_chunks
+    assert [m.header.stamp for _, _, m in read_bag(dst2)] == [5.0, 99.0]
+
+    # filterless copy full-scans (every chunk touched)
+    calls.clear()
+    assert filter_bag(path, str(tmp_path / "all.bag")) == 7
+    assert len(calls) == n_chunks
+
+
 def test_filter_bag_keeps_distinct_connections(tmp_path):
     """Two source connections sharing (topic, type) — multiple publishers /
     merged bags with differing callerid/md5sum — must stay TWO connections

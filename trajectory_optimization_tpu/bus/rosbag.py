@@ -695,11 +695,13 @@ def _decompress_chunk(hdr: Dict[str, bytes], data: bytes) -> bytes:
 
 def _read_trailing_index(f):
     """Parse a bag's trailing connection/chunk-info section (reached via
-    the bag header's index_pos). Returns (conns, chunk_infos) — conns maps
-    conn_id -> _Connection, chunk_infos is the ordered list of
-    (chunk_pos, start_time, end_time, {conn_id: msg_count}) — or None when
-    the bag is unindexed (index_pos == 0: an in-progress or
-    crash-truncated recording) or the section is unreadable."""
+    the bag header's index_pos). Returns (conns, chunk_infos, raw) — conns
+    maps conn_id -> _Connection, chunk_infos is the ordered list of
+    (chunk_pos, start_time, end_time, {conn_id: msg_count}), raw maps
+    conn_id -> the verbatim connection-header bytes (filter_bag preserves
+    these in copies) — or None when the bag is unindexed (index_pos == 0:
+    an in-progress or crash-truncated recording) or the section is
+    unreadable."""
     f.seek(len(MAGIC))
     rec = _read_record_stream(f)
     if rec is None:
@@ -712,6 +714,7 @@ def _read_trailing_index(f):
         return None
     f.seek(index_pos)
     conns: Dict[int, _Connection] = {}
+    raw: Dict[int, bytes] = {}
     infos = []
     while True:
         rec = _read_record_stream(f)
@@ -724,6 +727,7 @@ def _read_trailing_index(f):
             ch = _parse_header(data)
             conns[conn_id] = _Connection(
                 conn_id, hdr["topic"].decode(), ch.get("type", b"").decode())
+            raw[conn_id] = data
         elif op == _OP_CHUNK_INFO:
             pos = struct.unpack("<Q", hdr["chunk_pos"])[0]
             t0 = _time_from(hdr["start_time"])
@@ -734,7 +738,7 @@ def _read_trailing_index(f):
                 c, k = struct.unpack_from("<II", data, 8 * i)
                 counts[c] = k
             infos.append((pos, t0, t1, counts))
-    return (conns, infos) if infos else None
+    return (conns, infos, raw) if infos else None
 
 
 def read_bag(
@@ -797,7 +801,7 @@ def read_bag(
             except (ValueError, KeyError, struct.error):
                 idx = None  # malformed tail: the full scan below copes
             if idx is not None:
-                tconns, infos = idx
+                tconns, infos, _ = idx
                 conns.update(tconns)
                 wanted = {cid for cid, c in tconns.items()
                           if c.topic in topics_set}
@@ -1076,6 +1080,11 @@ def filter_bag(
     leans on (its dataset is a 15 GB recorded session,
     `launch/rosbag_info.txt`).
 
+    With a topic or time filter on an INDEXED bag, the trailing chunk-info
+    records drive the scan: chunks holding nothing wanted are seeked past
+    — never read, never decompressed — so extracting one topic or a short
+    window from a 15 GB session costs I/O proportional to the output.
+
     Also the ``rosbag reindex`` recovery path: a recording cut off by a
     crash (truncated tail, no trailing index section) copies cleanly —
     every whole record survives and the output gets a fresh index."""
@@ -1115,17 +1124,58 @@ def filter_bag(
                 writer.add_raw(topic, ros_type, t, data, conn_header=conn_data)
                 n += 1
 
-            while True:
-                rec = _read_record_stream(f)
-                if rec is None:
-                    break
-                hdr, data = rec
-                op = hdr["op"][0]
-                if op == _OP_CHUNK:
-                    for _, chdr, cdata in _iter_records(_decompress_chunk(hdr, data)):
+            # Filtered copies of an indexed bag ride the trailing chunk
+            # index: chunks with no wanted-topic messages, or entirely
+            # outside the time window, are seeked past unread (same
+            # semantics as the rosbag tools, which also demand an index;
+            # an unindexed crash tail takes the full scan below — that IS
+            # the reindex path). Filterless copies always full-scan, so
+            # records appended after the index section still survive.
+            idx = None
+            if topics_set is not None or start is not None or end is not None:
+                try:
+                    idx = _read_trailing_index(f)
+                except (ValueError, KeyError, struct.error):
+                    idx = None
+            if idx is not None:
+                tconns, infos, raw = idx
+                for cid, c in tconns.items():
+                    conns[cid] = (c.topic, c.ros_type, raw[cid])
+                wanted = (None if topics_set is None else
+                          {cid for cid, c in tconns.items()
+                           if c.topic in topics_set})
+                for pos, ct0, ct1, chunk_counts in infos:
+                    if wanted is not None and not any(
+                            chunk_counts.get(c) for c in wanted):
+                        continue
+                    if start is not None and ct1 < start:
+                        continue
+                    if end is not None and ct0 > end:
+                        continue
+                    f.seek(pos)
+                    rec = _read_record_stream(f)
+                    if rec is None or rec[0]["op"][0] != _OP_CHUNK:
+                        raise ValueError(
+                            f"{src!r}: chunk-info points at a non-chunk "
+                            f"record (offset {pos})")
+                    hdr, data = rec
+                    for _, chdr, cdata in _iter_records(
+                            _decompress_chunk(hdr, data)):
                         handle(chdr, cdata)
-                elif op in (_OP_CONNECTION, _OP_MSG):
-                    handle(hdr, data)  # unchunked bags
+            else:
+                f.seek(len(MAGIC))  # a failed index probe moved the cursor
+                while True:
+                    rec = _read_record_stream(f)
+                    if rec is None:
+                        break
+                    hdr, data = rec
+                    op = hdr["op"][0]
+                    if op == _OP_CHUNK:
+                        for _, chdr, cdata in _iter_records(
+                                _decompress_chunk(hdr, data)):
+                            handle(chdr, cdata)
+                    elif op in (_OP_CONNECTION, _OP_MSG):
+                        handle(hdr, data)  # unchunked bags
         finally:
             writer.close()
     return n
@@ -1149,9 +1199,10 @@ class BagWriter:
     connection/chunk-info section and finalizes the bag header."""
 
     def __init__(self, path: str, *, compression: str = "none"):
-        # 'lz4' writes spec-valid frames of stored blocks (ratio 1.0 — use
-        # bz2 when size matters); any conformant reader, incl. rosbag/roslz4,
-        # decodes them
+        # 'lz4' really compresses (bus.lz4's greedy block encoder —
+        # rosbag record's own default treatment; incompressible blocks
+        # are stored per the frame spec); any conformant reader, incl.
+        # rosbag/roslz4, decodes the output
         if compression not in ("none", "bz2", "lz4"):
             raise ValueError("compression must be 'none', 'bz2' or 'lz4'")
         self.path = path
