@@ -762,6 +762,30 @@ def test_bag_recorder_split_duration(tmp_path):
         assert stamps and stamps[-1] - stamps[0] < 3.0  # span under the cap
 
 
+def test_bag_recorder_compression(tmp_path):
+    """rosbag record --lz4: recorded chunks compress as they flush, and
+    split files inherit the mode."""
+    from trajectory_optimization_tpu.bus.rosbag import bag_info
+
+    bus = Bus()
+    g = np.mgrid[0:100, 0:120].astype(np.float32)
+    pts = np.stack([g[0].ravel(), g[1].ravel(),
+                    np.zeros(12000, np.float32)], 1)  # structured: compresses
+    with BagRecorder(bus, ["/pts"], str(tmp_path / "out.bag"),
+                     compression="lz4", split_size=400_000) as rec:
+        for i in range(8):
+            bus.publish("/pts", CloudMsg(Header(stamp=float(i), frame_id="m"),
+                                         pts))
+        rec.flush()
+    assert rec.count == 8 and len(rec.paths) >= 2
+    for p in rec.paths:
+        info = bag_info(p)
+        assert info.compression.get("lz4", 0) >= 1
+        assert info.compressed < 0.8 * info.uncompressed
+    total = sum(1 for p in rec.paths for _ in read_bag(p))
+    assert total == 8
+
+
 def test_bag_recorder_duration_split_skips_unserializable(tmp_path):
     """A message with no bag encoder must neither roll the recording nor
     leave an empty split file — rosbag record never rolls for a message

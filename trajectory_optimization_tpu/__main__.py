@@ -201,6 +201,9 @@ def main(argv=None) -> int:
                    metavar="SEC", help="roll the recording every SEC "
                    "seconds of message time (rosbag record --split "
                    "--duration)")
+    p.add_argument("--record-compression", choices=("none", "bz2", "lz4"),
+                   default="none", help="compress recorded chunks "
+                   "(rosbag record --bz2/--lz4)")
     args = p.parse_args(argv)
     if args.preset == "play_bag" and not args.play:
         p.error("play_bag requires --play PATH")
@@ -215,8 +218,9 @@ def main(argv=None) -> int:
     if args.loop < 1:
         p.error("--loop must be >= 1")
     if ((args.record_split_size is not None
-         or args.record_split_duration is not None) and not args.record):
-        p.error("--record-split-* require --record PATH")
+         or args.record_split_duration is not None
+         or args.record_compression != "none") and not args.record):
+        p.error("--record-split-*/--record-compression require --record PATH")
     if args.record_split_size is not None and args.record_split_size <= 0:
         p.error("--record-split-size must be positive megabytes")
     if args.record_split_duration is not None and args.record_split_duration <= 0:
@@ -249,7 +253,8 @@ def main(argv=None) -> int:
                     split_size=(int(args.record_split_size * (1 << 20))
                                 if args.record_split_size is not None
                                 else None),
-                    split_duration=args.record_split_duration)
+                    split_duration=args.record_split_duration,
+                    compression=args.record_compression)
             except OSError as e:
                 raise SystemExit(f"cannot record to {args.record}: {e}")
         if args.play:

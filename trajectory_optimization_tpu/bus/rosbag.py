@@ -1468,6 +1468,12 @@ class BagRecorder:
     ``rosbag record``'s buffer). An I/O failure (e.g. disk full) stops
     the recording and re-raises from :meth:`close`.
 
+    ``compression`` ('none'/'bz2'/'lz4') mirrors ``rosbag record
+    --bz2/--lz4`` — chunks compress as they flush (the reference's own
+    session was recorded lz4). ``split_size`` caps compare against
+    flushed-plus-buffered bytes, so a compressed recording splits a bit
+    under the cap rather than over it.
+
     ``split_size`` / ``split_duration`` mirror ``rosbag record --split
     --size/--duration``: the recording rolls to a fresh, independently
     indexed bag when the active file reaches ``split_size`` bytes (checked
@@ -1480,12 +1486,14 @@ class BagRecorder:
     def __init__(self, bus: Bus, topics: Optional[Sequence[str]], path: str,
                  *, queue_len: int = 256,
                  split_size: Optional[int] = None,
-                 split_duration: Optional[float] = None):
+                 split_duration: Optional[float] = None,
+                 compression: str = "none"):
         if split_size is not None and split_size <= 0:
             raise ValueError("split_size must be positive bytes")
         if split_duration is not None and split_duration <= 0:
             raise ValueError("split_duration must be positive seconds")
         self.path = path
+        self._compression = compression
         self._split_size = split_size
         self._split_duration = split_duration
         self._seq = 0
@@ -1493,7 +1501,7 @@ class BagRecorder:
         self._file_first_stamp: Optional[float] = None
         first = self._seq_path() if self._splitting else path
         self.paths: List[str] = [first]
-        self._writer = BagWriter(first)
+        self._writer = BagWriter(first, compression=compression)
         self._skipped = 0
         self._io_error: Optional[OSError] = None
         self._closed = False
@@ -1540,7 +1548,7 @@ class BagRecorder:
         self._writer.close()
         self._seq += 1
         nxt = self._seq_path()
-        self._writer = BagWriter(nxt)
+        self._writer = BagWriter(nxt, compression=self._compression)
         self.paths.append(nxt)
         self._file_first_stamp = None
 
