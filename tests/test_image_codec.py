@@ -322,10 +322,10 @@ def test_jpeg_encoder_native_matches_python(subsampling):
 
 
 def test_jpeg_encode_420(tmp_path):
-    """4:2:0 encoding: valid streams PIL decodes bit-identically to us,
-    meaningfully smaller than 4:4:4 on photo-like content, correct at odd
-    dims, and the transcoded-bag path uses it (camera streams re-encoded
-    at roughly their source size, not double)."""
+    """4:2:0 encoding: meaningfully smaller than 4:4:4 on photo-like
+    content, correct at odd dims, argument validation, gray ignores the
+    knob. (The PIL bit-identity oracle for 420 streams lives in
+    test_encoders_vs_live_pil_decode.)"""
     from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
 
     rng = np.random.default_rng(4)
@@ -679,6 +679,12 @@ def test_encoders_vs_live_pil_decode():
     data = encode_jpeg(img, quality=88)
     pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     np.testing.assert_array_equal(decode_jpeg(data), pil)
+    # 4:2:0 too: a spec misinterpretation shared by our encoder AND
+    # decoder (MCU block order, sampling semantics) would round-trip
+    # internally — only an external decoder catches it
+    d420 = encode_jpeg(img, quality=88, subsampling="420")
+    pil420 = np.asarray(Image.open(io.BytesIO(d420)).convert("RGB"))
+    np.testing.assert_array_equal(decode_jpeg(d420), pil420)
     pdata = encode_png(img)
     np.testing.assert_array_equal(
         np.asarray(Image.open(io.BytesIO(pdata)).convert("RGB")), img)

@@ -665,6 +665,39 @@ def test_filter_bag_rides_chunk_index(tmp_path, monkeypatch):
     assert len(calls) == n_chunks
 
 
+def test_indexed_paths_distrust_bags_with_appended_records(tmp_path):
+    """Records appended AFTER the trailing index (naive bag concatenation,
+    post-finalization writes) are not in the index — and a concatenated
+    bag's own chunk-info offsets are wrong for the combined file. Both
+    indexed fast paths (read_bag, filter_bag) must detect the trailing
+    junk and fall back to the full scan: nothing dropped, nothing
+    duplicated (regression: the unbounded trailing-section parse ingested
+    the appended bag's chunk infos and emitted [0,1,2,0,1,2])."""
+    from trajectory_optimization_tpu.bus.rosbag import filter_bag
+
+    a = str(tmp_path / "a.bag")
+    b = str(tmp_path / "b.bag")
+    pose = lambda s: PoseMsg(Header(stamp=s, frame_id="m"),
+                             [0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0])
+    write_bag(a, [("/pose", pose(float(i))) for i in range(3)])
+    write_bag(b, [("/pose", pose(10.0))])
+    merged = str(tmp_path / "merged.bag")
+    from trajectory_optimization_tpu.bus.rosbag import MAGIC
+    with open(merged, "wb") as out:
+        with open(a, "rb") as f:
+            out.write(f.read())
+        with open(b, "rb") as f:
+            f.read(len(MAGIC))  # strip the second magic; records follow
+            out.write(f.read())
+
+    got = [m.header.stamp for _, _, m in read_bag(merged, topics=["/pose"])]
+    assert got == [0.0, 1.0, 2.0, 10.0], got
+
+    dst = str(tmp_path / "copy.bag")
+    assert filter_bag(merged, dst, topics=["/pose"]) == 4
+    assert [m.header.stamp for _, _, m in read_bag(dst)] == [0.0, 1.0, 2.0, 10.0]
+
+
 def test_filter_bag_keeps_distinct_connections(tmp_path):
     """Two source connections sharing (topic, type) — multiple publishers /
     merged bags with differing callerid/md5sum — must stay TWO connections

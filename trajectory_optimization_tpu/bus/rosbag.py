@@ -699,27 +699,35 @@ def _read_trailing_index(f):
     maps conn_id -> _Connection, chunk_infos is the ordered list of
     (chunk_pos, start_time, end_time, {conn_id: msg_count}), raw maps
     conn_id -> the verbatim connection-header bytes (filter_bag preserves
-    these in copies) — or None when the bag is unindexed (index_pos == 0:
-    an in-progress or crash-truncated recording) or the section is
-    unreadable."""
+    these in copies) — or None when the index cannot be trusted: the bag
+    is unindexed (index_pos == 0: an in-progress or crash-truncated
+    recording), the section is unreadable, or data exists BEYOND the
+    declared trailing section (records appended after finalization, e.g.
+    a naive bag concatenation — those records are not in this index, and
+    an appended bag's own chunk-info offsets are wrong for the combined
+    file; callers must full-scan). The parse is bounded by the bag
+    header's conn_count/chunk_count for the same reason."""
     f.seek(len(MAGIC))
     rec = _read_record_stream(f)
     if rec is None:
         return None
     hdr, _ = rec
-    if hdr.get("op", b"\x00")[0] != _OP_BAG_HEADER or "index_pos" not in hdr:
+    if (hdr.get("op", b"\x00")[0] != _OP_BAG_HEADER or "index_pos" not in hdr
+            or "conn_count" not in hdr or "chunk_count" not in hdr):
         return None
     index_pos = struct.unpack("<Q", hdr["index_pos"])[0]
-    if index_pos == 0:
+    n_conns = struct.unpack("<I", hdr["conn_count"])[0]
+    n_chunks = struct.unpack("<I", hdr["chunk_count"])[0]
+    if index_pos == 0 or n_chunks == 0:
         return None
     f.seek(index_pos)
     conns: Dict[int, _Connection] = {}
     raw: Dict[int, bytes] = {}
     infos = []
-    while True:
+    while len(conns) < n_conns or len(infos) < n_chunks:
         rec = _read_record_stream(f)
         if rec is None:
-            break
+            return None  # truncated trailing section: index untrustworthy
         hdr, data = rec
         op = hdr["op"][0]
         if op == _OP_CONNECTION:
@@ -738,7 +746,11 @@ def _read_trailing_index(f):
                 c, k = struct.unpack_from("<II", data, 8 * i)
                 counts[c] = k
             infos.append((pos, t0, t1, counts))
-    return (conns, infos, raw) if infos else None
+        else:
+            return None  # foreign record inside the trailing section
+    if f.read(1):
+        return None  # post-index appended data: the index misses it
+    return (conns, infos, raw)
 
 
 def read_bag(

@@ -279,7 +279,10 @@ def jpeg_encode_native(img: np.ndarray, quality: int = 85,
     lib = _load()
     if lib is None or getattr(lib, "jpeg_encode", None) is None:
         return None
-    sub420 = subsampling == "420"
+    # gray has no chroma: route it to the 4:4:4 entry point regardless of
+    # the requested subsampling (identical stream; keeps a stale prebuilt
+    # .so without jpeg_encode_sub off the ~100x slower Python fallback)
+    sub420 = subsampling == "420" and np.asarray(img).ndim == 3
     if sub420 and getattr(lib, "jpeg_encode_sub", None) is None:
         return None  # stale prebuilt .so without the 4:2:0 entry point
     img = np.asarray(img)
