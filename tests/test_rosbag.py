@@ -595,6 +595,42 @@ def test_bag_player_loop_start_duration(tmp_path, streaming):
     assert stamps(duration=1.0, loop=3) == [0.0, 1.0] * 3
 
 
+def test_bag_player_window_seeks_via_index(tmp_path, monkeypatch):
+    """A windowed streaming replay of an indexed bag must push the time
+    window into read_bag's chunk pruning: chunks wholly before the window
+    are never decompressed (--start-offset 1000 on a session bag must not
+    decode 1000 s of data just to skip it), and the result matches the
+    full scan-and-skip semantics."""
+    from trajectory_optimization_tpu.bus import rosbag as rb
+    from trajectory_optimization_tpu.bus.rosbag import BagPlayer, bag_info
+
+    path = str(tmp_path / "long.bag")
+    big = np.ones((60000, 3), np.float32)
+    write_bag(path, [("/pts", CloudMsg(Header(stamp=float(i), frame_id="m"),
+                                       big)) for i in range(8)])
+    n_chunks = bag_info(path).chunk_count
+    assert n_chunks >= 3
+
+    calls = []
+    orig = rb._decompress_chunk
+    monkeypatch.setattr(rb, "_decompress_chunk",
+                        lambda h, d: (calls.append(1), orig(h, d))[1])
+    bus = Bus()
+    seen = []
+    bus.subscribe("/pts", lambda m: seen.append(m.header.stamp))
+    n = BagPlayer(path, streaming=True).play(bus, start=6.0)
+    assert n == 2 and seen == [6.0, 7.0]
+    assert len(calls) < n_chunks, "windowed replay decompressed every chunk"
+
+    calls.clear()
+    bus2 = Bus()
+    seen2 = []
+    bus2.subscribe("/pts", lambda m: seen2.append(m.header.stamp))
+    BagPlayer(path, streaming=True).play(bus2, start=2.0, duration=2.0)
+    assert seen2 == [2.0, 3.0, 4.0]
+    assert len(calls) < n_chunks
+
+
 def test_bag_player_duration_survives_stamp_jitter(tmp_path):
     """Streaming replay runs in record order, where stamps jitter: one
     out-of-order record past the window must be SKIPPED, not end the

@@ -754,7 +754,8 @@ def _read_trailing_index(f):
 
 
 def read_bag(
-    path: str, topics: Optional[Sequence[str]] = None
+    path: str, topics: Optional[Sequence[str]] = None,
+    *, time_range: Optional[Tuple[Optional[float], Optional[float]]] = None,
 ) -> Iterator[Tuple[float, str, object]]:
     """Yield (bag_time, topic, bus_message), STREAMING: memory stays O(one
     chunk), so a 15 GB session (the reference's dataset) replays without
@@ -769,10 +770,17 @@ def read_bag(
     proportional to that topic, not to the file (rosbag's own index
     semantics; an unindexed crash tail falls back to the full scan).
 
+    ``time_range=(lo, hi)`` keeps only messages with bag time in the
+    inclusive window (either bound may be None). On an indexed bag the
+    chunk-info start/end times prune whole chunks the same way the topics
+    filter does — a short window out of a session bag costs I/O
+    proportional to the window, not the file.
+
     TFMessage records expand to one TransformMsg per contained transform.
     Connections of unsupported types are skipped.
     """
     topics_set = set(topics) if topics is not None else None
+    t_lo, t_hi = time_range if time_range is not None else (None, None)
     conns: Dict[int, _Connection] = {}
 
     def decode_events(hdr: Dict[str, bytes], data: bytes):
@@ -797,6 +805,8 @@ def read_bag(
         if decoder is None:
             return
         t = _time_from(hdr["time"])
+        if (t_lo is not None and t < t_lo) or (t_hi is not None and t > t_hi):
+            return
         msg = decoder(data)
         if isinstance(msg, list):  # TFMessage → one event per transform
             for m in msg:
@@ -807,7 +817,7 @@ def read_bag(
     with open(path, "rb") as f:
         if f.read(len(MAGIC)) != MAGIC:
             raise ValueError(f"{path!r} is not a ROS1 v2.0 bag (bad magic)")
-        if topics_set is not None:
+        if topics_set is not None or time_range is not None:
             try:
                 idx = _read_trailing_index(f)
             except (ValueError, KeyError, struct.error):
@@ -815,13 +825,19 @@ def read_bag(
             if idx is not None:
                 tconns, infos, _ = idx
                 conns.update(tconns)
-                wanted = {cid for cid, c in tconns.items()
-                          if c.topic in topics_set}
-                if not wanted:
+                wanted = (None if topics_set is None else
+                          {cid for cid, c in tconns.items()
+                           if c.topic in topics_set})
+                if wanted is not None and not wanted:
                     return
-                for pos, _, _, chunk_counts in infos:
-                    if not any(chunk_counts.get(c) for c in wanted):
+                for pos, ct0, ct1, chunk_counts in infos:
+                    if wanted is not None and not any(
+                            chunk_counts.get(c) for c in wanted):
                         continue  # seek past: never read nor decompressed
+                    if t_lo is not None and ct1 < t_lo:
+                        continue
+                    if t_hi is not None and ct0 > t_hi:
+                        continue
                     f.seek(pos)
                     rec = _read_record_stream(f)
                     if rec is None or rec[0]["op"][0] != _OP_CHUNK:
@@ -1697,11 +1713,27 @@ class BagPlayer:
             raise TypeError("streaming BagPlayer has no len(); iterate it")
         return len(self._events)
 
-    def _iter(self):
+    def _iter(self, time_range=None):
         if self._events is not None:
             yield from self._events
         else:
-            yield from read_bag(self.path, self.topics)
+            yield from read_bag(self.path, self.topics, time_range=time_range)
+
+    def _bag_start(self) -> Optional[float]:
+        """Bag start time from the trailing index (min chunk start), or
+        None when the bag is unindexed / the index is untrusted — cached."""
+        if not hasattr(self, "_bag_start_cache"):
+            start = None
+            try:
+                with open(self.path, "rb") as f:
+                    if f.read(len(MAGIC)) == MAGIC:
+                        idx = _read_trailing_index(f)
+                        if idx is not None:
+                            start = min(ct0 for _, ct0, _, _ in idx[1])
+            except (OSError, ValueError, KeyError, struct.error):
+                start = None
+            self._bag_start_cache = start
+        return self._bag_start_cache
 
     def messages(self):
         for _, topic, msg in self._iter():
@@ -1739,7 +1771,23 @@ class BagPlayer:
     def _play_once(self, bus: Bus, realtime: bool, rate: float,
                    prefetch: int, start: float,
                    duration: Optional[float]) -> int:
-        src = self._iter()
+        # A windowed STREAMING pass on an indexed bag pushes the window
+        # down into read_bag, which prunes whole chunks by their indexed
+        # time span — `--start-offset 1000` on a session bag seeks to the
+        # window instead of decoding 1000 s of data to skip it. The bag
+        # start comes from the index (min chunk start), so it is also the
+        # window origin here; unindexed bags keep the scan-and-skip path
+        # with the origin discovered from the first record.
+        t_range = None
+        t0 = None
+        if self._events is None and (start > 0.0 or duration is not None):
+            t0 = self._bag_start()
+            if t0 is not None:
+                t_range = (
+                    t0 + start if start > 0.0 else None,
+                    t0 + start + duration if duration is not None else None,
+                )
+        src = self._iter(time_range=t_range)
         stop = None
         if prefetch > 0 and self._events is None:
             import queue
@@ -1791,7 +1839,8 @@ class BagPlayer:
         sorted_events = self._events is not None
         prev_t = None
         n = 0
-        t0 = None  # first record's stamp = bag start for the -s/-u window
+        # t0 (the -s/-u window origin) is the indexed bag start when known
+        # (set above), else the first record's stamp
         hw = None  # monotone high-water stamp (record order can jitter)
         try:
             for t, topic, msg in src:
