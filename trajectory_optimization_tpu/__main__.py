@@ -9,6 +9,8 @@ overrides reproducing the rosparam knob set).
     python -m trajectory_optimization_tpu info session.bag
     python -m trajectory_optimization_tpu filter in.bag out.bag \
         --topics /tf /points --start 1.5e9 --compression bz2
+    python -m trajectory_optimization_tpu eval \
+        data/points/point_cloud_10.npz data/paths/path_poses_10.npz --optimize 100
 
 `info PATH` prints a rosbag-info-style summary of a .bag (the reference
 documents its dataset with exactly that output, `launch/rosbag_info.txt`);
@@ -148,6 +150,63 @@ def _filter(argv) -> int:
     return 0
 
 
+def _eval(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m trajectory_optimization_tpu eval",
+        description="Trajectory Evaluation (reference README cam_traj_eval "
+                    "mode): observed-voxel census of a fixed path against a "
+                    "cloud, rewards fused by OctoMap log-odds.",
+    )
+    p.add_argument("cloud", help="point-cloud .npz (key 'pts')")
+    p.add_argument("path", help="waypoint path .npz (key 'poses')")
+    p.add_argument("--voxel", type=float, default=0.0, metavar="LEAF",
+                   help="first voxel-downsample the cloud at LEAF meters "
+                        "(evaluate on literal voxels)")
+    p.add_argument("--optimize", type=int, default=0, metavar="N",
+                   help="also optimize the path N steps and report the gain")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from trajectory_optimization_tpu.api import TrajectoryOptimizer
+    from trajectory_optimization_tpu.utils.data import load_path, load_point_cloud
+
+    try:
+        pts = load_point_cloud(args.cloud)
+        path = load_path(args.path)
+    except (OSError, KeyError, ValueError) as e:
+        print(f"eval: {e}", file=sys.stderr)
+        return 1
+    if args.voxel > 0:
+        from trajectory_optimization_tpu.ops.voxel import voxel_downsample
+
+        pts = np.asarray(voxel_downsample(pts, args.voxel))
+    opt = TrajectoryOptimizer()
+    # one stride for BOTH censuses: recomputing it from the optimized path
+    # could select a different waypoint subset, making the gain meaningless
+    from trajectory_optimization_tpu.models.traj import waypoint_stride
+
+    stride = waypoint_stride(path, opt.vis_wps_dist)
+
+    def report(tag, ev):
+        print(f"{tag}: observed {ev.n_observed}/{len(pts)} "
+              f"({100 * ev.frac_observed:.1f}%), mean reward "
+              f"{ev.mean_reward:.4f}, length {ev.length:.2f} m, "
+              f"mean angle {ev.mean_angle:.3f} rad")
+
+    ev = opt.evaluate(pts, path, wps_step=stride)
+    report("initial  ", ev)
+    if args.optimize > 0:
+        res = opt.optimize(pts, path, n_steps=args.optimize)
+        ev1 = opt.evaluate(
+            pts, res.poses.astype(np.float32), res.quats_wxyz.astype(np.float32),
+            wps_step=stride)
+        report("optimized", ev1)
+        print(f"gain: x{ev1.n_observed / max(ev.n_observed, 1):.2f} observed, "
+              f"x{ev1.mean_reward / max(ev.mean_reward, 1e-9):.2f} mean reward")
+    return 0
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -155,13 +214,16 @@ def main(argv=None) -> int:
         return _info(argv[1:])
     if argv and argv[0] == "filter":
         return _filter(argv[1:])
+    if argv and argv[0] == "eval":
+        return _eval(argv[1:])
     p = argparse.ArgumentParser(
         prog="python -m trajectory_optimization_tpu",
         description=__doc__.split("\n\n")[0],
     )
-    p.add_argument("preset", choices=PRESETS + ("info", "filter"),
-                   help="launch preset, or the bag tools `info PATH` / "
-                        "`filter SRC DST [--topics ...]`")
+    p.add_argument("preset", choices=PRESETS + ("info", "filter", "eval"),
+                   help="launch preset, the bag tools `info PATH` / "
+                        "`filter SRC DST [--topics ...]`, or "
+                        "`eval CLOUD.npz PATH.npz` (trajectory evaluation)")
     p.add_argument("overrides", nargs="*", metavar="key=value",
                    help="rosparam-style overrides for the preset's node config")
     p.add_argument("--processes", action="store_true",

@@ -93,17 +93,7 @@ class TrajectoryOptimizer:
             quats_wxyz = identity_quaternions(len(path))
         padded, valid = pad_points(points)
 
-        problem = TrajProblem(
-            img_width=self.intr.width,
-            img_height=self.intr.height,
-            min_dist=self.min_dist,
-            max_dist=self.max_dist,
-            smoothness_weight=self.smoothness_weight,
-            length_weight=self.length_weight,
-            wps_step=waypoint_stride(path, self.vis_wps_dist),
-            soft_hpr=self.soft_hpr,
-            backend=self.backend,
-        )
+        problem = self._traj_problem(path)
         P, V, K = jnp.asarray(padded), jnp.asarray(valid), self.intr.matrix()
         p0, q0 = jnp.asarray(path), jnp.asarray(quats_wxyz)
 
@@ -136,6 +126,53 @@ class TrajectoryOptimizer:
             visibility_gain=float(f["mean_reward"]) / max(float(f["reward0"]), 1e-9),
             smoothness_gain=float(f["smooth0"]) / max(float(f["loss_smooth"]), 1e-9),
         )
+
+
+    def _traj_problem(self, path, wps_step=None) -> TrajProblem:
+        """The ONE place the facade builds its TrajProblem — optimize and
+        evaluate must construct identical problems (same compile-cache
+        buckets, same knobs). ``wps_step`` overrides the stride computed
+        from ``path`` (pass the initial path's stride when evaluating an
+        optimized path so before/after censuses select the same number of
+        waypoints)."""
+        return TrajProblem(
+            img_width=self.intr.width,
+            img_height=self.intr.height,
+            min_dist=self.min_dist,
+            max_dist=self.max_dist,
+            smoothness_weight=self.smoothness_weight,
+            length_weight=self.length_weight,
+            wps_step=int(wps_step) if wps_step is not None
+            else waypoint_stride(path, self.vis_wps_dist),
+            soft_hpr=self.soft_hpr,
+            backend=self.backend,
+        )
+
+    def evaluate(self, points, path, quats_wxyz=None, *, wps_step=None):
+        """Score a FIXED path — the reference README's "Trajectory
+        Evaluation" mode (`README.md:73-80`): one gradient-free jitted
+        forward returning the observed-voxel census + fused rewards
+        (models.evaluate.TrajEvalResult). Same padding/bucketing as
+        ``optimize``, so alternating evaluate/optimize calls share
+        compile-cache buckets. When comparing an optimized path against
+        its initial one, pass the initial path's ``wps_step``
+        (models.traj.waypoint_stride) to both calls — otherwise the stride
+        recomputed from each path can select different waypoint subsets
+        and the censuses aren't commensurable."""
+        from trajectory_optimization_tpu.models.evaluate import evaluate_trajectory
+
+        points = np.asarray(points, np.float32)
+        path = np.asarray(path, np.float32)
+        if quats_wxyz is None:
+            quats_wxyz = identity_quaternions(len(path))
+        padded, valid = pad_points(points)
+        problem = self._traj_problem(path, wps_step)
+        res = evaluate_trajectory(
+            padded, path, np.asarray(quats_wxyz, np.float32),
+            self.intr.matrix(), problem, valid=valid,
+        )
+        res.rewards = res.rewards[: len(points)]
+        return res
 
 
 class PoseOptimizer:

@@ -5,6 +5,14 @@ from trajectory_optimization_tpu.models.traj import (
     init_traj_params,
     waypoint_stride,
 )
+from trajectory_optimization_tpu.models.evaluate import TrajEvalResult, evaluate_trajectory
+from trajectory_optimization_tpu.models.wps_opt import (
+    WpsOptProblem,
+    init_wps_params,
+    optimize_waypoints,
+    wps_forward,
+    wps_path,
+)
 
 __all__ = [
     "PoseProblem",
@@ -14,4 +22,11 @@ __all__ = [
     "traj_forward",
     "init_traj_params",
     "waypoint_stride",
+    "TrajEvalResult",
+    "evaluate_trajectory",
+    "WpsOptProblem",
+    "init_wps_params",
+    "optimize_waypoints",
+    "wps_forward",
+    "wps_path",
 ]

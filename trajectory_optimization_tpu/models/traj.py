@@ -134,29 +134,27 @@ def logodds_from_minmax(p, pmin, pmax, eps: float) -> jnp.ndarray:
     return jnp.log(p / (1.0 - p))
 
 
-@partial(jax.checkpoint, static_argnums=(4,))
-def soft_hpr_wp_logodds(
+def gated_waypoint_scores(
     quat: jnp.ndarray,
     pose: jnp.ndarray,
     points: jnp.ndarray,
     K: jnp.ndarray,
-    problem: TrajProblem,
+    problem,
     valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """One waypoint's occlusion-gated (N,) log-odds: visibility score ×
-    differentiable Katz HPR on the waypoint's camera-frame cloud, min-max
-    normalized and clipped.
+    """One waypoint's occlusion-gated raw visibility scores: (N,) hpr × p.
 
-    The per-waypoint body of the occlusion-aware trajectory loss, scanned
-    over selected waypoints by ``traj_forward(soft_hpr=True)``. The
-    waypoint-sharded multi-chip step (parallel.traj_sharded._build_local)
-    mirrors this sequence with the point-sharded HPR and an all-gathered
-    min/max — keep the two in sync when editing. Checkpointed: the backward
-    rematerializes the HPR instead of saving its internals (O(N) live
-    memory for the whole scan). One world→camera transform feeds both the
-    visibility score and the HPR input. Reverse-mode only when the binned
-    kernel is selected (above ``problem.soft_hpr_dense_max`` points) — its
-    custom-VJP sorts have no JVP rule.
+    The shared per-waypoint gate pipeline — world→camera planes, smooth
+    visibility scores, differentiable Katz HPR on the waypoint's
+    camera-frame cloud (binned kernel above ``problem.soft_hpr_dense_max``
+    points) — used by the trajectory loss (`soft_hpr_wp_logodds` below) and
+    the per-waypoint X/Y/yaw refinement (`models.wps_opt.wps_forward`).
+    ``problem`` is duck-typed: any object with img_width/img_height/
+    min_dist/max_dist/eps/soft_hpr_dense_max (TrajProblem, WpsOptProblem).
+    The waypoint-sharded multi-chip step (parallel.traj_sharded._build_local)
+    mirrors this sequence with the point-sharded HPR — keep in sync.
+    Reverse-mode only when the binned kernel is selected — its custom-VJP
+    sorts have no JVP rule.
     """
     from trajectory_optimization_tpu.ops.hpr import (
         hpr_mask_soft,
@@ -184,7 +182,32 @@ def soft_hpr_wp_logodds(
         hpr = hpr_mask_soft_binned(cam, valid=valid)
     else:
         hpr = hpr_mask_soft(cam, valid=valid)
-    lo = observation_logodds((hpr * p)[None], problem.eps, valid)
+    return hpr * p
+
+
+@partial(jax.checkpoint, static_argnums=(4,))
+def soft_hpr_wp_logodds(
+    quat: jnp.ndarray,
+    pose: jnp.ndarray,
+    points: jnp.ndarray,
+    K: jnp.ndarray,
+    problem: TrajProblem,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """One waypoint's occlusion-gated (N,) log-odds: visibility score ×
+    differentiable Katz HPR on the waypoint's camera-frame cloud, min-max
+    normalized and clipped.
+
+    The per-waypoint body of the occlusion-aware trajectory loss, scanned
+    over selected waypoints by ``traj_forward(soft_hpr=True)``. The gate
+    pipeline itself lives in ``gated_waypoint_scores`` (shared with
+    models.wps_opt and mirrored by parallel.traj_sharded._build_local).
+    Checkpointed: the backward rematerializes the HPR instead of saving its
+    internals (O(N) live memory for the whole scan). One world→camera
+    transform feeds both the visibility score and the HPR input.
+    """
+    gated = gated_waypoint_scores(quat, pose, points, K, problem, valid)
+    lo = observation_logodds(gated[None], problem.eps, valid)
     return lo[0]
 
 
