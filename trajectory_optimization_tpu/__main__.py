@@ -11,6 +11,8 @@ overrides reproducing the rosparam knob set).
         --topics /tf /points --start 1.5e9 --compression bz2
     python -m trajectory_optimization_tpu eval \
         data/points/point_cloud_10.npz data/paths/path_poses_10.npz --optimize 100
+    python -m trajectory_optimization_tpu extract session.bag data/ \
+        --images /viz/camera_0/image/compressed --indices 10
 
 `info PATH` prints a rosbag-info-style summary of a .bag (the reference
 documents its dataset with exactly that output, `launch/rosbag_info.txt`);
@@ -207,6 +209,65 @@ def _eval(argv) -> int:
     return 0
 
 
+def _extract(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m trajectory_optimization_tpu extract",
+        description="Extract the reference npz dataset layout "
+                    "(data/points/point_cloud_{i}.npz + data/paths/"
+                    "path_poses_{i}.npz, plus optional camera PNG frames "
+                    "and intrinsics) from a recorded session .bag.",
+    )
+    p.add_argument("bag", help="input .bag (e.g. the reference's 15 GB "
+                               "session recording)")
+    p.add_argument("out", help="output dataset directory")
+    p.add_argument("--cloud-topic", default=None, metavar="TOPIC",
+                   help="PointCloud2 topic -> points/point_cloud_{i}.npz "
+                        "(default /final_cost_cloud; '' disables)")
+    p.add_argument("--path-topic", default=None, metavar="TOPIC",
+                   help="nav_msgs/Path topic -> paths/path_poses_{i}.npz "
+                        "(default /path; '' disables)")
+    p.add_argument("--images", nargs="+", default=(), metavar="TOPIC",
+                   help="image topics -> images/<topic>/frame_{i}.png "
+                        "(CompressedImage streams decode through the "
+                        "from-spec JPEG/PNG codecs)")
+    p.add_argument("--camera-info", nargs="+", default=(), metavar="TOPIC",
+                   help="CameraInfo topics -> images/<topic>/camera_info.npz")
+    p.add_argument("--indices", nargs="+", type=int, default=None,
+                   metavar="I", help="only these per-topic message indices "
+                                     "(e.g. --indices 10 reproduces the "
+                                     "in-repo sample pair)")
+    p.add_argument("--start-index", type=int, default=0, metavar="N",
+                   help="offset added to indices in output file names")
+    args = p.parse_args(argv)
+    from trajectory_optimization_tpu.bus.dataset import (
+        DEFAULT_CLOUD_TOPIC,
+        DEFAULT_PATH_TOPIC,
+        extract_dataset,
+    )
+
+    cloud = DEFAULT_CLOUD_TOPIC if args.cloud_topic is None else args.cloud_topic
+    path = DEFAULT_PATH_TOPIC if args.path_topic is None else args.path_topic
+    try:
+        res = extract_dataset(
+            args.bag, args.out, cloud_topic=cloud, path_topic=path,
+            image_topics=args.images, camera_info_topics=args.camera_info,
+            indices=args.indices, start_index=args.start_index)
+    except (OSError, ValueError) as e:
+        print(f"extract: {e}", file=sys.stderr)
+        return 1
+    n_img = sum(len(v) for v in res.images.values())
+    print(f"wrote {len(res.clouds)} clouds, {len(res.paths)} paths, "
+          f"{n_img} image frames, {len(res.camera_infos)} camera infos "
+          f"to {args.out}"
+          + (f" ({res.skipped_images} undecodable frames skipped)"
+             if res.skipped_images else ""))
+    if res.n_files == 0:
+        print("extract: no matching messages found — check topic names "
+              "with `info`", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -216,13 +277,17 @@ def main(argv=None) -> int:
         return _filter(argv[1:])
     if argv and argv[0] == "eval":
         return _eval(argv[1:])
+    if argv and argv[0] == "extract":
+        return _extract(argv[1:])
     p = argparse.ArgumentParser(
         prog="python -m trajectory_optimization_tpu",
         description=__doc__.split("\n\n")[0],
     )
-    p.add_argument("preset", choices=PRESETS + ("info", "filter", "eval"),
+    p.add_argument("preset",
+                   choices=PRESETS + ("info", "filter", "eval", "extract"),
                    help="launch preset, the bag tools `info PATH` / "
-                        "`filter SRC DST [--topics ...]`, or "
+                        "`filter SRC DST [--topics ...]` / "
+                        "`extract BAG OUT` (bag -> npz dataset), or "
                         "`eval CLOUD.npz PATH.npz` (trajectory evaluation)")
     p.add_argument("overrides", nargs="*", metavar="key=value",
                    help="rosparam-style overrides for the preset's node config")
