@@ -657,6 +657,74 @@ def test_bag_player_duration_survives_stamp_jitter(tmp_path):
     assert seen2 == [0.0, 1.0, 2.0, 3.0, 4.0]
 
 
+def test_stream_window_origin_consistent_under_head_jitter(tmp_path):
+    """The -s window origin must not shift with head stamp jitter: the
+    indexed path anchors at the index's bag start; the unindexed fallback
+    must converge to the same origin via a running stamp MIN (regression:
+    it anchored at the FIRST record's stamp, so the same content selected
+    a window shifted by the head jitter once the index was distrusted)."""
+    from trajectory_optimization_tpu.bus.rosbag import MAGIC, BagPlayer, BagWriter
+
+    path = str(tmp_path / "head.bag")
+    pts = np.ones((8, 3), np.float32)
+    w = BagWriter(path)
+    for s in [2.0, 0.0, 1.0, 3.0, 4.0, 5.0]:  # first record stamped 2.0
+        w.add("/pts", CloudMsg(Header(stamp=s, frame_id="m"), pts))
+    w.close()
+
+    def stamps(bag, **kw):
+        bus = Bus()
+        seen = []
+        bus.subscribe("/pts", lambda m: seen.append(m.header.stamp))
+        BagPlayer(bag, streaming=True).play(bus, **kw)
+        return seen
+
+    # indexed: origin = 0.0 from the chunk index
+    assert stamps(path, start=3.0) == [3.0, 4.0, 5.0]
+
+    # distrust the index by appending a second bag's records (naive concat)
+    junk = str(tmp_path / "junk.bag")
+    w = BagWriter(junk)
+    w.add("/junk", PoseMsg(Header(stamp=10.0, frame_id="m"),
+                           [0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]))
+    w.close()
+    merged = str(tmp_path / "merged.bag")
+    with open(merged, "wb") as out:
+        with open(path, "rb") as f:
+            out.write(f.read())
+        with open(junk, "rb") as f:
+            f.read(len(MAGIC))
+            out.write(f.read())
+    # unindexed fallback: same window, not one shifted to [5.0] by the
+    # jittered 2.0 head stamp
+    assert stamps(merged, start=3.0) == [3.0, 4.0, 5.0]
+
+
+def test_bgr_pixels_transcode_true_colour(tmp_path):
+    """A user-constructed bgr8 ImageMsg with a compressed wire format must
+    re-read with red/blue in the right place: the JPEG/PNG codecs take true
+    colour order, so the writer swaps BGR(A) bytes before compressing
+    (regression: bytes were compressed as-is, then re-labelled rgb8 on
+    decode — a semantic channel flip)."""
+    from trajectory_optimization_tpu.bus.rosbag import BagWriter, read_bag
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0] = 220  # blue plane in BGR order
+    img[..., 2] = 30   # red plane
+    for wire in ("jpeg", "png"):
+        path = str(tmp_path / f"bgr_{wire}.bag")
+        w = BagWriter(path)
+        w.add("/cam", ImageMsg(Header(stamp=0.0, frame_id="c"), img,
+                               encoding="bgr8", wire_format=wire))
+        w.close()
+        ((_t, _topic, m),) = list(read_bag(path))
+        out = np.asarray(m.data)
+        assert m.encoding == "rgb8" and out.shape == img.shape
+        tol = 0 if wire == "png" else 6  # png lossless, jpeg near-lossless here
+        assert abs(int(out[..., 2].mean()) - 220) <= tol  # blue -> channel 2
+        assert abs(int(out[..., 0].mean()) - 30) <= tol   # red  -> channel 0
+
+
 def test_filter_bag_rides_chunk_index(tmp_path, monkeypatch):
     """Topic- or time-filtered copies of an indexed bag must skip chunks
     via the trailing chunk-info records — unwanted chunks are never

@@ -582,6 +582,12 @@ def _encode_transcoded_image(msg: ImageMsg) -> bytes:
     from trajectory_optimization_tpu.bus.png import encode_png
 
     data = np.asarray(msg.data)
+    # the codecs take TRUE colour order (decoded frames are always rgb8,
+    # but user-constructed messages default to bgr8, messages.py) — swap
+    # BGR(A) bytes here or the re-read frame comes back labelled rgb8
+    # with red and blue semantically flipped
+    if msg.encoding in ("bgr8", "bgra8") and data.ndim == 3 and data.shape[-1] >= 3:
+        data = np.concatenate([data[..., 2::-1], data[..., 3:]], axis=-1)
     if msg.wire_format == "jpeg":
         # 4:2:0 like the source streams (the libjpeg/cv2 ecosystem
         # default) — 4:4:4 would roughly double the re-encoded size
@@ -1761,7 +1767,14 @@ class BagPlayer:
         and the pass only ENDS once the high-water stamp runs
         ``_STREAM_REORDER_SLACK`` seconds past the window — a single
         jittered stamp cannot drop in-window messages behind it.
-        Non-streaming (globally sorted) players cut exactly."""
+        Non-streaming (globally sorted) players cut exactly.
+
+        The window origin (bag start) comes from the chunk index when
+        trusted; otherwise it is the running MIN of stamps seen, so it
+        converges to the indexed origin within the head's stamp jitter
+        (records played before the true-min stamp arrives are windowed
+        against a provisionally-high origin — the price of streaming an
+        unindexed bag, which ``rosbag play`` refuses outright)."""
         total = 0
         for _ in range(max(1, int(loop))):
             total += self._play_once(bus, realtime, rate, prefetch,
@@ -1840,12 +1853,18 @@ class BagPlayer:
         prev_t = None
         n = 0
         # t0 (the -s/-u window origin) is the indexed bag start when known
-        # (set above), else the first record's stamp
+        # (set above — and then FIXED: the indexed iterator prunes chunks
+        # outside the window, so records that carry the bag-global min
+        # stamp may never be yielded here). When discovered from records
+        # (unindexed fallback), keep it a running MIN: record order jitters,
+        # and anchoring at the first record's stamp would shift the whole
+        # window by the head jitter relative to the indexed origin.
+        t0_from_records = t0 is None
         hw = None  # monotone high-water stamp (record order can jitter)
         try:
             for t, topic, msg in src:
-                if t0 is None:
-                    t0 = t
+                if t0_from_records:
+                    t0 = t if t0 is None else min(t0, t)
                 hw = t if hw is None else max(hw, t)
                 if duration is not None:
                     end = start + duration
