@@ -214,14 +214,16 @@ def main(argv=None):
     print(f"[make_gifs] {gif}: {len(frames)} frames")
 
     # ---- cam_traj_eval.gif: log-odds fusion accumulating along the path ---
+    from trajectory_optimization_tpu.models.traj import observation_logodds
     from trajectory_optimization_tpu.ops.scores import waypoint_scores
 
-    obs = np.asarray(jax.jit(waypoint_scores, static_argnums=(4, 5))(
+    obs = jax.jit(waypoint_scores, static_argnums=(4, 5))(
         P, jnp.asarray(quats0), jnp.asarray(path), jnp.asarray(intr.matrix()),
-        intr.width, intr.height))  # (W, N)
-    pmin, pmax = obs.min(axis=1, keepdims=True), obs.max(axis=1, keepdims=True)
-    pn = np.clip((obs - pmin) / np.maximum(pmax - pmin, 1e-8), 0.5, 1 - 1e-6)
-    lo_cum = np.cumsum(np.log(pn / (1 - pn)), axis=0)  # per-prefix fusion
+        intr.width, intr.height)  # (W, N)
+    # the model's own normalize→clip→log-odds (pinned quirks live there)
+    lo = np.asarray(observation_logodds(
+        obs, TrajProblem(img_width=intr.width, img_height=intr.height).eps))
+    lo_cum = np.cumsum(lo, axis=0)  # per-prefix fusion
     frames = []
     for w in range(len(path)):
         rewards = 1.0 / (1.0 + np.exp(-lo_cum[w]))

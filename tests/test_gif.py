@@ -112,6 +112,83 @@ def test_malformed_streams_raise():
                     np.zeros((5, 4, 3), np.uint8)])  # shape mismatch
 
 
+def test_palette_sample_spans_all_frames():
+    """median_cut_palette's deterministic sampling must cover the WHOLE
+    pixel range — floor-division striding used to starve trailing frames
+    (a 120k-px frame sampled only its top rows)."""
+    top = np.full((150, 400, 3), (255, 0, 0), np.uint8)
+    bottom = np.full((150, 400, 3), (0, 0, 255), np.uint8)
+    frame = np.concatenate([top, bottom])  # 120k px: len//sample == 1
+    pal = median_cut_palette([frame], 8)
+    idx = quantize_to_palette(frame, pal)
+    err = np.abs(pal[idx].astype(int) - frame.astype(int))
+    assert err.max() <= 8  # both color families must be in the palette
+
+
+def test_index_frame_out_of_palette_raises():
+    """An index ≥ len(palette) would collide with the LZW CLEAR/EOI codes
+    or emit undecodable color references — the encoder must refuse."""
+    pal = np.zeros((4, 3), np.uint8)
+    with pytest.raises(GifError):
+        encode_gif([np.full((4, 4), 5, np.uint8)], palette=pal)
+    pal200 = np.zeros((200, 3), np.uint8)
+    with pytest.raises(GifError):
+        encode_gif([np.full((4, 4), 230, np.uint8)], palette=pal200)
+
+
+def test_oversized_image_rect_raises_giferror():
+    """A frame rect escaping the logical screen is malformed input and must
+    raise GifError (module contract), not a numpy broadcast error."""
+    pal = np.zeros((2, 3), np.uint8)
+    buf = bytearray(encode_gif([np.zeros((8, 8), np.uint8)], palette=pal))
+    # image descriptor: 0x2C + <HHHH left top w h>; widen w to W+1
+    pos = buf.index(0x2C, 13)
+    import struct as _struct
+
+    _struct.pack_into("<H", buf, pos + 5, 9)
+    with pytest.raises(GifError):
+        decode_gif(bytes(buf))
+
+
+def test_gif_fuzz_mutations():
+    """Random byte mutations / truncations of a valid stream must decode
+    or raise GifError — never crash, hang, or index out of bounds (same
+    harness that caught real bugs in the JPEG decoders)."""
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+              for _ in range(3)]
+    data = encode_gif(frames, n_colors=32)
+    for _ in range(200):
+        buf = bytearray(data)
+        for _ in range(rng.integers(1, 6)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        try:
+            out, delays = decode_gif(bytes(buf))
+            assert all(f.dtype == np.uint8 and f.ndim == 3 for f in out)
+        except GifError:
+            pass  # malformed is the expected failure mode
+    for cut in range(1, len(data), max(1, len(data) // 64)):
+        try:
+            decode_gif(data[:cut])
+        except GifError:
+            pass
+
+
+def test_delay_resets_without_gce():
+    """A graphic-control extension applies to exactly one image: a frame
+    without its own GCE gets delay 0, not the previous frame's."""
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    f = (np.arange(64).reshape(8, 8) % 2).astype(np.uint8)
+    one = encode_gif([f], palette=pal, delay_cs=50, loop=None)
+    # splice a second image block in WITHOUT a preceding GCE
+    img_start = one.index(0x2C, 13)
+    frame_blocks = one[img_start:-1]  # image descriptor..data (minus trailer)
+    spliced = one[:-1] + frame_blocks + b"\x3b"
+    frames, delays = decode_gif(spliced)
+    assert len(frames) == 2
+    assert delays == [50, 0]
+
+
 # ---------------------------------------------------------------------------
 # live PIL oracle (same gate as the JPEG/PNG live sweeps)
 

@@ -56,8 +56,11 @@ def median_cut_palette(frames: Sequence[np.ndarray], n_colors: int = 256,
     """
     px = np.concatenate([np.asarray(f, np.uint8).reshape(-1, 3) for f in frames])
     if len(px) > sample:
-        # deterministic stride sample (demo artifacts must be reproducible)
-        px = px[:: max(1, len(px) // sample)][:sample]
+        # deterministic stride sample (demo artifacts must be reproducible);
+        # ceil-divide so the stride spans the WHOLE pixel range — floor
+        # division truncated to the first `sample` pixels (top of frame 0)
+        # and starved trailing frames' colors out of the palette
+        px = px[:: -(-len(px) // sample)]
     px = px.astype(np.int32)
     boxes: List[np.ndarray] = [px]
     while len(boxes) < n_colors:
@@ -277,6 +280,13 @@ def encode_gif(
     pal = np.asarray(palette, np.uint8)
     if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
         raise GifError(f"palette must be (P<=256, 3) uint8, got {pal.shape}")
+    # explicit index frames must reference real palette entries — an index
+    # >= len(pal) emits an undecodable color reference, and one reaching the
+    # LZW CLEAR/EOI codes silently corrupts the stream
+    for f in idx_frames:
+        top = int(f.max(initial=0))
+        if top >= len(pal):
+            raise GifError(f"frame index {top} out of range for {len(pal)}-entry palette")
     # global color table size is a power of two >= 2
     gct_bits = max(1, int(len(pal) - 1).bit_length())
     gct = np.zeros((1 << gct_bits, 3), np.uint8)
@@ -333,11 +343,16 @@ def decode_gif(buf: bytes) -> Tuple[List[np.ndarray], List[int]]:
     if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
         raise GifError("not a GIF87a/89a stream")
     W, H = struct.unpack_from("<HH", buf, 6)
+    if W * H > 1 << 26:  # ~200 MB RGB screen: far beyond any real GIF —
+        # a corrupt header must not become a 12 GB allocation bomb
+        raise GifError(f"implausible {W}x{H} logical screen")
     packed = buf[10]
     pos = 13
     gct = None
     if packed & 0x80:
         size = 2 << (packed & 7)
+        if pos + size * 3 > len(buf):
+            raise GifError("truncated global color table")
         gct = np.frombuffer(buf[pos : pos + size * 3], np.uint8).reshape(-1, 3)
         pos += size * 3
 
@@ -357,6 +372,8 @@ def decode_gif(buf: bytes) -> Tuple[List[np.ndarray], List[int]]:
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension
+            if pos >= len(buf):
+                raise GifError("truncated extension block")
             label = buf[pos]
             pos += 1
             data, pos = _read_sub_blocks(buf, pos)
@@ -367,17 +384,25 @@ def decode_gif(buf: bytes) -> Tuple[List[np.ndarray], List[int]]:
             continue
         if b0 != 0x2C:
             raise GifError(f"unexpected block 0x{b0:02x}")
+        if pos + 9 > len(buf):
+            raise GifError("truncated image descriptor")
         left, top, w, h = struct.unpack_from("<HHHH", buf, pos)
         pos += 8
+        if left + w > W or top + h > H:
+            raise GifError(f"image rect {w}x{h}+{left}+{top} exceeds {W}x{H} screen")
         ipacked = buf[pos]
         pos += 1
         table = gct
         if ipacked & 0x80:
             size = 2 << (ipacked & 7)
+            if pos + size * 3 > len(buf):
+                raise GifError("truncated local color table")
             table = np.frombuffer(buf[pos : pos + size * 3], np.uint8).reshape(-1, 3)
             pos += size * 3
         if table is None:
             raise GifError("image without any color table")
+        if pos >= len(buf):
+            raise GifError("truncated image data")
         mcs = buf[pos]
         pos += 1
         data, pos = _read_sub_blocks(buf, pos)
@@ -403,8 +428,11 @@ def decode_gif(buf: bytes) -> Tuple[List[np.ndarray], List[int]]:
             screen[top : top + h, left : left + w] = bg[top : top + h, left : left + w]
         elif disposal == 3 and prev is not None:
             screen = prev
+        # a graphic-control extension applies to exactly ONE following image
+        # (GIF89a §23) — delay included; frames without their own GCE get 0
         transparent = -1
         disposal = 0
+        delay = 0
     if not frames:
         raise GifError("no image frames")
     return frames, delays
