@@ -47,6 +47,25 @@ def _fetch_rtt():
     return min(rtts)
 
 
+def _wait_relay_settled(max_wait_s=600.0, good_rtt=0.08):
+    """Block until the tunneled-TPU link RTT looks healthy. The relay
+    occasionally wedges for 5-30 min (CLAUDE.md); a headline number taken
+    during a wedge reads up to 23x slow, and the driver records whatever
+    this process prints. Returns the last probed RTT (gives up and returns
+    the unhealthy value after ``max_wait_s``)."""
+    t0 = time.monotonic()
+    while True:
+        rtt = _fetch_rtt()
+        if rtt < good_rtt or time.monotonic() - t0 > max_wait_s:
+            return rtt
+        print(
+            f"[bench] relay RTT {rtt * 1e3:.0f} ms (normal ~25-30) — waiting "
+            f"for the link to settle before timing",
+            file=sys.stderr,
+        )
+        time.sleep(30.0)
+
+
 def _steps_per_sec(step_fn, state, n_steps, n_warmup=3, repeats=3):
     """Median-of-`repeats` steps/s with a REAL device sync: fetch bytes to host.
 
@@ -546,7 +565,7 @@ def main():
     import jax.numpy as _jnp
 
     np.asarray(_jnp.zeros(8))  # init backend before probing
-    link_rtt = _fetch_rtt()
+    link_rtt = _wait_relay_settled()
     print(
         f"[bench] link RTT (dispatch+fetch round trip, tunneled TPU): "
         f"{link_rtt * 1e3:.1f} ms — environment latency; serving-mode and "
@@ -559,6 +578,14 @@ def main():
     # scan so the timed window (~140 ms) dwarfs link-RTT jitter (at ~14k
     # steps/s a 400-step window is ~28 ms — inside the noise)
     rate_ref = bench_traj_scan(pts, path, n_steps=2000)
+    # a wedge can strike mid-measurement: if the link degraded while the
+    # windows ran, wait it out and re-time (hiccups only ever ADD time, so
+    # the max across attempts is the honest device rate)
+    if _fetch_rtt() > max(2.5 * link_rtt, 0.08):
+        print("[bench] relay degraded during the headline window — retiming",
+              file=sys.stderr)
+        _wait_relay_settled()
+        rate_ref = max(rate_ref, bench_traj_scan(pts, path, n_steps=2000))
     print(
         f"[bench] reference workload (40452 pts x 27 wps, 2000-step production "
         f"scan windows): {rate_ref:.1f} traj steps/s",
