@@ -580,11 +580,13 @@ def main():
     rate_ref = bench_traj_scan(pts, path, n_steps=2000)
     # a wedge can strike mid-measurement: if the link degraded while the
     # windows ran, wait it out and re-time (hiccups only ever ADD time, so
-    # the max across attempts is the honest device rate)
-    if _fetch_rtt() > max(2.5 * link_rtt, 0.08):
+    # the max across attempts is the honest device rate). The threshold is
+    # clamped to a HEALTHY-link bound: if the startup settle itself gave up
+    # mid-wedge, link_rtt is the wedged value and 2.5x it would never fire.
+    if _fetch_rtt() > max(2.5 * min(link_rtt, 0.08), 0.08):
         print("[bench] relay degraded during the headline window — retiming",
               file=sys.stderr)
-        _wait_relay_settled()
+        link_rtt = min(link_rtt, _wait_relay_settled())
         rate_ref = max(rate_ref, bench_traj_scan(pts, path, n_steps=2000))
     print(
         f"[bench] reference workload (40452 pts x 27 wps, 2000-step production "
