@@ -110,6 +110,12 @@ def test_malformed_streams_raise():
     with pytest.raises(GifError):
         encode_gif([np.zeros((4, 4, 3), np.uint8),
                     np.zeros((5, 4, 3), np.uint8)])  # shape mismatch
+    # RGBA must be rejected, not silently quantized with misaligned
+    # triples (reshape(-1, 3) over 4-channel pixels scrambles colors)
+    with pytest.raises(GifError):
+        encode_gif([np.zeros((9, 8, 4), np.uint8)])
+    with pytest.raises(GifError):
+        encode_gif([np.zeros((8, 8, 4), np.uint8)])  # reshape would raise
 
 
 def test_palette_sample_spans_all_frames():

@@ -66,7 +66,6 @@ pytestmark = pytest.mark.skipif(
 torch = pytest.importorskip("torch")
 F = torch.nn.functional
 
-DATA = Path(__file__).resolve().parent.parent / "data"
 IMG_W, IMG_H = 1232.0, 1616.0
 
 
@@ -132,14 +131,8 @@ def ref():
     return mod
 
 
-@pytest.fixture(scope="module")
-def cloud10():
-    return np.asarray(np.load(DATA / "points" / "point_cloud_10.npz")["pts"], np.float32)
-
-
-@pytest.fixture(scope="module")
-def path10():
-    return np.asarray(np.load(DATA / "paths" / "path_poses_10.npz")["poses"], np.float32)
+# cloud10 / path10 come from conftest.py's session fixtures (which also
+# guard against a transposed (3, N) sample layout)
 
 
 def _K():

@@ -255,16 +255,16 @@ def _extract(argv) -> int:
     except (OSError, ValueError) as e:
         print(f"extract: {e}", file=sys.stderr)
         return 1
+    if res.n_files == 0:
+        print("extract: no matching messages found — check topic names "
+              "with `info`", file=sys.stderr)
+        return 1
     n_img = sum(len(v) for v in res.images.values())
     print(f"wrote {len(res.clouds)} clouds, {len(res.paths)} paths, "
           f"{n_img} image frames, {len(res.camera_infos)} camera infos "
           f"to {args.out}"
           + (f" ({res.skipped_images} undecodable frames skipped)"
              if res.skipped_images else ""))
-    if res.n_files == 0:
-        print("extract: no matching messages found — check topic names "
-              "with `info`", file=sys.stderr)
-        return 1
     return 0
 
 

@@ -99,6 +99,7 @@ def extract_dataset(
         CloudMsg,
         ImageMsg,
         PathMsg,
+        bgr_to_rgb,
     )
     from trajectory_optimization_tpu.bus.rosbag import read_bag
 
@@ -172,10 +173,7 @@ def extract_dataset(
                 # decoded compressed streams are always rgb8, but raw
                 # sensor_msgs/Image topics may carry bgr8 (the cv/ROS
                 # default) — PNG is true colour order, so swap
-                if (msg.encoding in ("bgr8", "bgra8") and img.ndim == 3
-                        and img.shape[-1] >= 3):
-                    img = np.concatenate(
-                        [img[..., 2::-1], img[..., 3:]], axis=-1)
+                img = bgr_to_rgb(img, msg.encoding)
                 d = os.path.join(images_dir, _slug(topic))
                 os.makedirs(d, exist_ok=True)
                 f = os.path.join(d, f"frame_{i:05d}.png")

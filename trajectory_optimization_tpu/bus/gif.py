@@ -269,6 +269,14 @@ def encode_gif(
             raise GifError("index frames require an explicit palette")
         idx_frames = [np.asarray(f, np.uint8) for f in frames]
     else:
+        # reject RGBA/odd channel counts up front: median_cut_palette's
+        # reshape(-1, 3) would silently misalign 4-channel pixel triples
+        # into a scrambled (but valid-looking) palette
+        for f in frames:
+            f = np.asarray(f)
+            if f.ndim != 3 or f.shape[-1] != 3:
+                raise GifError(
+                    f"RGB frames must be (H, W, 3) uint8, got {f.shape}")
         if palette is None:
             palette = median_cut_palette(frames, n_colors)
         idx_frames = [quantize_to_palette(f, palette) for f in frames]

@@ -156,6 +156,21 @@ class ImageMsg:
     wire_format: str = ""
 
 
+def bgr_to_rgb(img: "np.ndarray", encoding: str) -> "np.ndarray":
+    """Return ``img`` in true (RGB) channel order.
+
+    Decoded CompressedImage streams are always rgb8, but user-constructed
+    messages default to bgr8 (the cv/ROS convention, see ``ImageMsg``);
+    true-colour sinks (PNG/JPEG encoders, dataset extraction) must swap
+    BGR(A) bytes or red and blue come out semantically flipped. No-op for
+    non-BGR encodings or non-(H, W, >=3) arrays.
+    """
+    img = np.asarray(img)
+    if encoding in ("bgr8", "bgra8") and img.ndim == 3 and img.shape[-1] >= 3:
+        img = np.concatenate([img[..., 2::-1], img[..., 3:]], axis=-1)
+    return img
+
+
 @dataclasses.dataclass(frozen=True)
 class TransformMsg:
     """Frame-to-frame transform (TransformStamped parity)."""

@@ -54,6 +54,7 @@ from trajectory_optimization_tpu.bus.messages import (
     PathMsg,
     PoseMsg,
     TransformMsg,
+    bgr_to_rgb,
 )
 
 MAGIC = b"#ROSBAG V2.0\n"
@@ -581,13 +582,11 @@ def _encode_transcoded_image(msg: ImageMsg) -> bytes:
     from trajectory_optimization_tpu.bus.jpeg import encode_jpeg
     from trajectory_optimization_tpu.bus.png import encode_png
 
-    data = np.asarray(msg.data)
     # the codecs take TRUE colour order (decoded frames are always rgb8,
     # but user-constructed messages default to bgr8, messages.py) — swap
     # BGR(A) bytes here or the re-read frame comes back labelled rgb8
     # with red and blue semantically flipped
-    if msg.encoding in ("bgr8", "bgra8") and data.ndim == 3 and data.shape[-1] >= 3:
-        data = np.concatenate([data[..., 2::-1], data[..., 3:]], axis=-1)
+    data = bgr_to_rgb(msg.data, msg.encoding)
     if msg.wire_format == "jpeg":
         # 4:2:0 like the source streams (the libjpeg/cv2 ecosystem
         # default) — 4:4:4 would roughly double the re-encoded size
