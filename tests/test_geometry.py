@@ -126,6 +126,39 @@ def test_mean_segment_angle_matches_oracle(path10):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_mean_segment_angle_short_paths_are_straight():
+    """<3 waypoints have no interior angles: the mean must be pi (straight by
+    definition), not the NaN of a 0/0 — a NaN here poisons traj_criterion's
+    smoothness loss and every Adam gradient on step 1."""
+    for w in (1, 2):
+        got = float(mean_segment_angle(jnp.zeros((w, 3)) + jnp.arange(w)[:, None]))
+        np.testing.assert_allclose(got, np.pi, rtol=1e-6)
+
+
+def test_traj_criterion_finite_for_two_waypoints():
+    import jax
+
+    from trajectory_optimization_tpu.models.traj import (
+        TrajProblem, init_traj_params, traj_forward)
+    from trajectory_optimization_tpu.utils.data import identity_quaternions
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    pts = jnp.asarray(_cloud(seed=3))
+    poses0 = jnp.array([[0.0, 0.0, 0.2], [1.0, 0.0, 0.2]])
+    quats0 = jnp.asarray(identity_quaternions(2))
+    prob = TrajProblem(img_width=intr.width, img_height=intr.height)
+    params = init_traj_params(poses0, quats0)
+
+    def loss_fn(p):
+        return traj_forward(p, pts, intr.matrix(), poses0, quats0, prob)[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_gradients_flow_through_visibility():
     import jax
 

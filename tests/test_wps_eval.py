@@ -211,11 +211,14 @@ def test_wps_sharded_matches_single_chip(rng):
     mesh = make_mesh(8)
     P, Kj = jnp.asarray(pts), jnp.asarray(K)
 
-    loss_s, (losses_s, obs_s) = wps_loss_sharded(
+    loss_s, aux_s = wps_loss_sharded(
         mesh, params, frozen, P, valid, Kj, problem)
+    losses_s, obs_s = aux_s["losses"], aux_s["observations"]
     loss_1, aux_1 = wps_forward(params, frozen, P, Kj, problem,
                                 valid=jnp.asarray(valid))
     np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-5)
+    np.testing.assert_allclose(float(aux_s["mean_reward"]),
+                               float(aux_1["mean_reward"]), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(losses_s), np.asarray(aux_1["losses"]),
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(obs_s), np.asarray(aux_1["observations"]),

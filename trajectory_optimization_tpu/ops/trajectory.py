@@ -32,6 +32,12 @@ def mean_segment_angle(traj: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     float32 torch, has the same latent hazard; clamping only activates
     out-of-domain so in-domain values are bit-identical).
     """
+    if traj.shape[0] < 3:
+        # no interior waypoints: the 0/0 mean below would be NaN and poison
+        # the smoothness loss + its gradients (models.traj.traj_criterion).
+        # A <3-point path is straight by definition — report pi, the
+        # straight-line angle (same convention as models/evaluate.py).
+        return jnp.asarray(jnp.pi, dtype=traj.dtype)
     ab = traj[:-2] - traj[1:-1]
     ac = traj[2:] - traj[1:-1]
     cos = jnp.sum(ab * ac, axis=-1) / (

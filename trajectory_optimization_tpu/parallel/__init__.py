@@ -16,12 +16,18 @@ from trajectory_optimization_tpu.parallel.traj_sharded import (
     make_sharded_traj_step,
     traj_soft_hpr_loss_sharded,
 )
+from trajectory_optimization_tpu.parallel.wps_sharded import (
+    make_sharded_wps_step,
+    wps_loss_sharded,
+)
 
 __all__ = [
     "make_sharded_pose_step",
     "pose_loss_sharded",
     "make_sharded_traj_step",
     "traj_soft_hpr_loss_sharded",
+    "make_sharded_wps_step",
+    "wps_loss_sharded",
     "make_mesh",
     "points_sharding",
     "replicated",

@@ -35,8 +35,12 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Only the benign re-init case may be swallowed; a connect timeout /
+        # port conflict (XlaRuntimeError subclasses RuntimeError) must fail
+        # fast, not silently proceed as an uninitialized single-process JAX.
+        if "only be called once" not in str(e):  # jax._src.distributed
+            raise
 
 
 def make_multihost_mesh(*, wps: int = 1) -> Mesh:

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from trajectory_optimization_tpu.models.traj import (
     TrajProblem,
+    logodds_from_minmax,
     traj_criterion,
     traj_forward,
 )
@@ -118,6 +119,16 @@ def make_sharded_train_step(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
+    if backend == "pallas" and problem.soft_hpr:
+        # the fused-Pallas kernel has no occlusion input; silently training
+        # the non-occlusion loss would be a lie. The occlusion-aware
+        # multi-chip step lives in parallel.traj_sharded.
+        raise ValueError(
+            "make_sharded_train_step's 'pallas' backend does not support "
+            "soft_hpr; use parallel.traj_sharded.make_sharded_traj_step "
+            "(occlusion-aware) or backend='xla'."
+        )
+
     if backend == "pallas":
         def loss_fn(params, points, valid, K, poses0, quats0):
             return traj_forward_sharded(
@@ -191,9 +202,7 @@ def shardmap_visibility(
         pmax_l = jnp.max(jnp.where(valid_l > 0, p, -big), axis=-1)
         pmin = jax.lax.pmin(pmin_l, "pts")[:, None]  # ICI all-reduce(min)
         pmax = jax.lax.pmax(pmax_l, "pts")[:, None]
-        span = jnp.maximum(pmax - pmin, 1e-8)
-        pn = jnp.clip((p - pmin) / span, 0.5, 1.0 - problem.eps)
-        lo = jnp.log(pn / (1.0 - pn))
+        lo = logodds_from_minmax(p, pmin, pmax, problem.eps)
         return 1.0 / (1.0 + jnp.exp(-jnp.sum(lo, axis=0)))
 
     f = jax.shard_map(

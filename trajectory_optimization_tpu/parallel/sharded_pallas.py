@@ -94,7 +94,7 @@ def _sharded_fwd(mesh, wp, kp, planes, valid_plane, img_wh, dist_lims, eps):
     # honor the single-device HBM budget PER SHARD: past it, fall back to the
     # fused no-cache kernels (recompute scores) instead of materializing the
     # (W_local, M_local, LANES) cache and its backward residency
-    w_local = -(-wp.shape[0] // mesh.shape.get("wps", 1))
+    w_local = -(-wp.shape[0] // mesh.shape["wps"])
     cache = w_local * m_local * LANES * 4 <= SCORE_CACHE_MAX_BYTES
 
     def local(wp, kp, planes_l, valid_l):
@@ -203,8 +203,17 @@ def sharded_fused_lo_sum(
     each chip evaluates its waypoint subset over its point slice, so memory
     and compute scale down along both axes.
     """
+    if "wps" not in mesh.shape or "pts" not in mesh.shape:
+        # the shard_map regions below name both axes unconditionally (psum
+        # over 'wps', pmin/pmax over 'pts') — a partial mesh would fail at
+        # trace time with an opaque unbound-axis error. A 1-device 'wps'
+        # axis is fine: make it explicit (parallel.mesh.make_mesh does).
+        raise ValueError(
+            f"sharded_fused_lo_sum needs a ('wps', 'pts') mesh, got axes "
+            f"{tuple(mesh.shape)}; build one with parallel.mesh.make_mesh."
+        )
     D = mesh.shape["pts"]
-    W_axis = mesh.shape.get("wps", 1)
+    W_axis = mesh.shape["wps"]
     N = points.shape[0]
     W = quats.shape[0]
     tile = MIN_TILE_ROWS * LANES * D

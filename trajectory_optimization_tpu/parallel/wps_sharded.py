@@ -53,7 +53,12 @@ def _build_local(problem: WpsOptProblem, axis: str):
         ) * valid_l[None, :]  # (W, N_local)
         per_wp = jax.lax.psum(jnp.sum(mask, axis=-1), axis)  # (W,) replicated
         losses = 1.0 / (per_wp + problem.eps)
-        return jnp.sum(losses), (losses, mask)
+        aux = {
+            "losses": losses,
+            "observations": mask,
+            "mean_reward": jnp.mean(per_wp),
+        }
+        return jnp.sum(losses), aux
 
     return local
 
@@ -71,16 +76,19 @@ def wps_loss_sharded(
 ):
     """Summed per-waypoint loss with the point axis sharded over ``axis``.
 
-    Traceable under an outer jit / value_and_grad. Returns
-    (loss, (losses (W,), observations (W, N) sharded on the point axis)) —
-    the single-chip ``wps_forward`` contract.
+    Traceable under an outer jit / value_and_grad. Returns (loss, aux) with
+    aux = {'losses' (W,), 'observations' (W, N) sharded on the point axis,
+    'mean_reward' scalar} — the single-chip ``wps_forward`` contract.
     """
     local = _build_local(problem, axis)
     f = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P(axis, None), P(axis), P()),
-        out_specs=(P(), (P(), P(None, axis))),
+        out_specs=(
+            P(),
+            {"losses": P(), "observations": P(None, axis), "mean_reward": P()},
+        ),
     )
     return f(params, frozen, points, jnp.asarray(valid, jnp.float32), K)
 
@@ -120,8 +128,9 @@ def make_sharded_wps_step(
         out_shardings=(rep, rep, rep, ps_wn),
     )
     def step_fn(params, opt_state, frozen, points, valid, K):
-        (_, (losses, obs)), grads = jax.value_and_grad(
+        (_, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, frozen, points, valid, K)
+        losses, obs = aux["losses"], aux["observations"]
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses, obs
