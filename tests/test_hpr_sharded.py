@@ -158,6 +158,44 @@ def test_sharded_pose_loss_matches_single_chip(mesh):
         assert rel < 5e-3, (k, rel, a, b)
 
 
+def test_sharded_pose_loss_plain_matches_single_chip(mesh):
+    """pose_loss_sharded honors problem.soft_hpr=False: plain visibility,
+    NOT a silently occlusion-gated loss (review-found) — value and grads
+    must match single-chip pose_forward's default branch."""
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem, init_pose_params, pose_forward,
+    )
+    from trajectory_optimization_tpu.parallel.pose_sharded import (
+        pose_loss_sharded,
+    )
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    n = 4096
+    pts = jnp.asarray(_cloud(n, seed=9) + np.array([0.0, 0.0, 6.0]))
+    valid = jnp.ones((n,), jnp.float32).at[-64:].set(0.0)  # padding tail
+    prob = PoseProblem(img_width=intr.width, img_height=intr.height,
+                       min_dist=1.0, max_dist=12.0, soft_hpr=False)
+    params = init_pose_params(jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+    K = intr.matrix()
+
+    (l_ref, aux_ref), g_ref = jax.value_and_grad(
+        lambda p: pose_forward(p, pts, K, prob, valid=valid), has_aux=True
+    )(params)
+    (l_sh, obs_sh), g_sh = jax.value_and_grad(
+        lambda p: pose_loss_sharded(mesh, p, pts, valid, K, prob),
+        has_aux=True,
+    )(params)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(obs_sh), np.asarray(aux_ref["observations"]),
+        rtol=1e-5, atol=1e-7)
+    for k in ("trans", "quat"):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_sh[k])
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+        assert rel < 1e-4, (k, rel)
+
+
 def test_sharded_pose_step_optimizes(mesh):
     """A few make_sharded_pose_step iterations must increase total
     visibility (decrease the loss) — the full multi-chip occlusion-aware

@@ -253,6 +253,47 @@ def test_wps_sharded_matches_single_chip(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_wps_sharded_edges(rng):
+    """Review-found edges: the occlusion_mask gate matches single-chip
+    wps_forward, indivisible clouds get the friendly pad_points error, and
+    a soft_hpr problem is rejected at BUILD time, not first trace."""
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+    from trajectory_optimization_tpu.parallel.mesh import make_mesh
+    from trajectory_optimization_tpu.parallel.wps_sharded import (
+        make_sharded_wps_step,
+        wps_loss_sharded,
+    )
+
+    pts = _scene(rng, n=256)
+    poses0 = np.array([[0, 0, 0.2], [0.5, -0.5, 0.4]], np.float32)
+    quats0 = np.tile(np.array([1.0, 0, 0, 0], np.float32), (2, 1))
+    problem = WpsOptProblem(img_width=W, img_height=H)
+    params, frozen = init_wps_params(poses0, quats0)
+    valid = np.ones(len(pts), np.float32)
+    occ = (rng.uniform(size=len(pts)) > 0.3).astype(np.float32)
+    mesh = make_mesh(8)
+    P, Kj = jnp.asarray(pts), jnp.asarray(K)
+
+    loss_s, aux_s = wps_loss_sharded(
+        mesh, params, frozen, P, valid, Kj, problem,
+        occlusion_mask=jnp.asarray(occ))
+    loss_1, aux_1 = wps_forward(params, frozen, P, Kj, problem,
+                                valid=jnp.asarray(valid),
+                                occlusion_mask=jnp.asarray(occ))
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(aux_s["observations"]), np.asarray(aux_1["observations"]),
+        rtol=1e-4, atol=1e-6)
+
+    with pytest.raises(ValueError, match="pad_points"):
+        wps_loss_sharded(mesh, params, frozen, P[:255], valid[:255], Kj,
+                         problem)
+    with pytest.raises(NotImplementedError, match="soft_hpr"):
+        make_sharded_wps_step(
+            mesh, WpsOptProblem(img_width=W, img_height=H, soft_hpr=True),
+            OptimizerConfig())
+
+
 def test_demo_scripts_run():
     import os
     import sys

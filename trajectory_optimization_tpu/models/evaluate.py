@@ -62,15 +62,11 @@ def _evaluate_device(points, poses, quats, K, problem: TrajProblem, valid):
     else:
         n_real = float(points.shape[0])
     n_observed = jnp.sum(observed)
-    if poses.shape[0] >= 3:
-        mean_angle = mean_segment_angle(poses, problem.eps)
-        loss_smooth = aux["loss_smooth"]
-    else:
-        # a path with <3 waypoints has no interior angles (the 0/0 mean
-        # would be NaN); it is straight by definition — report the
-        # straight-line angle pi and its smoothness term
-        mean_angle = jnp.float32(np.pi)
-        loss_smooth = problem.smoothness_weight / (mean_angle + problem.eps)
+    # mean_segment_angle reports pi (straight by definition) for <3-waypoint
+    # paths, so aux['loss_smooth'] from traj_criterion is already well
+    # defined at every W — one convention, defined in ops/trajectory.py
+    mean_angle = mean_segment_angle(poses, problem.eps)
+    loss_smooth = aux["loss_smooth"]
     return {
         "rewards": rewards,
         "n_observed": n_observed,

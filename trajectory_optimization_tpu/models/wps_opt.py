@@ -176,6 +176,12 @@ def optimize_waypoints(
     ``n_steps`` and reassembles the refined (W, 3)/(W, 4) path. aux is the
     final forward's aux dict plus 'losses0', the initial per-waypoint
     losses, so callers can report per-waypoint visibility gains.
+
+    ONE-SHOT convenience API: it jits fresh per-call closures, so every
+    call recompiles the whole optimization program even at identical
+    shapes. Never wire it into a per-message serving loop — route through
+    the cached runners (opt/runners.py) instead, the same recompile trap
+    the node paths already avoid (0.04 → 5.7 msgs/s in round 2).
     """
     from trajectory_optimization_tpu.opt.engine import (
         EarlyStop,

@@ -24,11 +24,15 @@ all_gathers/psum to psum_scatters/identity); the Adam update runs on the
 replicated (1,3)+(1,4) params. Agreement with the single-chip
 ``pose_forward(soft_hpr=True)`` is pinned on the virtual CPU mesh in
 ``tests/test_hpr_sharded.py``.
+
+``problem.soft_hpr=False`` is honored too: the HPR gate drops out and the
+step is the plain multi-chip visibility loss (single-chip ``pose_forward``
+default semantics), parity-pinned in the same test module.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,15 +72,21 @@ def _build_local(problem: PoseProblem, axis: str, n_devices: int,
             max_dist=problem.max_dist,
             eps=problem.eps,
         )[0]
-        cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
-        gid0 = (jax.lax.axis_index(axis) * n_l).astype(jnp.int32)
-        hpr = _local_mask(
-            cam, valid_l, gid0,
-            r_param=_HPR_DEF["r_param"], sharpness=_HPR_DEF["sharpness"],
-            tau=_HPR_DEF["tau"], cap=hpr_cap, safety=hpr_safety,
-            axis=axis, n_global=n_l * n_devices,
-        )
-        mask = hpr * score * valid_l
+        if problem.soft_hpr:
+            cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
+            gid0 = (jax.lax.axis_index(axis) * n_l).astype(jnp.int32)
+            hpr = _local_mask(
+                cam, valid_l, gid0,
+                r_param=_HPR_DEF["r_param"], sharpness=_HPR_DEF["sharpness"],
+                tau=_HPR_DEF["tau"], cap=hpr_cap, safety=hpr_safety,
+                axis=axis, n_global=n_l * n_devices,
+            )
+            mask = hpr * score * valid_l
+        else:
+            # plain-visibility problem: honor problem.soft_hpr instead of
+            # silently occlusion-gating a loss the caller didn't ask for
+            # (single-chip pose_forward semantics)
+            mask = score * valid_l
         total = jax.lax.psum(jnp.sum(mask), axis)
         loss = 1.0 / (total + problem.eps)
         return loss, mask
@@ -93,16 +103,23 @@ def pose_loss_sharded(
     problem: PoseProblem,
     *,
     axis: str = "pts",
-    hpr_cap: int = 1024,
-    hpr_safety: float = 3.0,
+    hpr_cap: int = _HPR_DEF["cap"],
+    hpr_safety: float = _HPR_DEF["safety"],
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Occlusion-aware pose loss with the point axis sharded over ``axis``.
+    """Pose loss with the point axis sharded over ``axis``.
 
     Traceable (usable under an outer jit / value_and_grad). Returns
     (scalar loss — replicated, (N,) observations — sharded along ``axis``).
-    Matches ``pose_forward(..., soft_hpr=True)`` up to candidate-tie noise
-    (see parallel.hpr_sharded).
+    The differentiable binned-HPR gate follows ``problem.soft_hpr``:
+    with it, matches ``pose_forward(..., soft_hpr=True)`` up to
+    candidate-tie noise (see parallel.hpr_sharded); without it, the plain
+    visibility loss (single-chip ``pose_forward`` default).
     """
+    n, d = points.shape[0], mesh.shape[axis]
+    if n % d != 0:
+        raise ValueError(
+            f"cloud size {n} not divisible by mesh axis '{axis}'={d}; "
+            "pad with a valid mask first (utils.data.pad_points)")
     local = _build_local(problem, axis, mesh.shape[axis], hpr_cap, hpr_safety)
     f = jax.shard_map(
         local,
@@ -119,10 +136,11 @@ def make_sharded_pose_step(
     cfg: OptimizerConfig,
     *,
     axis: str = "pts",
-    hpr_cap: int = 1024,
-    hpr_safety: float = 3.0,
+    hpr_cap: int = _HPR_DEF["cap"],
+    hpr_safety: float = _HPR_DEF["safety"],
 ) -> Tuple[Callable, Callable]:
-    """Build (init_fn, step_fn) for the multi-chip occlusion-aware pose step.
+    """Build (init_fn, step_fn) for the multi-chip pose step
+    (occlusion-aware when ``problem.soft_hpr``, plain visibility otherwise).
 
     Shardings: points/valid/observations along ``axis``; the (1,3)+(1,4)
     params, Adam state and loss replicated. ``step_fn(params, opt_state,

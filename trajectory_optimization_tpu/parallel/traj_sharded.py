@@ -142,8 +142,8 @@ def traj_soft_hpr_loss_sharded(
     *,
     wps_axis: str = "wps",
     pts_axis: str = "pts",
-    hpr_cap: int = 1024,
-    hpr_safety: float = 3.0,
+    hpr_cap: int = _HPR_DEF["cap"],
+    hpr_safety: float = _HPR_DEF["safety"],
 ):
     """Occlusion-aware trajectory loss over a ('wps', 'pts') mesh.
 
@@ -181,8 +181,8 @@ def make_sharded_traj_step(
     *,
     wps_axis: str = "wps",
     pts_axis: str = "pts",
-    hpr_cap: int = 1024,
-    hpr_safety: float = 3.0,
+    hpr_cap: int = _HPR_DEF["cap"],
+    hpr_safety: float = _HPR_DEF["safety"],
 ) -> Tuple[Callable, Callable]:
     """Build (init_fn, step_fn) for the multi-chip occlusion-aware
     trajectory step (same contract as parallel.sharded.make_sharded_train_

@@ -73,13 +73,27 @@ def wps_loss_sharded(
     problem: WpsOptProblem,
     *,
     axis: str = "pts",
+    occlusion_mask=None,
 ):
     """Summed per-waypoint loss with the point axis sharded over ``axis``.
 
     Traceable under an outer jit / value_and_grad. Returns (loss, aux) with
     aux = {'losses' (W,), 'observations' (W, N) sharded on the point axis,
     'mean_reward' scalar} — the single-chip ``wps_forward`` contract.
+
+    ``occlusion_mask`` is the single-chip ``wps_forward`` static hard-HPR
+    gate, an (N,) weight multiplied into every waypoint's scores. Here it
+    folds into ``valid`` (both multiply the (W, N) mask elementwise —
+    exactly equivalent), so it shards along ``axis`` with the points.
     """
+    n, d = points.shape[0], mesh.shape[axis]
+    if n % d != 0:
+        raise ValueError(
+            f"cloud size {n} not divisible by mesh axis '{axis}'={d}; "
+            "pad with a valid mask first (utils.data.pad_points)")
+    valid = jnp.asarray(valid, jnp.float32)
+    if occlusion_mask is not None:
+        valid = valid * jnp.asarray(occlusion_mask, jnp.float32)
     local = _build_local(problem, axis)
     f = jax.shard_map(
         local,
@@ -90,7 +104,7 @@ def wps_loss_sharded(
             {"losses": P(), "observations": P(None, axis), "mean_reward": P()},
         ),
     )
-    return f(params, frozen, points, jnp.asarray(valid, jnp.float32), K)
+    return f(params, frozen, points, valid, K)
 
 
 def make_sharded_wps_step(
@@ -106,8 +120,16 @@ def make_sharded_wps_step(
     opt_state, losses, observations)`` — one jitted dispatch per Adam step;
     ``losses`` is the replicated (W,) per-waypoint vector, observations stay
     sharded for lazy fetching. Two-group Adam on ('xy', 'yaw') exactly like
-    the single-chip engine path.
+    the single-chip engine path. A static hard-occlusion gate (single-chip
+    ``wps_forward(occlusion_mask=...)``) folds into ``valid`` before the
+    step — exactly equivalent (both multiply the scores elementwise).
     """
+    if problem.soft_hpr:
+        # fail at build, not first trace — same contract as
+        # make_sharded_traj_step's build-time soft_hpr validation
+        raise NotImplementedError(
+            "wps_sharded has no soft_hpr path (see module docstring; use "
+            "parallel.pose_sharded per waypoint or parallel.traj_sharded)")
     tx = make_optimizer(cfg, pose_key="xy", quat_key="yaw")
     rep = replicated(mesh)
     ps_1d = NamedSharding(mesh, P(axis))
