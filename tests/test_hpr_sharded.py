@@ -196,6 +196,58 @@ def test_sharded_pose_loss_plain_matches_single_chip(mesh):
         assert rel < 1e-4, (k, rel)
 
 
+def test_sharded_pose_loss_occlusion_mask_matches_single_chip(mesh):
+    """pose_loss_sharded(occlusion_mask=...) mirrors the single-chip
+    semantics in BOTH branches: the gate scales scores only and never feeds
+    the soft-HPR coverer set (folding it into valid — the wps_sharded
+    shortcut — would change which points occlude under soft_hpr=True)."""
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem, init_pose_params, pose_forward,
+    )
+    from trajectory_optimization_tpu.parallel.pose_sharded import (
+        pose_loss_sharded,
+    )
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    n = 4096
+    pts = jnp.asarray(_cloud(n, seed=11) + np.array([0.0, 0.0, 6.0]))
+    valid = jnp.ones((n,), jnp.float32).at[-64:].set(0.0)
+    rng = np.random.default_rng(3)
+    occ = jnp.asarray((rng.random(n) > 0.3).astype(np.float32)
+                      * rng.random(n).astype(np.float32))  # soft weights too
+    params = init_pose_params(jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+    K = intr.matrix()
+
+    for soft in (False, True):
+        # soft_hpr_dense_max=0 forces the binned kernel single-chip — the
+        # tier _local_mask shards — so the comparison is kernel-to-kernel
+        prob = PoseProblem(img_width=intr.width, img_height=intr.height,
+                           min_dist=1.0, max_dist=12.0, soft_hpr=soft,
+                           soft_hpr_dense_max=0)
+        (l_ref, aux_ref), g_ref = jax.value_and_grad(
+            lambda p, pb=prob: pose_forward(
+                p, pts, K, pb, valid=valid, occlusion_mask=occ),
+            has_aux=True)(params)
+        (l_sh, obs_sh), g_sh = jax.value_and_grad(
+            lambda p, pb=prob: pose_loss_sharded(
+                mesh, p, pts, valid, K, pb, hpr_cap=256,
+                occlusion_mask=occ),
+            has_aux=True)(params)
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-4)
+        d = np.abs(np.asarray(obs_sh) - np.asarray(aux_ref["observations"]))
+        if soft:
+            # per-element agreement is up to quantized-key candidate ties
+            # (parallel.hpr_sharded docstring) — compare in bulk
+            assert d.mean() < 5e-4, d.mean()
+        else:
+            assert d.max() < 1e-6, d.max()
+        for k in ("trans", "quat"):
+            a, b = np.asarray(g_ref[k]), np.asarray(g_sh[k])
+            rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+            assert rel < 5e-3, (soft, k, rel)
+
+
 def test_sharded_pose_step_optimizes(mesh):
     """A few make_sharded_pose_step iterations must increase total
     visibility (decrease the loss) — the full multi-chip occlusion-aware

@@ -51,9 +51,16 @@ __all__ = ["pose_loss_sharded", "make_sharded_pose_step"]
 
 def _build_local(problem: PoseProblem, axis: str, n_devices: int,
                  hpr_cap: int, hpr_safety: float):
-    """The per-shard loss body (runs under shard_map over ``axis``)."""
+    """The per-shard loss body (runs under shard_map over ``axis``).
 
-    def local(params, points_l, valid_l, K):
+    ``occ_l`` is the per-shard slice of the static occlusion gate
+    (single-chip ``pose_forward(occlusion_mask=...)``). It multiplies the
+    scores only — NOT the HPR ``valid`` mask: folding it into ``valid``
+    (the wps_sharded shortcut) would also remove gated points from the
+    soft-HPR coverer set, diverging from the single-chip semantics where
+    the two gates are independent."""
+
+    def local(params, points_l, valid_l, occ_l, K):
         n_l = points_l.shape[0]
         quat, trans = params["quat"], params["trans"]
         # one world→camera transform feeds both the visibility score and the
@@ -81,12 +88,12 @@ def _build_local(problem: PoseProblem, axis: str, n_devices: int,
                 tau=_HPR_DEF["tau"], cap=hpr_cap, safety=hpr_safety,
                 axis=axis, n_global=n_l * n_devices,
             )
-            mask = hpr * score * valid_l
+            mask = hpr * score * occ_l * valid_l
         else:
             # plain-visibility problem: honor problem.soft_hpr instead of
             # silently occlusion-gating a loss the caller didn't ask for
             # (single-chip pose_forward semantics)
-            mask = score * valid_l
+            mask = score * occ_l * valid_l
         total = jax.lax.psum(jnp.sum(mask), axis)
         loss = 1.0 / (total + problem.eps)
         return loss, mask
@@ -105,6 +112,7 @@ def pose_loss_sharded(
     axis: str = "pts",
     hpr_cap: int = _HPR_DEF["cap"],
     hpr_safety: float = _HPR_DEF["safety"],
+    occlusion_mask=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pose loss with the point axis sharded over ``axis``.
 
@@ -114,20 +122,29 @@ def pose_loss_sharded(
     with it, matches ``pose_forward(..., soft_hpr=True)`` up to
     candidate-tie noise (see parallel.hpr_sharded); without it, the plain
     visibility loss (single-chip ``pose_forward`` default).
+
+    ``occlusion_mask`` is the single-chip static hard-HPR gate
+    (``pose_forward(occlusion_mask=...)``): an (N,) weight multiplied into
+    the scores, sharded along ``axis``. Unlike wps_sharded it is NOT folded
+    into ``valid`` — with ``soft_hpr=True`` the single-chip model keeps the
+    two gates independent (valid feeds the soft-HPR coverer set, the
+    occlusion weight only scales scores), and this path mirrors that.
     """
     n, d = points.shape[0], mesh.shape[axis]
     if n % d != 0:
         raise ValueError(
             f"cloud size {n} not divisible by mesh axis '{axis}'={d}; "
             "pad with a valid mask first (utils.data.pad_points)")
+    occ = (jnp.ones((n,), jnp.float32) if occlusion_mask is None
+           else jnp.asarray(occlusion_mask, jnp.float32))
     local = _build_local(problem, axis, mesh.shape[axis], hpr_cap, hpr_safety)
     f = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P()),
+        in_specs=(P(), P(axis, None), P(axis), P(axis), P()),
         out_specs=(P(), P(axis)),
     )
-    return f(params, points, jnp.asarray(valid, jnp.float32), K)
+    return f(params, points, jnp.asarray(valid, jnp.float32), occ, K)
 
 
 def make_sharded_pose_step(
@@ -138,6 +155,7 @@ def make_sharded_pose_step(
     axis: str = "pts",
     hpr_cap: int = _HPR_DEF["cap"],
     hpr_safety: float = _HPR_DEF["safety"],
+    occlusion: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build (init_fn, step_fn) for the multi-chip pose step
     (occlusion-aware when ``problem.soft_hpr``, plain visibility otherwise).
@@ -147,33 +165,52 @@ def make_sharded_pose_step(
     points, valid, K) -> (params, opt_state, loss, observations)`` — one
     jitted dispatch per step, observations stay sharded on-device for the
     rewards-cloud publisher to fetch (or not) lazily.
+
+    ``occlusion=True`` adds the single-chip static hard-HPR gate
+    (``pose_forward(occlusion_mask=...)``) to the step signature:
+    ``step_fn(params, opt_state, points, valid, occlusion_mask, K)`` with
+    the (N,) gate sharded like ``valid``. A separate build flag (not a
+    runtime None) so both variants keep a fixed jit signature.
     """
     tx = make_optimizer(cfg, pose_key="trans", quat_key="quat")
     rep = replicated(mesh)
     ps_1d = NamedSharding(mesh, P(axis))
     ps = NamedSharding(mesh, P(axis, None))
 
-    def loss_fn(params, points, valid, K):
+    def loss_fn(params, points, valid, occ, K):
         return pose_loss_sharded(
             mesh, params, points, valid, K, problem,
             axis=axis, hpr_cap=hpr_cap, hpr_safety=hpr_safety,
+            occlusion_mask=occ,
         )
 
     def init_fn(params):
         return jax.device_put(tx.init(params), rep)
 
-    @partial(
-        jax.jit,
-        donate_argnums=(0, 1),
-        in_shardings=(rep, rep, ps, ps_1d, rep),
-        out_shardings=(rep, rep, rep, ps_1d),
-    )
-    def step_fn(params, opt_state, points, valid, K):
+    def _step(params, opt_state, points, valid, occ, K):
         (loss, obs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, points, valid, K
+            params, points, valid, occ, K
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, obs
+
+    if occlusion:
+        step_fn = partial(
+            jax.jit,
+            donate_argnums=(0, 1),
+            in_shardings=(rep, rep, ps, ps_1d, ps_1d, rep),
+            out_shardings=(rep, rep, rep, ps_1d),
+        )(_step)
+    else:
+        @partial(
+            jax.jit,
+            donate_argnums=(0, 1),
+            in_shardings=(rep, rep, ps, ps_1d, rep),
+            out_shardings=(rep, rep, rep, ps_1d),
+        )
+        def step_fn(params, opt_state, points, valid, K):
+            occ = jnp.ones((points.shape[0],), jnp.float32)
+            return _step(params, opt_state, points, valid, occ, K)
 
     return init_fn, step_fn
