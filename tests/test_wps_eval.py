@@ -288,10 +288,73 @@ def test_wps_sharded_edges(rng):
     with pytest.raises(ValueError, match="pad_points"):
         wps_loss_sharded(mesh, params, frozen, P[:255], valid[:255], Kj,
                          problem)
-    with pytest.raises(NotImplementedError, match="soft_hpr"):
-        make_sharded_wps_step(
-            mesh, WpsOptProblem(img_width=W, img_height=H, soft_hpr=True),
-            OptimizerConfig())
+
+
+def test_wps_sharded_soft_hpr_matches_single_chip(rng):
+    """wps_loss_sharded(soft_hpr=True) == wps_forward with the binned
+    kernel forced: per-waypoint losses, gradients and a short Adam run on
+    the 8-device CPU mesh. Occlusion comes from the point-sharded binned
+    HPR per waypoint (the traj_sharded body, here under the waypoints-mode
+    criterion)."""
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+    from trajectory_optimization_tpu.parallel.mesh import make_mesh
+    from trajectory_optimization_tpu.parallel.wps_sharded import (
+        make_sharded_wps_step,
+        wps_loss_sharded,
+    )
+
+    pts = _scene(rng, n=1024)
+    poses0 = np.array([[0, 0, 0.2], [0.5, -0.5, 0.4]], np.float32)
+    quats0 = np.tile(np.array([1.0, 0, 0, 0], np.float32), (2, 1))
+    # soft_hpr_dense_max=0 forces the binned kernel single-chip — the tier
+    # the sharded body distributes — so this is kernel-to-kernel parity
+    problem = WpsOptProblem(img_width=W, img_height=H, soft_hpr=True,
+                            soft_hpr_dense_max=0)
+    params, frozen = init_wps_params(poses0, quats0)
+    valid = jnp.ones(len(pts), jnp.float32).at[-32:].set(0.0)
+    occ = jnp.asarray((rng.uniform(size=len(pts)) > 0.3).astype(np.float32))
+    mesh = make_mesh(8)
+    P, Kj = jnp.asarray(pts), jnp.asarray(K)
+
+    def loss_sh(p):
+        return wps_loss_sharded(mesh, p, frozen, P, valid, Kj, problem,
+                                hpr_cap=256, occlusion_mask=occ)
+
+    def loss_1(p):
+        return wps_forward(p, frozen, P, Kj, problem, valid=valid,
+                           occlusion_mask=occ)
+
+    # outer jit: the checkpointed scan body inside shard_map cannot be
+    # evaluated eagerly (jax closed_call limitation)
+    (l_s, aux_s), g_s = jax.jit(
+        jax.value_and_grad(loss_sh, has_aux=True))(params)
+    (l_1, aux_1), g_1 = jax.jit(
+        jax.value_and_grad(loss_1, has_aux=True))(params)
+    np.testing.assert_allclose(float(l_s), float(l_1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(aux_s["losses"]),
+                               np.asarray(aux_1["losses"]), rtol=1e-4)
+    # per-element observations agree up to quantized-key candidate ties
+    d = np.abs(np.asarray(aux_s["observations"])
+               - np.asarray(aux_1["observations"]))
+    assert d.mean() < 5e-4, d.mean()
+    for k in ("xy", "yaw"):
+        a, b = np.asarray(g_1[k]), np.asarray(g_s[k])
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+        assert rel < 5e-3, (k, rel)
+
+    # the full sharded step optimizes: per-waypoint losses drop
+    cfg = OptimizerConfig(lr_pose=0.05, lr_quat=0.05)
+    init_fn, step_fn = make_sharded_wps_step(mesh, problem, cfg, hpr_cap=256)
+    p_s = jax.device_put(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    state = init_fn(p_s)
+    first = None
+    for _ in range(6):
+        p_s, state, losses_s, _ = step_fn(p_s, state, frozen, P, valid, Kj)
+        if first is None:
+            first = np.asarray(losses_s)
+    assert (np.asarray(losses_s) < first).all(), (losses_s, first)
 
 
 def test_demo_scripts_run():

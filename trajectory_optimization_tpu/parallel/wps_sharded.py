@@ -13,10 +13,13 @@ Adam state and per-waypoint losses are replicated; points/valid and the
 (W, N) observations stay sharded. Parity with the single-chip
 ``wps_forward`` is pinned on the virtual CPU mesh in tests/test_wps_eval.py.
 
-``soft_hpr`` is not offered here: the reference's waypoints mode has no
-occlusion gating, and occlusion-aware multi-chip refinement of a single
-pose is already served by ``parallel.pose_sharded`` (run it per waypoint,
-or use the trajectory step ``parallel.traj_sharded`` for the fused model).
+``problem.soft_hpr=True`` gates every waypoint's scores with the
+point-sharded differentiable binned HPR on that waypoint's camera-frame
+cloud (``parallel.hpr_sharded._local_mask`` — per-bin candidate tables,
+one all_gather per grid over ICI), scanned over waypoints with a
+checkpointed body exactly like the single-chip ``wps_forward`` and the
+trajectory step ``parallel.traj_sharded``. Reverse-mode only in that case
+(the binned kernel's custom-VJP sorts).
 """
 from __future__ import annotations
 
@@ -29,28 +32,70 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from trajectory_optimization_tpu.models.wps_opt import WpsOptProblem, wps_path
-from trajectory_optimization_tpu.ops.scores import waypoint_scores
+from trajectory_optimization_tpu.ops.hpr import SOFT_BINNED_DEFAULTS as _HPR_DEF
+from trajectory_optimization_tpu.ops.scores import (
+    camera_planes,
+    scores_from_planes,
+    waypoint_scores,
+)
 from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
+from trajectory_optimization_tpu.parallel.hpr_sharded import _local_mask
 from trajectory_optimization_tpu.parallel.mesh import replicated
 
 __all__ = ["wps_loss_sharded", "make_sharded_wps_step"]
 
 
-def _build_local(problem: WpsOptProblem, axis: str):
-    """Per-shard loss body (runs under shard_map over ``axis``)."""
-    if problem.soft_hpr:
-        raise NotImplementedError(
-            "wps_sharded has no soft_hpr path (see module docstring; use "
-            "parallel.pose_sharded per waypoint or parallel.traj_sharded)")
+def _build_local(problem: WpsOptProblem, axis: str, n_pts_shards: int,
+                 hpr_cap: int, hpr_safety: float):
+    """Per-shard loss body (runs under shard_map over ``axis``).
 
-    def local(params, frozen, points_l, valid_l, K):
+    ``occ_l`` is the per-shard slice of the static occlusion gate. Like
+    pose_sharded (and unlike the pre-soft-HPR valid-fold this module used
+    to do), it scales scores only and never feeds the soft-HPR coverer
+    set — the single-chip ``wps_forward`` keeps the two gates independent.
+    """
+
+    def local(params, frozen, points_l, valid_l, occ_l, K):
         trans, quats = wps_path(params, frozen)  # replicated tiny math
-        mask = waypoint_scores(
-            points_l, quats, trans, K,
-            problem.img_width, problem.img_height,
-            min_dist=problem.min_dist, max_dist=problem.max_dist,
-            eps=problem.eps,
-        ) * valid_l[None, :]  # (W, N_local)
+        if problem.soft_hpr:
+            n_l = points_l.shape[0]
+            gid0 = (jax.lax.axis_index(axis) * n_l).astype(jnp.int32)
+
+            @jax.checkpoint  # remat per waypoint: O(n_l) live memory
+            def wp_mask(quat, pose):
+                # one world→camera transform feeds score AND HPR input —
+                # same gate pipeline as models.traj.gated_waypoint_scores,
+                # with the point-sharded binned HPR (traj_sharded mirror)
+                cxp, cyp, czp = camera_planes(points_l, quat[None], pose[None])
+                score = scores_from_planes(
+                    cxp, cyp, czp, K,
+                    problem.img_width, problem.img_height,
+                    min_dist=problem.min_dist, max_dist=problem.max_dist,
+                    eps=problem.eps,
+                )[0]
+                cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
+                hpr = _local_mask(
+                    cam, valid_l, gid0,
+                    r_param=_HPR_DEF["r_param"],
+                    sharpness=_HPR_DEF["sharpness"],
+                    tau=_HPR_DEF["tau"], cap=hpr_cap, safety=hpr_safety,
+                    axis=axis, n_global=n_l * n_pts_shards,
+                )
+                return hpr * score
+
+            def body(_, qp):
+                quat, pose = qp
+                return None, wp_mask(quat, pose)
+
+            _, mask = jax.lax.scan(body, None, (quats, trans))  # (W, N_l)
+        else:
+            mask = waypoint_scores(
+                points_l, quats, trans, K,
+                problem.img_width, problem.img_height,
+                min_dist=problem.min_dist, max_dist=problem.max_dist,
+                eps=problem.eps,
+            )  # (W, N_local)
+        mask = mask * (occ_l * valid_l)[None, :]
         per_wp = jax.lax.psum(jnp.sum(mask, axis=-1), axis)  # (W,) replicated
         losses = 1.0 / (per_wp + problem.eps)
         aux = {
@@ -74,17 +119,23 @@ def wps_loss_sharded(
     *,
     axis: str = "pts",
     occlusion_mask=None,
+    hpr_cap: int = _HPR_DEF["cap"],
+    hpr_safety: float = _HPR_DEF["safety"],
 ):
     """Summed per-waypoint loss with the point axis sharded over ``axis``.
 
     Traceable under an outer jit / value_and_grad. Returns (loss, aux) with
     aux = {'losses' (W,), 'observations' (W, N) sharded on the point axis,
     'mean_reward' scalar} — the single-chip ``wps_forward`` contract.
+    With ``problem.soft_hpr`` the scores are occlusion-gated by the
+    point-sharded differentiable binned HPR (module docstring); parity vs
+    ``wps_forward(soft_hpr=True)`` with the binned kernel forced is pinned
+    in tests/test_wps_eval.py.
 
     ``occlusion_mask`` is the single-chip ``wps_forward`` static hard-HPR
-    gate, an (N,) weight multiplied into every waypoint's scores. Here it
-    folds into ``valid`` (both multiply the (W, N) mask elementwise —
-    exactly equivalent), so it shards along ``axis`` with the points.
+    gate, an (N,) weight multiplied into every waypoint's scores (sharded
+    along ``axis``; independent of the soft-HPR coverer set, matching the
+    single-chip model).
     """
     n, d = points.shape[0], mesh.shape[axis]
     if n % d != 0:
@@ -92,19 +143,19 @@ def wps_loss_sharded(
             f"cloud size {n} not divisible by mesh axis '{axis}'={d}; "
             "pad with a valid mask first (utils.data.pad_points)")
     valid = jnp.asarray(valid, jnp.float32)
-    if occlusion_mask is not None:
-        valid = valid * jnp.asarray(occlusion_mask, jnp.float32)
-    local = _build_local(problem, axis)
+    occ = (jnp.ones((n,), jnp.float32) if occlusion_mask is None
+           else jnp.asarray(occlusion_mask, jnp.float32))
+    local = _build_local(problem, axis, d, hpr_cap, hpr_safety)
     f = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis), P()),
+        in_specs=(P(), P(), P(axis, None), P(axis), P(axis), P()),
         out_specs=(
             P(),
             {"losses": P(), "observations": P(None, axis), "mean_reward": P()},
         ),
     )
-    return f(params, frozen, points, valid, K)
+    return f(params, frozen, points, valid, occ, K)
 
 
 def make_sharded_wps_step(
@@ -113,8 +164,11 @@ def make_sharded_wps_step(
     cfg: OptimizerConfig,
     *,
     axis: str = "pts",
+    hpr_cap: int = _HPR_DEF["cap"],
+    hpr_safety: float = _HPR_DEF["safety"],
 ) -> Tuple[Callable, Callable]:
-    """Build (init_fn, step_fn) for multi-chip waypoint refinement.
+    """Build (init_fn, step_fn) for multi-chip waypoint refinement
+    (occlusion-aware when ``problem.soft_hpr``, plain visibility otherwise).
 
     ``step_fn(params, opt_state, frozen, points, valid, K) -> (params,
     opt_state, losses, observations)`` — one jitted dispatch per Adam step;
@@ -122,14 +176,11 @@ def make_sharded_wps_step(
     sharded for lazy fetching. Two-group Adam on ('xy', 'yaw') exactly like
     the single-chip engine path. A static hard-occlusion gate (single-chip
     ``wps_forward(occlusion_mask=...)``) folds into ``valid`` before the
-    step — exactly equivalent (both multiply the scores elementwise).
+    step — exactly equivalent for the plain loss (both multiply the scores
+    elementwise); with ``soft_hpr`` route it through
+    ``wps_loss_sharded(occlusion_mask=...)`` instead, which keeps it out of
+    the HPR coverer set.
     """
-    if problem.soft_hpr:
-        # fail at build, not first trace — same contract as
-        # make_sharded_traj_step's build-time soft_hpr validation
-        raise NotImplementedError(
-            "wps_sharded has no soft_hpr path (see module docstring; use "
-            "parallel.pose_sharded per waypoint or parallel.traj_sharded)")
     tx = make_optimizer(cfg, pose_key="xy", quat_key="yaw")
     rep = replicated(mesh)
     ps_1d = NamedSharding(mesh, P(axis))
@@ -138,7 +189,8 @@ def make_sharded_wps_step(
 
     def loss_fn(params, frozen, points, valid, K):
         return wps_loss_sharded(
-            mesh, params, frozen, points, valid, K, problem, axis=axis)
+            mesh, params, frozen, points, valid, K, problem, axis=axis,
+            hpr_cap=hpr_cap, hpr_safety=hpr_safety)
 
     def init_fn(params):
         return jax.device_put(tx.init(params), rep)
