@@ -48,6 +48,9 @@ class PoseProblem:
     # largest cloud the dense O(N²) soft HPR serves before routing to the
     # binned O(N·cap) kernel (see TrajProblem.soft_hpr_dense_max)
     soft_hpr_dense_max: int = 32768
+    # binned-kernel knobs (see TrajProblem.hpr_cap)
+    hpr_cap: int = 1024
+    hpr_safety: float = 3.0
 
 
 def init_pose_params(trans0, quat0) -> Params:
@@ -108,7 +111,9 @@ def pose_forward(
         if points.shape[0] > problem.soft_hpr_dense_max:
             # direction-binned O(N·cap) relaxation: same formula, scales to
             # the 1M north star (dense O(N²) tops out ~50k; see ops.hpr)
-            hpr = hpr_mask_soft_binned(cam, valid=valid)
+            hpr = hpr_mask_soft_binned(
+                cam, valid=valid, cap=problem.hpr_cap,
+                safety=problem.hpr_safety)
         else:
             hpr = hpr_mask_soft(cam, valid=valid)
         mask = hpr * mask

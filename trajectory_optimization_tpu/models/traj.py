@@ -63,6 +63,16 @@ class TrajProblem:
     # match the always-binned multi-chip step); raise it only with HBM to
     # spare (the dense form materializes N²/block pair tiles).
     soft_hpr_dense_max: int = 32768
+    # Binned-kernel knobs (ops.hpr.hpr_mask_soft_binned cap/safety): cap is
+    # the per-bin coverer budget AND the tile edge — the per-step cost is
+    # ~(n_bins + N/cap)·cap² pair ops per waypoint, so smaller caps are
+    # materially faster when typical bin occupancy is well under cap (the
+    # 40k reference cloud: ~400 pts/bin — cap=512 measured 504→380 ms/step
+    # per-step-routed with grad parity 4e-7 vs 1024; the frozen-plan
+    # engine packs bins so cap just sets its tile edge). Fidelity vs cap
+    # is measured in the soft-HPR operating curve (PARITY.md).
+    hpr_cap: int = 512
+    hpr_safety: float = 3.0
 
 
 def waypoint_stride(poses0: np.ndarray, vis_wps_dist: float = 0.5) -> int:
@@ -179,7 +189,10 @@ def gated_waypoint_scores(
     )[0]
     cam = jnp.stack([cxp[0], cyp[0], czp[0]], axis=-1)
     if points.shape[0] > problem.soft_hpr_dense_max:
-        hpr = hpr_mask_soft_binned(cam, valid=valid)
+        hpr = hpr_mask_soft_binned(
+            cam, valid=valid,
+            cap=getattr(problem, "hpr_cap", 1024),
+            safety=getattr(problem, "hpr_safety", 3.0))
     else:
         hpr = hpr_mask_soft(cam, valid=valid)
     return hpr * p

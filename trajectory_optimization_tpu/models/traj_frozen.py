@@ -1,0 +1,769 @@
+"""Frozen-routing occlusion-aware trajectory loss: host-planned soft HPR.
+
+The occlusion-aware trajectory loss (``traj_forward(soft_hpr=True)``,
+answering the reference's differentiable-HPR TODO `src/tools.py:61-62` at
+trajectory scale, beyond the reference's per-waypoint loop
+`src/model.py:210-217`) re-derives the binned-HPR routing — 4 sorts,
+searchsorteds and tile tables per waypoint — inside EVERY Adam step, even
+though the routing is ``stop_gradient``-ed and contributes nothing to the
+gradient. This module splits the computation the TPU-native way:
+
+- **Refresh (host, every k steps)**: build a :class:`TrajPlan` — for each
+  selected waypoint, gate the cloud down to the loss-relevant subset
+  (points whose visibility score is non-negligible, plus every point close
+  enough in angle+range to occlude one of them), route the survivors into
+  the 4 staggered direction grids of :func:`ops.hpr.hpr_mask_soft_binned`,
+  and pack bins into cap-aligned tiles (several small bins per tile —
+  the per-step kernel's fixed ``cap``-sized tiles waste (cap/members)² of
+  their work when bins are under-full, the dominant cost at reference
+  scale: ~400 pts/bin vs cap=1024). All offsets become static data.
+
+- **Step (device, jitted)**: ONE fused batched dominance computation over
+  (W, grids, tiles, cap, cap) — no sorts, no gathers, no scatters, no
+  scan. Cross-grid alignment and the plan→cloud embedding apply the plan's
+  stored permutations via key-sorts wrapped in custom VJPs (the package's
+  scatter-free sort discipline, ops.hpr). rho/u/score are recomputed from
+  live params every step, so gradients are exact for the CURRENT pose;
+  only the pairing (which points compete in which tile) is frozen between
+  refreshes — precisely the part the kernel already stop-gradients.
+
+Fidelity: at a refresh (drift 0) the gated loss matches
+``traj_forward(soft_hpr=True, soft_hpr_dense_max=0)`` to gate-threshold
+tolerance (pinned in tests/test_traj_frozen.py); between refreshes the
+binning degrades gracefully with pose drift (the ``safety`` factor's
+angular slack absorbs it) and the gate dilations (``drift_slack``) keep
+newly-relevant points from being missed. Use ``refresh_every=1`` for
+maximum fidelity; the default trades ≤1e-3-level loss deviation for a
+large per-step win (measured in BASELINE.md).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajectory_optimization_tpu.models.traj import (
+    TrajProblem,
+    observation_logodds,
+    traj_criterion,
+)
+from trajectory_optimization_tpu.ops.hpr import (
+    _BIG_SOFT,
+    _binned_grids,
+    SOFT_BINNED_DEFAULTS as _HPR_DEF,
+)
+from trajectory_optimization_tpu.ops.numerics import safe_norm
+from trajectory_optimization_tpu.ops.scores import (
+    camera_frames,
+    camera_planes,
+    scores_from_planes,
+)
+
+_PAD_COORD = 1.0e6  # padding rows: huge norm -> rho ~ -2e6, can never cover
+
+
+# ---------------------------------------------------------------------------
+# host-side mirrors (refresh runs in numpy: one jax dispatch per refresh
+# would cost a ~30 ms link round trip each on the tunneled TPU)
+# ---------------------------------------------------------------------------
+
+
+def _np_quat_matrices(quats: np.ndarray) -> np.ndarray:
+    """(W, 4) wxyz -> (W, 3, 3); mirrors ops.quat.normalize+to_matrix."""
+    q = quats / np.maximum(np.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty(q.shape[:-1] + (3, 3), np.float64)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def _np_scores(cam: np.ndarray, K: np.ndarray, problem) -> np.ndarray:
+    """(N, 3) camera-frame points -> (N,) dist·fov score (ops.scores mirror).
+
+    The plan only THRESHOLDS these (gate decisions are the plan's own
+    choice, like the stop-gradiented bin routing), so float64 numpy vs the
+    kernel's f32 is immaterial.
+    """
+    c0 = (problem.min_dist + problem.max_dist) / 2.0
+    inv_var = 1.0 / ((problem.max_dist - problem.min_dist) / 2.0) ** 2
+    d2 = np.sum(np.square(cam - c0), axis=-1)
+    dm = np.exp(-0.5 * d2 * inv_var)
+    fx, fy, cx0, cy0 = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    u = fx * cam[:, 0] + cx0 * cam[:, 2]
+    v = fy * cam[:, 1] + cy0 * cam[:, 2]
+    zd = cam[:, 2] + problem.eps
+    zd = np.where(zd >= 0, np.maximum(zd, 1e-12), np.minimum(zd, -1e-12))
+    xu = np.clip((u / zd - problem.img_width / 2.0) / problem.img_width, -20, 20)
+    xv = np.clip((v / zd - problem.img_height / 2.0) / problem.img_height, -20, 20)
+    fm = 1.0 / (1.0 + np.exp(-cam[:, 2])) * np.exp(-0.5 * (xu**2 + xv**2))
+    return dm * fm
+
+
+def _np_grid_bins(grid, lat: np.ndarray, az: np.ndarray) -> np.ndarray:
+    """ops.hpr._grid_bin_key's routing, in numpy (ids only, no quantization)."""
+    n_rings, delta, lat_shift, az_shift, n_az, offs, _n_bins = grid
+    ring = np.clip(
+        np.floor((lat + np.pi / 2) / delta + lat_shift).astype(np.int64),
+        0, n_rings - 1)
+    cells = n_az[ring]
+    azbin = np.floor(az / (2.0 * np.pi) * cells + az_shift).astype(np.int64)
+    azbin = np.where(azbin >= cells, azbin - cells, azbin)
+    return offs[ring] + azbin
+
+
+# ---------------------------------------------------------------------------
+# plan construction
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FrozenPlanConfig:
+    """Knobs for the host-side plan builder.
+
+    score_rel_thresh: a point is a loss-relevant QUERY when its visibility
+      score exceeds this fraction of the waypoint's max score — below it,
+      the normalized score lands under the 0.5 log-odds clip with zero
+      value AND zero gradient (the pmin shift this induces is second-order,
+      see models.traj.logodds_from_minmax).
+    tail: logsumexp tail cutoff T — a coverer with β·(ρⱼcosθ − ρᵢ − τs)
+      < −T shifts a query's sigmoid by < e^−T, so per grid a point is kept
+      as a COVERER only when its own bin holds a query with
+      normᵢ ≥ normⱼ − (T/sharpness − τ)·scale (dominance is same-bin only,
+      so the test is per-bin-exact, not a global band).
+    drift_slack: metres of pose motion the gates stay valid under between
+      refreshes (added to the coverer norm band; angular drift is absorbed
+      by the binning ``safety`` factor).
+    tile_round: tiles-per-grid bucket granularity (jit cache friendliness).
+    """
+
+    refresh_every: int = 8
+    score_rel_thresh: float = 1e-5
+    tail: float = 12.0
+    drift_slack: float = 0.5
+    tile_round: int = 8
+    # Build the next plan on a host thread WHILE device steps run on the
+    # current one, swapping at the next refresh boundary (deterministic:
+    # the plan applied at boundary b was built from the params at boundary
+    # b−1, so the effective drift window is 2·refresh_every steps — the
+    # gate slacks are sized for it). False = build synchronously at each
+    # boundary from the current params (fidelity reference; used by tests).
+    async_refresh: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanMeta:
+    """Static (hashable) shape info of a TrajPlan — the jit cache key."""
+
+    n_sel: int
+    n_points: int
+    cap: int
+    n_grids: int
+    tiles: int  # T per grid
+
+    @property
+    def rows(self) -> int:  # M = tiles * cap
+        return self.tiles * self.cap
+
+
+def _layout_grid(ids_sorted: np.ndarray, bins_sorted: np.ndarray, cap: int):
+    """Pack one grid's (bin, distance)-sorted active points into cap-aligned
+    tiles. Returns (row_ids, tile_coffs): row_ids has -1 padding; tile t's
+    queries are rows [t·cap, (t+1)·cap) and its coverers rows
+    [coff_t, coff_t + cap).
+
+    Small bins (≤ cap) are packed first-fit-decreasing, several to a tile
+    (coff = own tile ⇒ coverers = the whole tile, restricted to same-bin
+    pairs by the bin-id test — exactly the bin's full member set; row order
+    inside a tile is irrelevant to the math). A bin larger than cap gets a
+    dedicated tile-aligned span: queries chunked per tile, coverers always
+    the span's FIRST cap rows = the bin's cap closest members (the sort is
+    by distance within bin) — the same truncation hpr_mask_soft_binned
+    applies.
+    """
+    if len(bins_sorted):
+        cut = np.flatnonzero(np.diff(bins_sorted)) + 1
+        starts = np.concatenate([[0], cut]).astype(np.int64)
+        ends = np.concatenate([cut, [len(bins_sorted)]]).astype(np.int64)
+    else:
+        starts = ends = np.zeros(0, np.int64)
+    counts = ends - starts
+
+    big = np.flatnonzero(counts > cap)
+    small = np.flatnonzero(counts <= cap)
+    # first-fit-decreasing over the small bins
+    order = small[np.argsort(-counts[small], kind="stable")]
+    tiles: list[list[int]] = []   # small-bin groups per tile
+    space: list[int] = []         # remaining capacity per tile
+    for g in order:
+        c = int(counts[g])
+        for t, sp in enumerate(space):
+            if sp >= c:
+                tiles[t].append(g)
+                space[t] -= c
+                break
+        else:
+            tiles.append([g])
+            space.append(cap - c)
+
+    rows: list[np.ndarray] = []
+    coffs: list[int] = []
+    n_rows = 0
+    for t, groups in enumerate(tiles):
+        coffs.append(n_rows)
+        used = 0
+        for g in groups:
+            rows.append(ids_sorted[starts[g]:ends[g]])
+            used += int(counts[g])
+        if used < cap:
+            rows.append(np.full(cap - used, -1, np.int64))
+        n_rows += cap
+    for g in big:
+        span = n_rows
+        c = int(counts[g])
+        nt = -(-c // cap)
+        rows.append(ids_sorted[starts[g]:ends[g]])
+        pad = nt * cap - c
+        if pad:
+            rows.append(np.full(pad, -1, np.int64))
+        n_rows += nt * cap
+        coffs.extend(span for _ in range(nt))
+    if not coffs:  # empty grid: one all-padding tile
+        coffs.append(0)
+        rows.append(np.full(cap, -1, np.int64))
+        n_rows += cap
+    return np.concatenate(rows), np.asarray(coffs, np.int64)
+
+
+def build_traj_plan(
+    points: np.ndarray,
+    valid: Optional[np.ndarray],
+    poses_sel: np.ndarray,
+    quats_sel: np.ndarray,
+    K: np.ndarray,
+    problem: TrajProblem,
+    cfg: FrozenPlanConfig = FrozenPlanConfig(),
+    min_tiles: int = 1,
+) -> Tuple[Dict[str, np.ndarray], PlanMeta]:
+    """Build the frozen routing plan for the selected waypoints (host-side).
+
+    ``min_tiles`` floors the per-grid tile count T: the runner passes the
+    largest T it has seen so successive refreshes keep ONE PlanMeta (= one
+    compiled program) instead of recompiling whenever the active set
+    breathes across a tile_round boundary.
+
+    Returns (plan arrays, meta). Plan arrays (device-put by the caller):
+      q_xyz   (W,G,M,3) world coords in layout order (_PAD_COORD padding)
+      c_xyz   (W,G,M,3) coverer coords per tile slot
+      q_bin/c_bin (W,G,M) int32 bin ids (-1 padding)
+      q_id/c_id   (W,G,M) int32 canonical point ids (-1 padding)
+      align_fwd/align_bwd (W,G,M) int32 grid→grid-0 permutation keys
+      embed_fwd/embed_bwd (W,M+N) int32 plan→cloud embedding keys
+    """
+    pts = np.asarray(points, np.float64)
+    n = len(pts)
+    v = (np.ones(n, bool) if valid is None
+         else np.asarray(valid) > 0)
+    min_tiles = int(min_tiles)
+    K = np.asarray(K, np.float64)
+    poses_sel = np.asarray(poses_sel, np.float64)
+    quats_sel = np.asarray(quats_sel, np.float64)
+    w_sel = len(poses_sel)
+    cap = min(problem.hpr_cap, n)
+    tau = _HPR_DEF["tau"]
+    sharpness = _HPR_DEF["sharpness"]
+    r_param = _HPR_DEF["r_param"]
+    theta_max, grids = _binned_grids(r_param, tau, problem.hpr_safety)
+    G = len(grids)
+    Rs = _np_quat_matrices(quats_sel)
+
+    per_wp = []  # (g_rows (G,), g_coffs (G,), g_bins (G,), q_rel)
+    max_tiles = 1
+    for w in range(w_sel):
+        cam = (pts - poses_sel[w]) @ Rs[w]
+        norms = np.linalg.norm(cam, axis=1)
+        score = np.where(v, _np_scores(cam, K, problem), 0.0)
+        smax = score.max()
+        q_rel = v & (score > cfg.score_rel_thresh * max(smax, 1e-300))
+        if not q_rel.any():
+            q_rel = v.copy()  # degenerate: keep everything (blind waypoint)
+        scale = max(norms[v].max() if v.any() else 1.0, 1e-6)
+        # a point only matters as a coverer when ITS OWN BIN holds a query
+        # within the logsumexp tail's norm band (dominance is same-bin
+        # only, so the test is exact per grid, not a global band)
+        slack = max(0.0, cfg.tail / sharpness - tau) * scale + cfg.drift_slack
+        u = cam / np.maximum(norms, 1e-12)[:, None]
+        lat = np.arcsin(np.clip(u[:, 2], -1.0, 1.0))
+        az = np.arctan2(u[:, 1], u[:, 0]) + np.pi
+        g_rows, g_coffs, g_bins = [], [], []
+        for grid in grids:
+            n_bins = grid[-1]
+            bins = _np_grid_bins(grid, lat, az)
+            qmax = np.full(n_bins, -np.inf)
+            np.maximum.at(qmax, bins[q_rel], norms[q_rel])
+            keep = v & (norms <= qmax[bins] + slack)  # queries pass trivially
+            active = np.flatnonzero(keep)
+            order = np.lexsort((norms[active], bins[active]))
+            row_ids, coffs = _layout_grid(
+                active[order], bins[active][order], cap)
+            g_rows.append(row_ids)
+            g_coffs.append(coffs)
+            g_bins.append(bins)
+            max_tiles = max(max_tiles, len(coffs))
+        per_wp.append((g_rows, g_coffs, g_bins, q_rel))
+
+    T = max(-(-max_tiles // cfg.tile_round) * cfg.tile_round, min_tiles)
+    M = T * cap
+    meta = PlanMeta(n_sel=w_sel, n_points=n, cap=cap, n_grids=G, tiles=T)
+
+    q_id = np.full((w_sel, G, M), -1, np.int64)
+    c_id = np.full((w_sel, G, M), -1, np.int64)
+    q_bin = np.full((w_sel, G, M), -1, np.int64)
+    c_bin = np.full((w_sel, G, M), -1, np.int64)
+    coff_arr = np.zeros((w_sel, G, T), np.int64)
+    qmask = np.zeros((w_sel, G, M), bool)
+    align_fwd = np.empty((w_sel, G, M), np.int64)
+    align_bwd = np.empty((w_sel, G, M), np.int64)
+    embed_fwd = np.empty((w_sel, M + n), np.int64)
+    embed_bwd = np.empty((w_sel, M + n), np.int64)
+    ar_m = np.arange(M)
+    for w in range(w_sel):
+        g_rows, g_coffs, g_bins, q_rel = per_wp[w]
+        # grid-0 row of every query point (queries are in every grid)
+        g0 = np.full(M, -1, np.int64)
+        g0[: len(g_rows[0])] = g_rows[0]
+        valid0 = g0 >= 0
+        qmask0 = np.zeros(M, bool)
+        qmask0[valid0] = q_rel[g0[valid0]]
+        pos0_q = np.full(n, -1, np.int64)
+        pos0_q[g0[qmask0]] = ar_m[qmask0]
+        nonq_pool = ar_m[~qmask0]  # grid-0 slots not holding a query
+        for g in range(G):
+            rows = g_rows[g]
+            q_id[w, g, : len(rows)] = rows
+            coffs = np.full(T, -1, np.int64)
+            coffs[: len(g_coffs[g])] = g_coffs[g]
+            # padding tiles cover themselves (all-pad rows)
+            coffs[len(g_coffs[g]):] = ar_m[len(g_coffs[g]) * cap:: cap][
+                : T - len(g_coffs[g])]
+            coff_arr[w, g] = coffs
+            cov_rows = (coffs[:, None] + np.arange(cap)[None, :]).reshape(-1)
+            c_id[w, g] = q_id[w, g][cov_rows]
+            qi = q_id[w, g]
+            ok = qi >= 0
+            q_bin[w, g, ok] = g_bins[g][qi[ok]]
+            ci = c_id[w, g]
+            ok_c = ci >= 0
+            c_bin[w, g, ok_c] = g_bins[g][ci[ok_c]]
+            is_q = np.zeros(M, bool)
+            is_q[ok] = q_rel[qi[ok]]
+            qmask[w, g] = is_q
+
+            # grid→grid-0 alignment: query rows go to the SAME point's
+            # grid-0 row (smax must merge across grids per query); all
+            # other rows (coverer-only, padding — their smax is masked to
+            # −BIG in the kernel) fill the remaining slots bijectively
+            fwd = np.empty(M, np.int64)
+            fwd[is_q] = pos0_q[qi[is_q]]
+            fwd[~is_q] = nonq_pool[: (~is_q).sum()]
+            align_fwd[w, g] = fwd
+            inv = np.empty(M, np.int64)
+            inv[fwd] = ar_m
+            align_bwd[w, g] = inv
+
+        # plan(grid-0) → cloud embedding keys (see _make_perm_apply):
+        # slots are [M plan rows, n extension]; sort by fwd key, take
+        # [:n]. Only QUERY rows land at their canonical position — coverer
+        # -only and padding rows sort past the end, so every non-query
+        # point reads exactly 0 (the gate semantics).
+        fwd = np.empty(M + n, np.int64)
+        fwd[ar_m[qmask0]] = g0[qmask0]
+        nonq_pts = np.ones(n, bool)
+        nonq_pts[g0[qmask0]] = False
+        ext = np.arange(M, M + n)
+        fwd[ext[nonq_pts]] = np.flatnonzero(nonq_pts)  # fillers (0-valued)
+        rest = np.concatenate([ar_m[~qmask0], ext[~nonq_pts]])
+        fwd[rest] = np.arange(n, n + len(rest))
+        embed_fwd[w] = fwd
+        # backward: cotangent slots are [n canonical, M zero-extension];
+        # sort by bwd key, take [:M] = plan-row-ordered cotangents
+        bwd = np.empty(M + n, np.int64)
+        bwd[g0[qmask0]] = ar_m[qmask0]
+        zslots = np.arange(n, n + M)
+        bwd[zslots[: (~qmask0).sum()]] = ar_m[~qmask0]
+        rest_dst = np.arange(M, M + n)
+        rest_src = np.concatenate([np.flatnonzero(nonq_pts),
+                                   zslots[(~qmask0).sum():]])
+        bwd[rest_src] = rest_dst
+        embed_bwd[w] = bwd
+
+    pad3 = np.full(3, _PAD_COORD)
+    pts_ext = np.concatenate([pts, pad3[None]], axis=0)  # id -1 -> padding
+    # self-exclusion on device compares LAYOUT ROWS (each point appears
+    # once per grid layout), so the id arrays never cross the link; bins
+    # ride int16 (n_bins ~10²). coff is the per-tile coverer offset.
+    plan = {
+        "q_xyz": pts_ext[q_id].astype(np.float32),
+        "c_xyz": pts_ext[c_id].astype(np.float32),
+        "q_bin": q_bin.astype(np.int16),
+        "c_bin": c_bin.astype(np.int16),
+        "coff": coff_arr.astype(np.int32),
+        "qmask": qmask,
+        "align_fwd": align_fwd.astype(np.int32),
+        "align_bwd": align_bwd.astype(np.int32),
+        "embed_fwd": embed_fwd.astype(np.int32),
+        "embed_bwd": embed_bwd.astype(np.int32),
+        # host-only diagnostics (underscored keys never cross the link)
+        "_q_id": q_id.astype(np.int32),
+    }
+    return plan, meta
+
+
+# ---------------------------------------------------------------------------
+# scatter-free stored-permutation application (custom VJP)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _make_perm_apply(n_in: int, n_out: int, fill: float):
+    """Build a batched stored-permutation apply with a custom VJP.
+
+    The returned ``apply(fwd_key, bwd_key, x)`` pads ``x`` (..., n_in) with
+    ``fill`` to the key length n_ext, sorts the last axis by ``fwd_key``
+    (a permutation of 0..n_ext-1 per batch row) and slices to (..., n_out).
+    The backward sorts the cotangent by ``bwd_key`` (the stored inverse
+    permutation) — never lax.sort's scatter-add transpose (60 ns/row
+    serialized on TPU, CLAUDE.md). Reverse-mode only.
+    """
+
+    @jax.custom_vjp
+    def apply(fwd_key, bwd_key, x):
+        out, _ = fwd(fwd_key, bwd_key, x)
+        return out
+
+    def fwd(fwd_key, bwd_key, x):
+        pad = fwd_key.shape[-1] - n_in
+        xp = jnp.concatenate(
+            [x, jnp.full(x.shape[:-1] + (pad,), fill, x.dtype)], axis=-1)
+        _, out = jax.lax.sort((fwd_key, xp), num_keys=1, dimension=-1)
+        return out[..., :n_out], bwd_key
+
+    def bwd(bwd_key, cot):
+        pad = bwd_key.shape[-1] - n_out
+        cp = jnp.concatenate(
+            [cot, jnp.zeros(cot.shape[:-1] + (pad,), cot.dtype)], axis=-1)
+        _, g = jax.lax.sort((bwd_key, cp), num_keys=1, dimension=-1)
+        return (None, None, g[..., :n_in])
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
+def perm_apply(fwd_key, bwd_key, x, fill, n_out: int):
+    """Batched stored-permutation apply (see _make_perm_apply)."""
+    return _make_perm_apply(x.shape[-1], n_out, float(fill))(
+        fwd_key, bwd_key, x)
+
+
+# ---------------------------------------------------------------------------
+# the per-step device computation
+# ---------------------------------------------------------------------------
+
+
+def _cam_planes_nd(xyz, R, tR):
+    """(W, G, M, 3) world coords -> camera-frame (..., 3) under per-waypoint
+    (R, t·R): broadcast FMAs (K=3 matmuls are MXU-hostile, ops.scores)."""
+    px, py, pz = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    Rb = R[:, None, None]
+    tb = tR[:, None, None]
+    cx = px * Rb[..., 0, 0] + py * Rb[..., 1, 0] + pz * Rb[..., 2, 0] - tb[..., 0]
+    cy = px * Rb[..., 0, 1] + py * Rb[..., 1, 1] + pz * Rb[..., 2, 1] - tb[..., 1]
+    cz = px * Rb[..., 0, 2] + py * Rb[..., 1, 2] + pz * Rb[..., 2, 2] - tb[..., 2]
+    return jnp.stack([cx, cy, cz], axis=-1)
+
+
+def frozen_soft_hpr_scores(
+    plan: Dict[str, jnp.ndarray],
+    meta: PlanMeta,
+    quats_sel: jnp.ndarray,
+    poses_sel: jnp.ndarray,
+    points: jnp.ndarray,
+    K: jnp.ndarray,
+    problem: TrajProblem,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(W, N) occlusion-gated visibility scores hpr·p under the frozen plan.
+
+    Returns (gated_scores, hpr) — both (W_sel, N); points outside the
+    plan's active set get exactly 0 (their score is below the gate
+    threshold, see FrozenPlanConfig). Differentiable in (quats_sel,
+    poses_sel); reverse-mode only (the stored-permutation custom VJPs).
+    """
+    W, cap, T, M = meta.n_sel, meta.cap, meta.tiles, meta.rows
+    n = meta.n_points
+    tau = _HPR_DEF["tau"]
+    sharpness = _HPR_DEF["sharpness"]
+    r_param = _HPR_DEF["r_param"]
+
+    # full-cloud scores + per-waypoint flip radius (exact, every step)
+    cxp, cyp, czp = camera_planes(points, quats_sel, poses_sel)
+    score = scores_from_planes(
+        cxp, cyp, czp, K, problem.img_width, problem.img_height,
+        min_dist=problem.min_dist, max_dist=problem.max_dist,
+        eps=problem.eps)  # (W, N)
+    n2 = cxp * cxp + cyp * cyp + czp * czp
+    if valid is not None:
+        n2 = jnp.where(valid[None, :] > 0, n2, 0.0)
+    maxnorm = jnp.sqrt(jnp.max(n2, axis=-1))  # (W,)
+    radius = jnp.maximum(maxnorm, 1e-12) * 10.0 ** r_param
+    scale = jax.lax.stop_gradient(jnp.maximum(maxnorm, 1e-6))
+    beta = sharpness / scale  # (W,)
+
+    R, tR = camera_frames(quats_sel, poses_sel)
+    qcam = _cam_planes_nd(plan["q_xyz"], R, tR)  # (W, G, M, 3)
+    ccam = _cam_planes_nd(plan["c_xyz"], R, tR)
+    qn = safe_norm(qcam, axis=-1)
+    cn = safe_norm(ccam, axis=-1)
+    rad_b = radius[:, None, None]
+    q_rho = 2.0 * rad_b - qn
+    c_rho = 2.0 * rad_b - cn
+    qu = qcam / jnp.maximum(qn, 1e-12)[..., None]
+    cu = ccam / jnp.maximum(cn, 1e-12)[..., None]
+
+    # (W, G, T, cap, cap) dominance tiles — elementwise producers that fuse
+    # into the logsumexp (the dense-kernel discipline, ops.hpr)
+    G = meta.n_grids
+    qv = qu.reshape(W, G, T, cap, 3)
+    cv = cu.reshape(W, G, T, cap, 3)
+    cos = (qv[..., :, None, 0] * cv[..., None, :, 0]
+           + qv[..., :, None, 1] * cv[..., None, :, 1]
+           + qv[..., :, None, 2] * cv[..., None, :, 2])
+    qb = plan["q_bin"].reshape(W, G, T, cap)
+    cb = plan["c_bin"].reshape(W, G, T, cap)
+    # self-exclusion by LAYOUT ROW: each point appears exactly once per
+    # grid layout, so query row t·cap+i and coverer row coff_t+j are the
+    # same point iff they are the same row — no id arrays needed on device
+    q_row = (jnp.arange(T, dtype=jnp.int32)[:, None] * cap
+             + jnp.arange(cap, dtype=jnp.int32)[None, :])  # (T, cap)
+    c_row = plan["coff"][..., None] + jnp.arange(cap, dtype=jnp.int32)
+    crho_t = c_rho.reshape(W, G, T, cap)
+    pair_ok = ((qb[..., :, None] == cb[..., None, :])
+               & (qb[..., :, None] >= 0)
+               & (q_row[None, None, :, :, None] != c_row[..., None, :]))
+    beta_b = beta[:, None, None, None]
+    dom = jnp.where(pair_ok, jnp.maximum(cos, 0.0) * crho_t[..., None, :],
+                    -_BIG_SOFT)
+    smax = jax.nn.logsumexp(beta_b[..., None] * dom, axis=-1) / beta_b
+    smax = smax.reshape(W, G, M)
+
+    # active sets differ per grid: only QUERY rows carry meaningful smax
+    # into the cross-grid merge (coverer-only rows would land on arbitrary
+    # grid-0 slots through the alignment permutation otherwise)
+    smax = jnp.where(plan["qmask"], smax, -_BIG_SOFT)
+
+    # cross-grid combine in grid-0 layout order, then σ(β(ρ + τs − smax))
+    smax0 = perm_apply(plan["align_fwd"], plan["align_bwd"], smax,
+                       -_BIG_SOFT, M)
+    smax_all = jnp.max(smax0, axis=1)  # (W, M)
+    vis = jax.nn.sigmoid(
+        beta[:, None] * (q_rho[:, 0] + tau * scale[:, None] - smax_all))
+
+    # embed plan rows into the cloud; inactive/padding -> 0
+    hpr = perm_apply(plan["embed_fwd"], plan["embed_bwd"], vis, 0.0, n)
+    return hpr * score, hpr
+
+
+def traj_forward_frozen(
+    params,
+    plan: Dict[str, jnp.ndarray],
+    meta: PlanMeta,
+    points: jnp.ndarray,
+    K: jnp.ndarray,
+    poses0: jnp.ndarray,
+    quats0: jnp.ndarray,
+    problem: TrajProblem,
+    *,
+    valid: Optional[jnp.ndarray] = None,
+):
+    """traj_forward(soft_hpr=True) under a frozen routing plan.
+
+    Same (loss, aux) contract as models.traj.traj_forward; the plan must
+    have been built for the problem's CURRENT selected waypoints
+    (params['poses'][::wps_step] at some refresh point ≤ drift_slack away).
+    """
+    sel = slice(None, None, problem.wps_step)
+    quats_sel, poses_sel = params["quats"][sel], params["poses"][sel]
+    gated, _ = frozen_soft_hpr_scores(
+        plan, meta, quats_sel, poses_sel, points, K, problem, valid)
+    lo = observation_logodds(gated, problem.eps, valid)  # (W, N)
+    lo_sum = jnp.sum(lo, axis=0)
+    return traj_criterion(lo_sum, params, poses0, problem, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# runner: refresh cadence + jit cache
+# ---------------------------------------------------------------------------
+
+
+class FrozenTrajOptimizer:
+    """Occlusion-aware trajectory optimization with host-refreshed routing.
+
+    Drop-in peer of running Adam over ``traj_forward(soft_hpr=True)``:
+    every ``cfg.refresh_every`` steps the routing plan is rebuilt on host
+    for the current waypoints; in between, steps run the frozen-plan jitted
+    program (compiled once per PlanMeta, cached).
+    """
+
+    def __init__(self, points, K, poses0, quats0, problem: TrajProblem,
+                 opt_cfg=None, plan_cfg: FrozenPlanConfig = FrozenPlanConfig(),
+                 valid=None):
+        from trajectory_optimization_tpu.opt.engine import (
+            OptimizerConfig, make_optimizer)
+
+        self.points_np = np.asarray(points, np.float32)
+        self.points = jnp.asarray(self.points_np)
+        self.valid_np = None if valid is None else np.asarray(valid)
+        self.valid = None if valid is None else jnp.asarray(valid, jnp.float32)
+        self.K_np = np.asarray(K, np.float32)
+        self.K = jnp.asarray(self.K_np)
+        self.poses0 = jnp.asarray(poses0, jnp.float32)
+        self.quats0 = jnp.asarray(quats0, jnp.float32)
+        self.problem = problem
+        self.plan_cfg = plan_cfg
+        self.tx = make_optimizer(opt_cfg or OptimizerConfig())
+        self._step_cache: Dict[PlanMeta, callable] = {}
+        self._steps_since_refresh = 0
+        self._plan = None
+        self._meta = None
+        self._pending = None
+        self._pool = None
+        self._t_floor = 1  # largest tile count seen: keeps ONE PlanMeta
+        self.stats = {"refreshes": 0, "swap_s": 0.0, "build_s": 0.0}
+
+    def _build(self, params):
+        sel = slice(None, None, self.problem.wps_step)
+        poses_sel = np.asarray(params["poses"])[sel]
+        quats_sel = np.asarray(params["quats"])[sel]
+        plan, meta = build_traj_plan(
+            self.points_np, self.valid_np, poses_sel, quats_sel,
+            self.K_np, self.problem, self.plan_cfg,
+            min_tiles=self._t_floor)
+        self._t_floor = max(self._t_floor, meta.tiles)
+        return plan, meta
+
+    def _swap(self, plan_np, meta):
+        import time
+
+        t0 = time.perf_counter()
+        # ONE batched host->device transfer for the whole plan pytree —
+        # per-array jnp.asarray calls each pay a link round trip here.
+        # Underscored keys are host-only diagnostics and stay off the link.
+        self._plan = jax.device_put(
+            {k: v for k, v in plan_np.items() if not k.startswith("_")})
+        self._meta = meta
+        self._steps_since_refresh = 0
+        self.stats["refreshes"] += 1
+        self.stats["swap_s"] += time.perf_counter() - t0
+
+    def _kick_async(self, params):
+        import concurrent.futures
+
+        if self._pool is None:
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="trajplan")
+        # snapshot params on host NOW (device steps keep mutating them)
+        host = {k: np.asarray(v) for k, v in params.items()}
+        self._pending = self._pool.submit(self._build, host)
+
+    def _refresh(self, params):
+        import time
+
+        if self._pending is not None:
+            # async: apply the plan kicked off at the previous boundary
+            # (built from params refresh_every steps back — the gate
+            # slacks budget for that lag) and start the next build from
+            # the CURRENT params
+            t0 = time.perf_counter()
+            plan_meta = self._pending.result()
+            self.stats["build_s"] += time.perf_counter() - t0  # blocked part
+            self._swap(*plan_meta)
+            self._kick_async(params)
+            return
+        t0 = time.perf_counter()
+        built = self._build(params)
+        self.stats["build_s"] += time.perf_counter() - t0
+        self._swap(*built)
+        if self.plan_cfg.async_refresh:
+            self._kick_async(params)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best effort; close() is the real API
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _get_step(self, meta: PlanMeta):
+        if meta not in self._step_cache:
+            problem, tx = self.problem, self.tx
+
+            @jax.jit
+            def step(params, opt_state, plan, points, valid, K, poses0,
+                     quats0):
+                import optax
+
+                def loss_fn(p):
+                    return traj_forward_frozen(
+                        p, plan, meta, points, K, poses0, quats0, problem,
+                        valid=valid)
+
+                (loss, aux), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                scalars = {k: v for k, v in aux.items() if v.ndim == 0}
+                return params, opt_state, loss, scalars
+
+            self._step_cache[meta] = step
+        return self._step_cache[meta]
+
+    def init(self, params):
+        return self.tx.init(params)
+
+    def step(self, params, opt_state):
+        """One Adam step (refreshing the plan when due). Returns
+        (params, opt_state, loss, scalar_aux)."""
+        if (self._plan is None
+                or self._steps_since_refresh >= self.plan_cfg.refresh_every):
+            self._refresh(params)
+        step_fn = self._get_step(self._meta)
+        out = step_fn(params, opt_state, self._plan, self.points,
+                      jnp.ones((self.points.shape[0],), jnp.float32)
+                      if self.valid is None else self.valid,
+                      self.K, self.poses0, self.quats0)
+        self._steps_since_refresh += 1
+        return out
+
+    def run(self, params, n_steps: int):
+        """Run n_steps; returns (params, losses list)."""
+        opt_state = self.init(params)
+        losses = []
+        for _ in range(n_steps):
+            params, opt_state, loss, _ = self.step(params, opt_state)
+            losses.append(float(loss))
+        return params, losses

@@ -57,6 +57,9 @@ class WpsOptProblem:
     eps: float = 1e-6
     soft_hpr: bool = False
     soft_hpr_dense_max: int = 32768
+    # binned-kernel knobs, as TrajProblem (gated_waypoint_scores reads them)
+    hpr_cap: int = 1024
+    hpr_safety: float = 3.0
 
 
 def init_wps_params(poses0, quats0) -> Tuple[Params, Dict[str, jnp.ndarray]]:
