@@ -394,3 +394,33 @@ def test_soft_hpr_gradient_finite_at_sensor_origin():
         g = jax.grad(lambda p: jnp.sum(fn(p) ** 2))(pts)
         assert np.isfinite(np.asarray(g)).all(), fn
         assert np.abs(np.asarray(g)[1:]).max() > 0  # real gradients elsewhere
+
+
+def test_soft_binned_operating_point_vs_exact(cloud10, path10):
+    """CI pin of the production binned soft-HPR tier at its default
+    operating point (sharpness=400, tau=0.02 — chosen from the full
+    precision/recall sweep, PARITY.md 'soft-HPR operating curve') against
+    exact Qhull on a real cloud-10 viewpoint. Thresholds sit under the
+    measured 40k-cloud values (P 0.80 / R 0.96 / agreement 0.94 at wp9)
+    with margin for the 16k subsample; a regression in the relaxation or
+    the binning fails loudly here instead of silently degrading every
+    soft_hpr loss."""
+    import jax.numpy as jnp
+
+    from trajectory_optimization_tpu.ops.hpr import (
+        hpr_mask_exact,
+        hpr_mask_soft_binned,
+    )
+
+    rng = np.random.default_rng(0)
+    sub = rng.permutation(len(cloud10))[:16384]
+    cam = (cloud10[sub] - path10[9]).astype(np.float32)
+    truth = hpr_mask_exact(cam)
+    vis = np.asarray(hpr_mask_soft_binned(jnp.asarray(cam))) > 0.5
+    tp = (vis & truth).sum()
+    precision = tp / max(vis.sum(), 1)
+    recall = tp / max(truth.sum(), 1)
+    agree = (vis == truth).mean()
+    assert recall >= 0.94, (precision, recall, agree)
+    assert precision >= 0.70, (precision, recall, agree)
+    assert agree >= 0.86, (precision, recall, agree)

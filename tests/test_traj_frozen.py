@@ -136,13 +136,29 @@ def test_frozen_runner_tracks_per_step_routing(scene):
         pr, s, l = ref_step(pr, s)
         ref_losses.append(float(l))
 
+    # sync refresh: the fidelity reference — plans always built from the
+    # CURRENT params, so only intra-window drift separates the paths
     opt = FrozenTrajOptimizer(pts, K, poses0, quats0, problem, opt_cfg,
-                              FrozenPlanConfig(refresh_every=4))
+                              FrozenPlanConfig(refresh_every=4,
+                                               async_refresh=False))
     pf, losses = opt.run(init_traj_params(poses0, quats0), 12)
     dev = max(abs(a - b) / abs(a) for a, b in zip(ref_losses, losses))
-    assert dev < 5e-3, (dev, ref_losses, losses)
+    assert dev < 1e-3, (dev, ref_losses, losses)
     pd = np.linalg.norm(np.asarray(pf["poses"]) - np.asarray(pr["poses"]))
-    assert pd < 0.05, pd
+    assert pd < 0.01, pd
+
+    # async refresh (the production default): plans lag one boundary, so
+    # the path deviates more — bound it loosely, and the LOSS trajectory
+    # must still track
+    opt = FrozenTrajOptimizer(pts, K, poses0, quats0, problem, opt_cfg,
+                              FrozenPlanConfig(refresh_every=4,
+                                               async_refresh=True))
+    pf, losses = opt.run(init_traj_params(poses0, quats0), 12)
+    opt.close()
+    dev = max(abs(a - b) / abs(a) for a, b in zip(ref_losses, losses))
+    assert dev < 2e-2, (dev, ref_losses, losses)
+    pd = np.linalg.norm(np.asarray(pf["poses"]) - np.asarray(pr["poses"]))
+    assert pd < 0.3, pd
 
 
 def test_frozen_valid_mask_and_padding(scene):

@@ -236,17 +236,22 @@ def hpr_mask_soft(
     r_param: float = 2.0,
     *,
     block: int = 1024,
-    sharpness: float = 200.0,
-    tau: float = 0.03,
+    sharpness: float = 400.0,
+    tau: float = 0.02,
     valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Differentiable HPR visibility in (0, 1).
 
     Smooth margin test in the flipped geometry: point i is visible to the
     degree that its flipped radius stands clear of the strongest radial
-    coverer, σ(β·(ρ'ᵢ + τ·scale − softmaxⱼ ρ'ⱼcosθᵢⱼ)). The slack τ = 0.03
-    (calibrated against Qhull on the sample cloud, ~88% binary agreement)
+    coverer, σ(β·(ρ'ᵢ + τ·scale − softmaxⱼ ρ'ⱼcosθᵢⱼ)). The slack τ
     compensates the single-witness-direction bias of the margin test.
+    Defaults (sharpness=400, τ=0.02) sit at the best-F1 point of the
+    precision/recall operating curve vs exact Qhull, swept over the four
+    adversarial CI scenes and four real cloud-10 viewpoints — P 0.958 /
+    R 0.956 micro-averaged (PARITY.md "soft-HPR operating curve";
+    regenerate with demos/hpr_operating_curve.py; CI pin in
+    tests/test_hpr.py::test_soft_binned_operating_point_vs_exact).
 
     Gradients flow to the point coordinates — usable *inside* the
     optimization loop, which the reference could never do (its HPR is a CPU
@@ -474,8 +479,8 @@ def hpr_mask_soft_binned(
     points: jnp.ndarray,
     r_param: float = 2.0,
     *,
-    sharpness: float = 200.0,
-    tau: float = 0.03,
+    sharpness: float = 400.0,
+    tau: float = 0.02,
     cap: int = 1024,
     safety: float = 3.0,
     valid: Optional[jnp.ndarray] = None,

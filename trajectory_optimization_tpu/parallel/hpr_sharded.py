@@ -241,8 +241,8 @@ def hpr_mask_soft_binned_sharded(
     mesh: Mesh,
     r_param: float = 2.0,
     *,
-    sharpness: float = 200.0,
-    tau: float = 0.03,
+    sharpness: float = 400.0,
+    tau: float = 0.02,
     cap: int = 1024,
     safety: float = 3.0,
     valid: Optional[jnp.ndarray] = None,
