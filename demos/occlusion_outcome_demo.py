@@ -184,36 +184,42 @@ def plot(pts, pose_res, traj_res, out_png):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, 3, figsize=(13, 4), facecolor="#fcfcfb")
+    fig, axes = plt.subplots(1, 3, figsize=(13.5, 4.2), facecolor="#fcfcfb")
     ax = axes[0]
     ax.scatter(pts[:, 2], pts[:, 0], s=1, c="#c3c2b7", linewidths=0)
-    for name, color in (("blind", ORANGE), ("aware", BLUE)):
+    for name, color, dy in (("blind", ORANGE, -12), ("aware", BLUE, 8)):
         p = pose_res[name]["pose"]
         ax.scatter([p[2]], [p[0]], s=60, c=color, marker="^",
                    edgecolors="#fcfcfb", linewidths=1.5, zorder=3)
         ax.annotate(name, (p[2], p[0]), textcoords="offset points",
-                    xytext=(8, 4), color=INK, fontsize=9)
+                    xytext=(8, dy), color=INK, fontsize=9)
     ax.scatter([0], [0], s=40, c=MUTED, marker="x")
     ax.annotate("start", (0, 0), textcoords="offset points", xytext=(6, 4),
                 color=MUTED, fontsize=8)
     ax.set_xlabel("z (m)", color=MUTED)
     ax.set_ylabel("x (m)", color=MUTED)
-    ax.set_title("pose case: scene (top-down) + final poses",
+    ax.set_title("pose case: scene (top-down), final poses",
                  color=INK, fontsize=10)
 
+    groups = ["truly visible", "falsely counted"]
     for ax, res, title in ((axes[1], pose_res, "pose case"),
-                           (axes[2], traj_res, "trajectory case (cloud-10)")):
-        names = ["blind", "aware"]
-        goods = [res[n]["good"] for n in names]
-        bars = ax.bar(names, goods, width=0.5, color=[ORANGE, BLUE])
-        for b, v in zip(bars, goods):
-            ax.annotate(f"{v:,}", (b.get_x() + b.get_width() / 2, v),
-                        ha="center", va="bottom", color=INK, fontsize=10)
-        ax.set_title(f"{title}: exactly-visible observed points",
-                     color=INK, fontsize=10)
+                           (axes[2], traj_res, "trajectory (cloud-10)")):
+        x = np.arange(len(groups))
+        for i, (name, color) in enumerate((("blind", ORANGE),
+                                           ("aware", BLUE))):
+            vals = [res[name]["good"], res[name]["fooled"]]
+            bars = ax.bar(x + (i - 0.5) * 0.34, vals, width=0.3,
+                          color=color, label=name)
+            for b, v in zip(bars, vals):
+                ax.annotate(f"{v:,}", (b.get_x() + b.get_width() / 2, v),
+                            ha="center", va="bottom", color=INK, fontsize=8)
+        ax.set_xticks(x, groups)
+        ax.set_title(f"{title}: exact-HPR referee", color=INK, fontsize=10)
         ax.tick_params(colors=MUTED)
+        ax.margins(y=0.15)
         for s in ("top", "right"):
             ax.spines[s].set_visible(False)
+        ax.legend(frameon=False, fontsize=9)
     for ax in axes:
         ax.set_facecolor("#fcfcfb")
         ax.grid(True, color="#e8e7e2", linewidth=0.5)
@@ -224,19 +230,39 @@ def plot(pts, pose_res, traj_res, out_png):
 
 
 def main():
-    pts, pose_res = pose_case()
+    import json
+
+    here = os.path.dirname(__file__)
+    cache = os.path.join(here, "occlusion_outcome.json")
+    def scene_pts():  # deterministic — not worth caching
+        return np.vstack([
+            _grid(40, 1.5, 0.0, 0.0, 2.0, seed=1),
+            _grid(55, 6.0, 0.0, 0.0, 2.0, seed=2),
+            _grid(35, 5.0, 5.5, 0.0, 1.5, seed=3),
+        ]).astype(np.float32)
+
+    if os.path.exists(cache) and "--replot" in sys.argv:
+        blob = json.load(open(cache))
+        pts, pose_res, traj_res = scene_pts(), blob["pose"], blob["traj"]
+        for v in pose_res.values():
+            v["pose"] = np.asarray(v["pose"])
+    else:
+        pts, pose_res = pose_case()
+        traj_res = traj_case()
+        json.dump({"traj": traj_res,
+                   "pose": {k: {**v, "pose": v["pose"].tolist()}
+                            for k, v in pose_res.items()}},
+                  open(cache, "w"))
     for k, v in pose_res.items():
         print(f"pose {k}: truly-visible {v['good']}, "
               f"occluded-but-counted {v['fooled']}, pose {np.round(v['pose'], 2)}")
-    traj_res = traj_case()
     for k, v in traj_res.items():
         print(f"traj {k}: truly-visible {v['good']}, "
               f"occluded-but-counted {v['fooled']}")
     gain_p = pose_res["aware"]["good"] / max(pose_res["blind"]["good"], 1)
     gain_t = traj_res["aware"]["good"] / max(traj_res["blind"]["good"], 1)
     print(f"exact-visible gain: pose x{gain_p:.2f}, trajectory x{gain_t:.3f}")
-    plot(pts, pose_res, traj_res,
-         os.path.join(os.path.dirname(__file__), "occlusion_outcome.png"))
+    plot(pts, pose_res, traj_res, os.path.join(here, "occlusion_outcome.png"))
 
 
 if __name__ == "__main__":

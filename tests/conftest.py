@@ -24,6 +24,54 @@ import numpy as np
 import pytest
 
 
+# ---------------------------------------------------------------------------
+# Tiering (VERDICT r3 #6): `-m fast` is the iteration tier (< 5 min warm);
+# `-m slow` is the compile-heavy / optimization-loop tier; `-m subprocess`
+# spawns OS processes (remote bus, jax.distributed) and is both slow AND
+# oversubscription-sensitive on this 1-core host — those tests are moved to
+# the END of the collection so they run with the machine to themselves
+# (the documented multihost shutdown-barrier flake was exactly a
+# mid-suite CPU-contention artifact).
+# ---------------------------------------------------------------------------
+
+# modules whose tests are wholesale slow (giant XLA compiles or real
+# optimization loops); individual tests elsewhere use @pytest.mark.slow
+SLOW_MODULES = {
+    "test_hpr",             # Qhull sweeps + soft-HPR compiles
+    "test_hpr_sharded",     # sharded binned-HPR programs
+    "test_traj_sharded",
+    "test_traj_frozen",
+    "test_sharded_pallas",
+    "test_sharding",
+    "test_wps_eval",
+    "test_models",
+    "test_occlusion_outcome",
+    "test_reference_parity",  # executes the reference under torch
+    "test_multihost_process",
+    "test_remote_bus",
+    "test_serving",
+    "test_pallas_vis",
+}
+
+SUBPROCESS_MODULES = {"test_multihost_process", "test_remote_bus"}
+
+
+def pytest_collection_modifyitems(config, items):
+    subproc, rest = [], []
+    for it in items:
+        mod = it.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES or it.get_closest_marker("slow"):
+            it.add_marker(pytest.mark.slow)
+        else:
+            it.add_marker(pytest.mark.fast)
+        if mod in SUBPROCESS_MODULES:
+            it.add_marker(pytest.mark.subprocess)
+            subproc.append(it)
+        else:
+            rest.append(it)
+    items[:] = rest + subproc
+
+
 DATA_POINTS = os.path.join(os.path.dirname(__file__), "..", "data", "points", "point_cloud_10.npz")
 DATA_PATH = os.path.join(os.path.dirname(__file__), "..", "data", "paths", "path_poses_10.npz")
 
