@@ -761,6 +761,7 @@ def _read_trailing_index(f):
 def read_bag(
     path: str, topics: Optional[Sequence[str]] = None,
     *, time_range: Optional[Tuple[Optional[float], Optional[float]]] = None,
+    _image_executor=None,
 ) -> Iterator[Tuple[float, str, object]]:
     """Yield (bag_time, topic, bus_message), STREAMING: memory stays O(one
     chunk), so a 15 GB session (the reference's dataset) replays without
@@ -783,6 +784,14 @@ def read_bag(
 
     TFMessage records expand to one TransformMsg per contained transform.
     Connections of unsupported types are skipped.
+
+    ``_image_executor`` (private; BagPlayer's decode pool): when set, each
+    CompressedImage payload decode is submitted to it and the event's
+    message slot carries the *Future* instead of the ImageMsg — camera
+    decode (the replay bottleneck: ~45 ms/2MP JPEG single-threaded,
+    BASELINE.md) then overlaps across pool workers while event ORDER is
+    untouched. Callers resolve with ``.result()``; everything else is
+    yielded decoded as usual.
     """
     topics_set = set(topics) if topics is not None else None
     t_lo, t_hi = time_range if time_range is not None else (None, None)
@@ -811,6 +820,11 @@ def read_bag(
             return
         t = _time_from(hdr["time"])
         if (t_lo is not None and t < t_lo) or (t_hi is not None and t > t_hi):
+            return
+        if (_image_executor is not None
+                and decoder is _decode_compressed_image):
+            # camera payloads decode on the pool; `data` is immutable bytes
+            yield t, conn.topic, _image_executor.submit(decoder, data)
             return
         msg = decoder(data)
         if isinstance(msg, list):  # TFMessage → one event per transform
@@ -1718,11 +1732,12 @@ class BagPlayer:
             raise TypeError("streaming BagPlayer has no len(); iterate it")
         return len(self._events)
 
-    def _iter(self, time_range=None):
+    def _iter(self, time_range=None, image_executor=None):
         if self._events is not None:
             yield from self._events
         else:
-            yield from read_bag(self.path, self.topics, time_range=time_range)
+            yield from read_bag(self.path, self.topics, time_range=time_range,
+                                _image_executor=image_executor)
 
     def _bag_start(self) -> Optional[float]:
         """Bag start time from the trailing index (min chunk start), or
@@ -1749,13 +1764,16 @@ class BagPlayer:
              duration: Optional[float] = None) -> int:
         """Publish every event onto ``bus``; returns the message count.
 
-        ``prefetch`` > 0 moves record decode (chunk decompression, message
-        parsing, JPEG/PNG decode — the C paths release the GIL) onto a
-        reader thread feeding a bounded queue, so decode overlaps the
-        subscribers' device work. Order is preserved exactly; 0 restores
-        fully synchronous iteration. Non-streaming players decoded
-        everything in __init__, so the thread is skipped — there is
-        nothing left to overlap.
+        ``prefetch`` > 0 moves record decode onto a reader thread feeding
+        a bounded queue, and CompressedImage payloads — the six-camera
+        replay bottleneck (~45 ms/2MP JPEG single-threaded, BASELINE.md) —
+        onto a small decode POOL (the C codecs release the GIL, so workers
+        genuinely overlap on multicore hosts). Event order is preserved
+        exactly (futures resolve in order) and frames are byte-identical
+        to sequential decode (tests/test_rosbag.py::
+        test_play_decode_pool_order_and_bytes); 0 restores fully
+        synchronous iteration. Non-streaming players decoded everything
+        in __init__, so both are skipped — there is nothing to overlap.
 
         ``loop``/``start``/``duration`` mirror ``rosbag play -l/-s/-u``:
         replay the bag ``loop`` times, skipping messages stamped within
@@ -1799,16 +1817,26 @@ class BagPlayer:
                     t0 + start if start > 0.0 else None,
                     t0 + start + duration if duration is not None else None,
                 )
-        src = self._iter(time_range=t_range)
         stop = None
+        pool = None
         if prefetch > 0 and self._events is None:
+            import concurrent.futures
             import queue
             import threading
 
+            # decode POOL for the camera streams: the reader thread frames
+            # records and decompresses chunks (~25% of read time) while
+            # CompressedImage payloads — the six-camera replay bottleneck —
+            # fan out across workers. The bounded queue caps in-flight
+            # decodes; drain() resolves futures IN ORDER, so subscribers
+            # see exactly the sequential stream, byte-identical.
+            pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(4, max(2, os.cpu_count() or 1)),
+                thread_name_prefix="bag-imgdec")
             q: "queue.Queue" = queue.Queue(maxsize=prefetch)
             _END = object()
             stop = threading.Event()
-            gen = src
+            gen = self._iter(time_range=t_range, image_executor=pool)
 
             def _put(item) -> bool:
                 # bounded put that gives up when the consumer abandoned
@@ -1848,6 +1876,8 @@ class BagPlayer:
                     yield item
 
             src = drain()
+        else:
+            src = self._iter(time_range=t_range)
         sorted_events = self._events is not None
         prev_t = None
         n = 0
@@ -1887,11 +1917,15 @@ class BagPlayer:
                 # order, where an out-of-order stamp must not inflate the
                 # next gap
                 prev_t = t if prev_t is None else max(prev_t, t)
+                if pool is not None and hasattr(msg, "result"):
+                    msg = msg.result()  # pooled camera decode, in order
                 bus.publish(topic, msg)
                 n += 1
         finally:
             if stop is not None:
                 stop.set()
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
         return n
 
 
