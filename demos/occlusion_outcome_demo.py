@@ -69,12 +69,18 @@ def _grid(n, z, cx, cy, half, seed):
     return (pts + r.normal(scale=0.01, size=pts.shape)).astype(np.float32)
 
 
-def pose_case():
-    pts = np.vstack([
+def occluded_scene():
+    """The refereed scene — single source; tests/test_occlusion_outcome.py
+    imports it so the CI pin and the PARITY.md numbers cannot de-sync."""
+    return np.vstack([
         _grid(40, 1.5, 0.0, 0.0, 2.0, seed=1),   # occluder (out of band)
         _grid(55, 6.0, 0.0, 0.0, 2.0, seed=2),   # dense, shadowed
         _grid(35, 5.0, 5.5, 0.0, 1.5, seed=3),   # smaller, visible
     ]).astype(np.float32)
+
+
+def pose_case():
+    pts = occluded_scene()
     P, Kj = jnp.asarray(pts), jnp.asarray(K_POSE)
     out = {}
     for soft in (False, True):
@@ -234,16 +240,9 @@ def main():
 
     here = os.path.dirname(__file__)
     cache = os.path.join(here, "occlusion_outcome.json")
-    def scene_pts():  # deterministic — not worth caching
-        return np.vstack([
-            _grid(40, 1.5, 0.0, 0.0, 2.0, seed=1),
-            _grid(55, 6.0, 0.0, 0.0, 2.0, seed=2),
-            _grid(35, 5.0, 5.5, 0.0, 1.5, seed=3),
-        ]).astype(np.float32)
-
     if os.path.exists(cache) and "--replot" in sys.argv:
         blob = json.load(open(cache))
-        pts, pose_res, traj_res = scene_pts(), blob["pose"], blob["traj"]
+        pts, pose_res, traj_res = occluded_scene(), blob["pose"], blob["traj"]
         for v in pose_res.values():
             v["pose"] = np.asarray(v["pose"])
     else:

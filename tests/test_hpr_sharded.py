@@ -291,3 +291,42 @@ def test_sharded_fn_cached(mesh):
     _ = hpr_mask_soft_binned_sharded(pts, mesh, cap=64)
     _ = hpr_mask_soft_binned_sharded(pts, mesh, cap=64)
     assert _sharded_fn.cache_info().hits >= before + 1
+
+
+def test_sharded_pose_step_occlusion_build(mesh):
+    """make_sharded_pose_step(occlusion=True): the 6-arg step variant (its
+    own in_shardings tuple — review-found untested wiring) must accept the
+    sharded gate, optimize, and zero gated points' observations."""
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem, init_pose_params,
+    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+    from trajectory_optimization_tpu.parallel.pose_sharded import (
+        make_sharded_pose_step,
+    )
+    from trajectory_optimization_tpu.parallel.sharded import shard_points
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    intr = default_intrinsics()
+    n = 4096
+    pts = jnp.asarray(_cloud(n, seed=13) + np.array([0.0, 0.0, 6.0]))
+    valid = np.ones(n, np.float32)
+    occ = (np.random.default_rng(5).random(n) > 0.4).astype(np.float32)
+    prob = PoseProblem(img_width=intr.width, img_height=intr.height,
+                       min_dist=1.0, max_dist=12.0, soft_hpr=True,
+                       soft_hpr_dense_max=0, hpr_cap=256)
+    init_fn, step_fn = make_sharded_pose_step(
+        mesh, prob, OptimizerConfig(lr_pose=0.05, lr_quat=0.02),
+        occlusion=True)
+    params = init_pose_params(jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+    P_sh, v_sh = shard_points(mesh, pts, valid)
+    _, o_sh = shard_points(mesh, pts, occ)
+    st = init_fn(params)
+    losses = []
+    for _ in range(4):
+        params, st, loss, obs = step_fn(params, st, P_sh, v_sh, o_sh,
+                                        intr.matrix())
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    obs = np.asarray(obs)
+    assert np.all(obs[occ == 0.0] == 0.0)

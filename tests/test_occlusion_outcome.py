@@ -16,6 +16,9 @@ discounts it and re-aims. Measured (CPU, seeds fixed): blind ends with
 """
 from __future__ import annotations
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,24 +35,12 @@ from trajectory_optimization_tpu.ops.scores import (
     scores_from_planes,
 )
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demos"))
+from occlusion_outcome_demo import occluded_scene  # single scene source
+
 W_, H_ = 64.0, 48.0
 K = np.array([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]], np.float32)
 BAND = dict(min_dist=3.0, max_dist=8.0)
-
-
-def _grid(n, z, cx, cy, half, seed):
-    r = np.random.default_rng(seed)
-    a = np.linspace(-half, half, n)
-    g1, g2 = np.meshgrid(a, a)
-    pts = np.stack([cx + g1.ravel(), cy + g2.ravel(), np.full(g1.size, z)], 1)
-    return (pts + r.normal(scale=0.01, size=pts.shape)).astype(np.float32)
-
-
-def occluded_scene():
-    occ = _grid(40, 1.5, 0.0, 0.0, 2.0, seed=1)   # close, out of band
-    a = _grid(55, 6.0, 0.0, 0.0, 2.0, seed=2)     # dense, shadowed
-    b = _grid(35, 5.0, 5.5, 0.0, 1.5, seed=3)     # smaller, visible
-    return np.vstack([occ, a, b]).astype(np.float32)
 
 
 def optimize_pose(pts, soft_hpr, n_steps=200):

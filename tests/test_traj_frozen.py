@@ -192,3 +192,65 @@ def test_frozen_valid_mask_and_padding(scene):
         lambda p: traj_forward_frozen(p, plan2, meta2, jnp.asarray(pts), K,
                                       p0, q0, problem))(params)
     np.testing.assert_allclose(float(loss_p), float(loss_u), rtol=1e-5)
+
+
+def test_frozen_wps_and_pose_variants(scene):
+    """The waypoints-mode and pose-mode frozen runners: parity with their
+    per-step-routed single-chip losses at a refresh, and a short run that
+    reduces the loss."""
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem, init_pose_params, pose_forward,
+    )
+    from trajectory_optimization_tpu.models.traj_frozen import (
+        FrozenPoseOptimizer, FrozenWpsOptimizer,
+    )
+    from trajectory_optimization_tpu.models.wps_opt import (
+        WpsOptProblem, init_wps_params, wps_forward,
+    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+
+    pts, poses0, quats0, _, _ = scene
+    # intrinsics consistent with the claimed 64x48 image (the scene
+    # fixture's full-resolution K would put the principal point outside
+    # this image — a degenerate config that tests nothing real)
+    K = np.array([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]], np.float32)
+    P = jnp.asarray(pts)
+    opt_cfg = OptimizerConfig(lr_pose=0.05, lr_quat=0.05)
+
+    # --- waypoints mode -------------------------------------------------
+    wp_prob = WpsOptProblem(
+        img_width=64.0, img_height=48.0, soft_hpr=True,
+        soft_hpr_dense_max=0, hpr_cap=256)
+    params, frozen = init_wps_params(poses0, quats0)
+    opt = FrozenWpsOptimizer(pts, K, frozen, wp_prob, opt_cfg,
+                             FrozenPlanConfig(async_refresh=False))
+    st = opt.init(params)
+    p1, st, l0, aux = opt.step(params, st)
+    # parity at the refresh: frozen loss == per-step-routed wps_forward
+    (l_ref, _), _ = jax.jit(jax.value_and_grad(
+        lambda p: wps_forward(p, frozen, P, jnp.asarray(K), wp_prob),
+        has_aux=True))(params)
+    assert abs(float(l0) - float(l_ref)) / abs(float(l_ref)) < 1e-4
+    for _ in range(7):
+        p1, st, loss, aux = opt.step(p1, st)
+    assert float(loss) < float(l0), (loss, l0)
+    opt.close()
+
+    # --- pose mode ------------------------------------------------------
+    po_prob = PoseProblem(
+        img_width=64.0, img_height=48.0, soft_hpr=True,
+        soft_hpr_dense_max=0, hpr_cap=256)
+    params = init_pose_params(np.array([[1.0, 0.5, 0.4]], np.float32),
+                              np.array([[1.0, 0, 0, 0]], np.float32))
+    opt = FrozenPoseOptimizer(pts, K, po_prob, opt_cfg,
+                              FrozenPlanConfig(async_refresh=False))
+    st = opt.init(params)
+    p1, st, l0, _ = opt.step(params, st)
+    (l_ref, _), _ = jax.jit(jax.value_and_grad(
+        lambda p: pose_forward(p, P, jnp.asarray(K), po_prob),
+        has_aux=True))(params)
+    assert abs(float(l0) - float(l_ref)) / abs(float(l_ref)) < 1e-4
+    for _ in range(7):
+        p1, st, loss, _ = opt.step(p1, st)
+    assert float(loss) < float(l0), (loss, l0)
+    opt.close()

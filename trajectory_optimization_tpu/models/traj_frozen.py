@@ -648,13 +648,18 @@ class FrozenTrajOptimizer:
         self._meta = None
         self._pending = None
         self._pool = None
+        self._ones = None  # cached all-ones valid mask (hot-loop reuse)
         self._t_floor = 1  # largest tile count seen: keeps ONE PlanMeta
         self.stats = {"refreshes": 0, "swap_s": 0.0, "build_s": 0.0}
 
-    def _build(self, params):
+    def _selected(self, params_host):
+        """(poses_sel, quats_sel) the plan is built for — numpy, host."""
         sel = slice(None, None, self.problem.wps_step)
-        poses_sel = np.asarray(params["poses"])[sel]
-        quats_sel = np.asarray(params["quats"])[sel]
+        return params_host["poses"][sel], params_host["quats"][sel]
+
+    def _build(self, params):
+        poses_sel, quats_sel = self._selected(
+            {k: np.asarray(v) for k, v in params.items()})
         plan, meta = build_traj_plan(
             self.points_np, self.valid_np, poses_sel, quats_sel,
             self.K_np, self.problem, self.plan_cfg,
@@ -681,7 +686,7 @@ class FrozenTrajOptimizer:
 
         if self._pool is None:
             self._pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="trajplan")
+                max_workers=1, thread_name_prefix="frozenplan")
         # snapshot params on host NOW (device steps keep mutating them)
         host = {k: np.asarray(v) for k, v in params.items()}
         self._pending = self._pool.submit(self._build, host)
@@ -745,25 +750,223 @@ class FrozenTrajOptimizer:
     def init(self, params):
         return self.tx.init(params)
 
+    def reset(self):
+        """Drop the current plan (and any in-flight async build). Call
+        before optimizing from params discontinuous with the previous
+        run — the routing gates are only valid within ``drift_slack`` of
+        the poses they were built for, and a stale plan silently excludes
+        the wrong points (zero value AND gradient). ``run()`` resets
+        automatically; manual ``step()`` loops across restarts must not
+        skip this."""
+        if self._pending is not None:
+            self._pending.cancel()
+            self._pending = None
+        self._plan = None
+        self._meta = None
+        self._steps_since_refresh = 0
+
     def step(self, params, opt_state):
         """One Adam step (refreshing the plan when due). Returns
-        (params, opt_state, loss, scalar_aux)."""
+        (params, opt_state, loss, scalar_aux). Assumes ``params``
+        continues the trajectory of the previous step call — call
+        :meth:`reset` first when jumping to unrelated params."""
         if (self._plan is None
                 or self._steps_since_refresh >= self.plan_cfg.refresh_every):
             self._refresh(params)
         step_fn = self._get_step(self._meta)
+        if self.valid is None and self._ones is None:
+            self._ones = jnp.ones((self.points.shape[0],), jnp.float32)
         out = step_fn(params, opt_state, self._plan, self.points,
-                      jnp.ones((self.points.shape[0],), jnp.float32)
-                      if self.valid is None else self.valid,
+                      self._ones if self.valid is None else self.valid,
                       self.K, self.poses0, self.quats0)
         self._steps_since_refresh += 1
         return out
 
     def run(self, params, n_steps: int):
-        """Run n_steps; returns (params, losses list)."""
+        """Run n_steps from ``params``; returns (params, losses list).
+        Resets any plan left over from a previous run (its routing was
+        built for different poses)."""
+        self.reset()
         opt_state = self.init(params)
         losses = []
         for _ in range(n_steps):
             params, opt_state, loss, _ = self.step(params, opt_state)
             losses.append(float(loss))
         return params, losses
+
+
+# ---------------------------------------------------------------------------
+# frozen-routing variants for the other two optimization modes — the gate
+# pipeline (frozen_soft_hpr_scores) is model-agnostic; only the criterion
+# and the parameterization differ
+# ---------------------------------------------------------------------------
+
+
+def wps_forward_frozen(params, frozen, plan, meta, points, K, problem, *,
+                       valid=None, occlusion_mask=None):
+    """wps_forward(soft_hpr=True) under a frozen routing plan: the
+    Waypoints-Optimization criterion Σ_w 1/(Σ_n hpr·score + eps) with the
+    per-waypoint differentiable HPR gates coming from the plan. Same
+    (loss, aux) contract as models.wps_opt.wps_forward."""
+    from trajectory_optimization_tpu.models.wps_opt import wps_path
+
+    trans, quats = wps_path(params, frozen)
+    gated, _ = frozen_soft_hpr_scores(
+        plan, meta, quats, trans, points, K, problem, valid)
+    if occlusion_mask is not None:
+        gated = gated * occlusion_mask[None, :]
+    if valid is not None:
+        gated = gated * valid[None, :]
+    per_wp = jnp.sum(gated, axis=-1)
+    losses = 1.0 / (per_wp + problem.eps)
+    return jnp.sum(losses), {
+        "losses": losses,
+        "observations": gated,
+        "mean_reward": jnp.mean(per_wp),
+    }
+
+
+def pose_forward_frozen(params, plan, meta, points, K, problem, *,
+                        valid=None, occlusion_mask=None):
+    """pose_forward(soft_hpr=True) under a frozen routing plan (W = 1).
+    Same (loss, aux) contract as models.pose.pose_forward."""
+    gated, _ = frozen_soft_hpr_scores(
+        plan, meta, params["quat"], params["trans"], points, K, problem,
+        valid)
+    mask = gated[0]
+    if occlusion_mask is not None:
+        mask = mask * occlusion_mask
+    if valid is not None:
+        mask = mask * valid
+    loss = 1.0 / (jnp.sum(mask) + problem.eps)
+    return loss, {"observations": mask}
+
+
+def _sum_criterion_cfg(plan_cfg: FrozenPlanConfig) -> FrozenPlanConfig:
+    """The pose/wps criteria SUM raw gated scores — no log-odds clip floor
+    protects the tail, so the query gate must bound the DROPPED MASS:
+    error ≤ N·thresh·smax ≤ N·thresh·Σ. The trajectory default (1e-5,
+    sized for the 0.5 clip) loses whole percents when a pose sees little;
+    1e-9 bounds the relative loss error at N·1e-9 (4e-5 at 40k points).
+    Only applied when the caller left the field at its class default."""
+    if plan_cfg.score_rel_thresh == FrozenPlanConfig.score_rel_thresh:
+        plan_cfg = dataclasses.replace(plan_cfg, score_rel_thresh=1e-9)
+    return plan_cfg
+
+
+class FrozenWpsOptimizer(FrozenTrajOptimizer):
+    """Waypoints-Optimization (X/Y/yaw per waypoint) with host-refreshed
+    soft-HPR routing. Params are the wps_opt {'xy','yaw'} pytree; pass the
+    frozen path parts from models.wps_opt.init_wps_params. Two-group Adam
+    (xy/yaw) like the single-chip engine path."""
+
+    def __init__(self, points, K, frozen, problem, opt_cfg=None,
+                 plan_cfg: FrozenPlanConfig = FrozenPlanConfig(),
+                 valid=None, occlusion_mask=None):
+        from trajectory_optimization_tpu.opt.engine import (
+            OptimizerConfig, make_optimizer)
+
+        # reuse the base state via a dummy poses0/quats0 (criterion-unused)
+        super().__init__(points, K, np.zeros((1, 3), np.float32),
+                         np.asarray([[1.0, 0, 0, 0]], np.float32), problem,
+                         opt_cfg, _sum_criterion_cfg(plan_cfg), valid)
+        self.tx = make_optimizer(opt_cfg or OptimizerConfig(),
+                                 pose_key="xy", quat_key="yaw")
+        self.frozen = {k: jnp.asarray(v) for k, v in frozen.items()}
+        self._frozen_np = {k: np.asarray(v) for k, v in frozen.items()}
+        self.occ = (None if occlusion_mask is None
+                    else jnp.asarray(occlusion_mask, jnp.float32))
+
+    def _selected(self, params_host):
+        # numpy mirror of wps_opt.wps_path (host refresh must not touch
+        # the device: one dispatch costs a link RTT)
+        xy, yaw = params_host["xy"], params_host["yaw"]
+        z = self._frozen_np["z"]
+        q0 = self._frozen_np["quats0"]
+        trans = np.concatenate([xy, z[:, None]], axis=1)
+        half = 0.5 * yaw
+        qz = np.stack([np.cos(half), np.zeros_like(half),
+                       np.zeros_like(half), np.sin(half)], axis=1)
+        aw, ax, ay, az = qz[:, 0], qz[:, 1], qz[:, 2], qz[:, 3]
+        bw, bx, by, bz = q0[:, 0], q0[:, 1], q0[:, 2], q0[:, 3]
+        quats = np.stack([
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ], axis=1)
+        return trans, quats
+
+    def _get_step(self, meta: PlanMeta):
+        if meta not in self._step_cache:
+            problem, tx, frozen, occ = (self.problem, self.tx, self.frozen,
+                                        self.occ)
+
+            @jax.jit
+            def step(params, opt_state, plan, points, valid, K, poses0,
+                     quats0):
+                import optax
+
+                del poses0, quats0
+
+                def loss_fn(p):
+                    return wps_forward_frozen(
+                        p, frozen, plan, meta, points, K, problem,
+                        valid=valid, occlusion_mask=occ)
+
+                (loss, aux), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss, {"losses": aux["losses"]}
+
+            self._step_cache[meta] = step
+        return self._step_cache[meta]
+
+
+class FrozenPoseOptimizer(FrozenTrajOptimizer):
+    """Single-pose occlusion-aware optimization with host-refreshed
+    routing (W = 1). Params are the pose {'trans','quat'} pytree."""
+
+    def __init__(self, points, K, problem, opt_cfg=None,
+                 plan_cfg: FrozenPlanConfig = FrozenPlanConfig(),
+                 valid=None, occlusion_mask=None):
+        from trajectory_optimization_tpu.opt.engine import (
+            OptimizerConfig, make_optimizer)
+
+        super().__init__(points, K, np.zeros((1, 3), np.float32),
+                         np.asarray([[1.0, 0, 0, 0]], np.float32), problem,
+                         opt_cfg, _sum_criterion_cfg(plan_cfg), valid)
+        self.tx = make_optimizer(opt_cfg or OptimizerConfig(),
+                                 pose_key="trans", quat_key="quat")
+        self.occ = (None if occlusion_mask is None
+                    else jnp.asarray(occlusion_mask, jnp.float32))
+
+    def _selected(self, params_host):
+        return (params_host["trans"].reshape(1, 3),
+                params_host["quat"].reshape(1, 4))
+
+    def _get_step(self, meta: PlanMeta):
+        if meta not in self._step_cache:
+            problem, tx, occ = self.problem, self.tx, self.occ
+
+            @jax.jit
+            def step(params, opt_state, plan, points, valid, K, poses0,
+                     quats0):
+                import optax
+
+                del poses0, quats0
+
+                def loss_fn(p):
+                    return pose_forward_frozen(
+                        p, plan, meta, points, K, problem,
+                        valid=valid, occlusion_mask=occ)
+
+                (loss, aux), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss, {}
+
+            self._step_cache[meta] = step
+        return self._step_cache[meta]

@@ -48,6 +48,18 @@ from trajectory_optimization_tpu.parallel.mesh import replicated
 
 __all__ = ["pose_loss_sharded", "make_sharded_pose_step"]
 
+def _resolve_hpr_knobs(problem, hpr_cap, hpr_safety):
+    """Default the builder knobs to the PROBLEM's hpr_cap/hpr_safety so
+    single-chip and sharded paths compute the same visibility unless the
+    caller explicitly overrides (review-found drift: TrajProblem moved to
+    cap=512 while the sharded builders stayed on the kernel default)."""
+    if hpr_cap is None:
+        hpr_cap = getattr(problem, "hpr_cap", _HPR_DEF["cap"])
+    if hpr_safety is None:
+        hpr_safety = getattr(problem, "hpr_safety", _HPR_DEF["safety"])
+    return hpr_cap, hpr_safety
+
+
 
 def _build_local(problem: PoseProblem, axis: str, n_devices: int,
                  hpr_cap: int, hpr_safety: float):
@@ -110,8 +122,8 @@ def pose_loss_sharded(
     problem: PoseProblem,
     *,
     axis: str = "pts",
-    hpr_cap: int = _HPR_DEF["cap"],
-    hpr_safety: float = _HPR_DEF["safety"],
+    hpr_cap=None,
+    hpr_safety=None,
     occlusion_mask=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pose loss with the point axis sharded over ``axis``.
@@ -137,6 +149,7 @@ def pose_loss_sharded(
             "pad with a valid mask first (utils.data.pad_points)")
     occ = (jnp.ones((n,), jnp.float32) if occlusion_mask is None
            else jnp.asarray(occlusion_mask, jnp.float32))
+    hpr_cap, hpr_safety = _resolve_hpr_knobs(problem, hpr_cap, hpr_safety)
     local = _build_local(problem, axis, mesh.shape[axis], hpr_cap, hpr_safety)
     f = jax.shard_map(
         local,
@@ -153,8 +166,8 @@ def make_sharded_pose_step(
     cfg: OptimizerConfig,
     *,
     axis: str = "pts",
-    hpr_cap: int = _HPR_DEF["cap"],
-    hpr_safety: float = _HPR_DEF["safety"],
+    hpr_cap=None,
+    hpr_safety=None,
     occlusion: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build (init_fn, step_fn) for the multi-chip pose step
@@ -172,6 +185,7 @@ def make_sharded_pose_step(
     the (N,) gate sharded like ``valid``. A separate build flag (not a
     runtime None) so both variants keep a fixed jit signature.
     """
+    hpr_cap, hpr_safety = _resolve_hpr_knobs(problem, hpr_cap, hpr_safety)
     tx = make_optimizer(cfg, pose_key="trans", quat_key="quat")
     rep = replicated(mesh)
     ps_1d = NamedSharding(mesh, P(axis))

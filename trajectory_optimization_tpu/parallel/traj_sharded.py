@@ -54,6 +54,18 @@ from trajectory_optimization_tpu.parallel.mesh import replicated
 
 __all__ = ["traj_soft_hpr_loss_sharded", "make_sharded_traj_step"]
 
+def _resolve_hpr_knobs(problem, hpr_cap, hpr_safety):
+    """Default the builder knobs to the PROBLEM's hpr_cap/hpr_safety so
+    single-chip and sharded paths compute the same visibility unless the
+    caller explicitly overrides (review-found drift: TrajProblem moved to
+    cap=512 while the sharded builders stayed on the kernel default)."""
+    if hpr_cap is None:
+        hpr_cap = getattr(problem, "hpr_cap", _HPR_DEF["cap"])
+    if hpr_safety is None:
+        hpr_safety = getattr(problem, "hpr_safety", _HPR_DEF["safety"])
+    return hpr_cap, hpr_safety
+
+
 
 def _logodds_sharded(raw_l, valid_l, eps, pts_axis):
     """observation_logodds with the per-waypoint min/max taken over the
@@ -142,8 +154,8 @@ def traj_soft_hpr_loss_sharded(
     *,
     wps_axis: str = "wps",
     pts_axis: str = "pts",
-    hpr_cap: int = _HPR_DEF["cap"],
-    hpr_safety: float = _HPR_DEF["safety"],
+    hpr_cap=None,
+    hpr_safety=None,
 ):
     """Occlusion-aware trajectory loss over a ('wps', 'pts') mesh.
 
@@ -159,6 +171,7 @@ def traj_soft_hpr_loss_sharded(
         raise ValueError(
             f"cloud size {n} not divisible by mesh axis '{pts_axis}'={d_pts}; "
             "pad with a valid mask first (utils.data.pad_points)")
+    hpr_cap, hpr_safety = _resolve_hpr_knobs(problem, hpr_cap, hpr_safety)
     q_sel, p_sel, wts = _pad_selected(params, problem, mesh.shape[wps_axis])
     local = _build_local(problem, wps_axis, pts_axis, d_pts,
                          hpr_cap, hpr_safety)
@@ -181,8 +194,8 @@ def make_sharded_traj_step(
     *,
     wps_axis: str = "wps",
     pts_axis: str = "pts",
-    hpr_cap: int = _HPR_DEF["cap"],
-    hpr_safety: float = _HPR_DEF["safety"],
+    hpr_cap=None,
+    hpr_safety=None,
 ) -> Tuple[Callable, Callable]:
     """Build (init_fn, step_fn) for the multi-chip occlusion-aware
     trajectory step (same contract as parallel.sharded.make_sharded_train_
@@ -196,6 +209,7 @@ def make_sharded_traj_step(
             "make_sharded_traj_step is the occlusion-aware (soft_hpr) step; "
             "for the plain visibility loss use "
             "parallel.sharded.make_sharded_train_step")
+    hpr_cap, hpr_safety = _resolve_hpr_knobs(problem, hpr_cap, hpr_safety)
     tx = make_optimizer(cfg)
     rep = replicated(mesh)
     ps = NamedSharding(mesh, P(pts_axis, None))

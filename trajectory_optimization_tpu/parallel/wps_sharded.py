@@ -44,6 +44,18 @@ from trajectory_optimization_tpu.parallel.mesh import replicated
 
 __all__ = ["wps_loss_sharded", "make_sharded_wps_step"]
 
+def _resolve_hpr_knobs(problem, hpr_cap, hpr_safety):
+    """Default the builder knobs to the PROBLEM's hpr_cap/hpr_safety so
+    single-chip and sharded paths compute the same visibility unless the
+    caller explicitly overrides (review-found drift: TrajProblem moved to
+    cap=512 while the sharded builders stayed on the kernel default)."""
+    if hpr_cap is None:
+        hpr_cap = getattr(problem, "hpr_cap", _HPR_DEF["cap"])
+    if hpr_safety is None:
+        hpr_safety = getattr(problem, "hpr_safety", _HPR_DEF["safety"])
+    return hpr_cap, hpr_safety
+
+
 
 def _build_local(problem: WpsOptProblem, axis: str, n_pts_shards: int,
                  hpr_cap: int, hpr_safety: float):
@@ -119,8 +131,8 @@ def wps_loss_sharded(
     *,
     axis: str = "pts",
     occlusion_mask=None,
-    hpr_cap: int = _HPR_DEF["cap"],
-    hpr_safety: float = _HPR_DEF["safety"],
+    hpr_cap=None,
+    hpr_safety=None,
 ):
     """Summed per-waypoint loss with the point axis sharded over ``axis``.
 
@@ -145,6 +157,7 @@ def wps_loss_sharded(
     valid = jnp.asarray(valid, jnp.float32)
     occ = (jnp.ones((n,), jnp.float32) if occlusion_mask is None
            else jnp.asarray(occlusion_mask, jnp.float32))
+    hpr_cap, hpr_safety = _resolve_hpr_knobs(problem, hpr_cap, hpr_safety)
     local = _build_local(problem, axis, d, hpr_cap, hpr_safety)
     f = jax.shard_map(
         local,
@@ -164,8 +177,8 @@ def make_sharded_wps_step(
     cfg: OptimizerConfig,
     *,
     axis: str = "pts",
-    hpr_cap: int = _HPR_DEF["cap"],
-    hpr_safety: float = _HPR_DEF["safety"],
+    hpr_cap=None,
+    hpr_safety=None,
 ) -> Tuple[Callable, Callable]:
     """Build (init_fn, step_fn) for multi-chip waypoint refinement
     (occlusion-aware when ``problem.soft_hpr``, plain visibility otherwise).
@@ -181,6 +194,7 @@ def make_sharded_wps_step(
     ``wps_loss_sharded(occlusion_mask=...)`` instead, which keeps it out of
     the HPR coverer set.
     """
+    hpr_cap, hpr_safety = _resolve_hpr_knobs(problem, hpr_cap, hpr_safety)
     tx = make_optimizer(cfg, pose_key="xy", quat_key="yaw")
     rep = replicated(mesh)
     ps_1d = NamedSharding(mesh, P(axis))
