@@ -51,6 +51,9 @@ SLOW_MODULES = {
     "test_remote_bus",
     "test_serving",
     "test_pallas_vis",
+    "test_multicam",   # 133 s batched-rig pipeline
+    "test_nodes",      # several 20-60 s node pipelines
+    "test_replay",     # 37 s session-replay demo
 }
 
 SUBPROCESS_MODULES = {"test_multihost_process", "test_remote_bus"}
