@@ -46,6 +46,7 @@ from ..ops.hpr import (
     _direction_angles,
     _grid_bin_key,
     _unpermute,
+    SOFT_BINNED_DEFAULTS,
     make_cosort,
 )
 from ..ops.numerics import safe_norm
@@ -64,6 +65,19 @@ __all__ = ["hpr_mask_soft_binned_sharded"]
 #   in tests/test_hpr_sharded.py::test_merge_cosort_vjp_matches_sort_autodiff.
 _cosort_gid = make_cosort(4, 1)     # (key, u0, u1, u2, rho, gid)
 _cosort_merge = make_cosort(4, 2, dimension=1)  # (key, u×3, rho, gid, ok)
+
+
+def resolve_hpr_knobs(problem, hpr_cap, hpr_safety):
+    """Default builder knobs to the PROBLEM's hpr_cap/hpr_safety so the
+    single-chip and sharded paths compute the same visibility unless the
+    caller explicitly overrides (review-found drift: TrajProblem moved to
+    cap=512 while the sharded builders stayed on the kernel default)."""
+    if hpr_cap is None:
+        hpr_cap = getattr(problem, "hpr_cap", SOFT_BINNED_DEFAULTS["cap"])
+    if hpr_safety is None:
+        hpr_safety = getattr(problem, "hpr_safety",
+                             SOFT_BINNED_DEFAULTS["safety"])
+    return hpr_cap, hpr_safety
 
 
 def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,

@@ -49,21 +49,14 @@ from trajectory_optimization_tpu.models.traj import (
 from trajectory_optimization_tpu.ops.hpr import SOFT_BINNED_DEFAULTS as _HPR_DEF
 from trajectory_optimization_tpu.ops.scores import camera_planes, scores_from_planes
 from trajectory_optimization_tpu.opt.engine import OptimizerConfig, make_optimizer
-from trajectory_optimization_tpu.parallel.hpr_sharded import _local_mask
+from trajectory_optimization_tpu.parallel.hpr_sharded import (
+    _local_mask,
+    resolve_hpr_knobs as _resolve_hpr_knobs,
+)
 from trajectory_optimization_tpu.parallel.mesh import replicated
 
 __all__ = ["traj_soft_hpr_loss_sharded", "make_sharded_traj_step"]
 
-def _resolve_hpr_knobs(problem, hpr_cap, hpr_safety):
-    """Default the builder knobs to the PROBLEM's hpr_cap/hpr_safety so
-    single-chip and sharded paths compute the same visibility unless the
-    caller explicitly overrides (review-found drift: TrajProblem moved to
-    cap=512 while the sharded builders stayed on the kernel default)."""
-    if hpr_cap is None:
-        hpr_cap = getattr(problem, "hpr_cap", _HPR_DEF["cap"])
-    if hpr_safety is None:
-        hpr_safety = getattr(problem, "hpr_safety", _HPR_DEF["safety"])
-    return hpr_cap, hpr_safety
 
 
 
