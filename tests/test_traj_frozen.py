@@ -254,3 +254,24 @@ def test_frozen_wps_and_pose_variants(scene):
         p1, st, loss, _ = opt.step(p1, st)
     assert float(loss) < float(l0), (loss, l0)
     opt.close()
+
+
+def test_frozen_gradient_finite_at_sensor_origin(scene):
+    """Real scans contain points EXACTLY at the sensor origin (cloud-10
+    has one per scan pose — the round-3 NaN regression); the frozen
+    kernel's safe_norm path must keep the whole gradient finite when a
+    waypoint coincides with a cloud point."""
+    pts, poses0, quats0, K, problem = scene
+    pts = pts.copy()
+    pts[0] = poses0[1]  # a point exactly at waypoint 1
+    params = init_traj_params(poses0, quats0)
+    P = jnp.asarray(pts)
+    p0, q0 = jnp.asarray(poses0), jnp.asarray(quats0)
+    plan_np, meta = build_traj_plan(pts, None, poses0, quats0, K, problem)
+    plan = {k: jnp.asarray(v) for k, v in plan_np.items()
+            if not k.startswith("_")}
+    (_, _), g = jax.jit(jax.value_and_grad(
+        lambda p: traj_forward_frozen(p, plan, meta, P, K, p0, q0, problem),
+        has_aux=True))(params)
+    for k in ("poses", "quats"):
+        assert np.isfinite(np.asarray(g[k])).all(), k
