@@ -171,6 +171,11 @@ class PlanMeta:
     cap: int
     n_grids: int
     tiles: int  # T per grid
+    # tiles whose coverer span is NOT their own query span (big-bin query
+    # chunks) — only these carry separate coverer data; everything else
+    # reuses the query arrays on device (self-covering), which keeps the
+    # per-refresh host->device plan transfer ~40% smaller
+    t_big: int = 1
 
     @property
     def rows(self) -> int:  # M = tiles * cap
@@ -325,12 +330,10 @@ def build_traj_plan(
 
     T = max(-(-max_tiles // cfg.tile_round) * cfg.tile_round, min_tiles)
     M = T * cap
-    meta = PlanMeta(n_sel=w_sel, n_points=n, cap=cap, n_grids=G, tiles=T)
+    # meta is finalized after the assembly loop (t_big needs the layouts)
 
     q_id = np.full((w_sel, G, M), -1, np.int64)
-    c_id = np.full((w_sel, G, M), -1, np.int64)
     q_bin = np.full((w_sel, G, M), -1, np.int64)
-    c_bin = np.full((w_sel, G, M), -1, np.int64)
     coff_arr = np.zeros((w_sel, G, T), np.int64)
     qmask = np.zeros((w_sel, G, M), bool)
     align_fwd = np.empty((w_sel, G, M), np.int64)
@@ -358,14 +361,9 @@ def build_traj_plan(
             coffs[len(g_coffs[g]):] = ar_m[len(g_coffs[g]) * cap:: cap][
                 : T - len(g_coffs[g])]
             coff_arr[w, g] = coffs
-            cov_rows = (coffs[:, None] + np.arange(cap)[None, :]).reshape(-1)
-            c_id[w, g] = q_id[w, g][cov_rows]
             qi = q_id[w, g]
             ok = qi >= 0
             q_bin[w, g, ok] = g_bins[g][qi[ok]]
-            ci = c_id[w, g]
-            ok_c = ci >= 0
-            c_bin[w, g, ok_c] = g_bins[g][ci[ok_c]]
             is_q = np.zeros(M, bool)
             is_q[ok] = q_rel[qi[ok]]
             qmask[w, g] = is_q
@@ -408,6 +406,29 @@ def build_traj_plan(
         bwd[rest_src] = rest_dst
         embed_bwd[w] = bwd
 
+    # Coverer data: a tile whose coverer span IS its own query span (all
+    # packed small-bin tiles — nearly every tile at reference scale)
+    # reuses the query arrays on device; only big-bin query-chunk tiles
+    # carry separate coverer rows, compacted into (W, G, TB, cap) ext
+    # arrays — this roughly halves the per-refresh plan transfer.
+    self_tile = coff_arr == (np.arange(T, dtype=np.int64) * cap)[None, None]
+    TB = max(1, int((~self_tile).sum(axis=2).max()))
+    meta = PlanMeta(n_sel=w_sel, n_points=n, cap=cap, n_grids=G, tiles=T,
+                    t_big=TB)
+    c_sel = np.full((w_sel, G, T), -1, np.int64)
+    c_id_ext = np.full((w_sel, G, TB, cap), -1, np.int64)
+    c_bin_ext = np.full((w_sel, G, TB, cap), -1, np.int64)
+    for w in range(w_sel):
+        g_bins = per_wp[w][2]
+        for g in range(G):
+            for k, t in enumerate(np.flatnonzero(~self_tile[w, g])):
+                c_sel[w, g, t] = k
+                off = coff_arr[w, g, t]
+                rows = q_id[w, g][off:off + cap]
+                c_id_ext[w, g, k] = rows
+                okr = rows >= 0
+                c_bin_ext[w, g, k, okr] = g_bins[g][rows[okr]]
+
     pad3 = np.full(3, _PAD_COORD)
     pts_ext = np.concatenate([pts, pad3[None]], axis=0)  # id -1 -> padding
     # self-exclusion on device compares LAYOUT ROWS (each point appears
@@ -415,9 +436,10 @@ def build_traj_plan(
     # ride int16 (n_bins ~10²). coff is the per-tile coverer offset.
     plan = {
         "q_xyz": pts_ext[q_id].astype(np.float32),
-        "c_xyz": pts_ext[c_id].astype(np.float32),
+        "c_xyz_ext": pts_ext[c_id_ext].astype(np.float32),
         "q_bin": q_bin.astype(np.int16),
-        "c_bin": c_bin.astype(np.int16),
+        "c_bin_ext": c_bin_ext.astype(np.int16),
+        "c_sel": c_sel.astype(np.int32),
         "coff": coff_arr.astype(np.int32),
         "qmask": qmask,
         "align_fwd": align_fwd.astype(np.int32),
@@ -482,11 +504,13 @@ def perm_apply(fwd_key, bwd_key, x, fill, n_out: int):
 
 
 def _cam_planes_nd(xyz, R, tR):
-    """(W, G, M, 3) world coords -> camera-frame (..., 3) under per-waypoint
-    (R, t·R): broadcast FMAs (K=3 matmuls are MXU-hostile, ops.scores)."""
+    """(W, *batch, 3) world coords -> camera-frame (..., 3) under
+    per-waypoint (R, t·R): broadcast FMAs (K=3 matmuls are MXU-hostile,
+    ops.scores). Any number of batch dims after the leading W."""
     px, py, pz = xyz[..., 0], xyz[..., 1], xyz[..., 2]
-    Rb = R[:, None, None]
-    tb = tR[:, None, None]
+    ones = (1,) * (xyz.ndim - 2)
+    Rb = R.reshape((R.shape[0],) + ones + (3, 3))
+    tb = tR.reshape((tR.shape[0],) + ones + (3,))
     cx = px * Rb[..., 0, 0] + py * Rb[..., 1, 0] + pz * Rb[..., 2, 0] - tb[..., 0]
     cy = px * Rb[..., 0, 1] + py * Rb[..., 1, 1] + pz * Rb[..., 2, 1] - tb[..., 1]
     cz = px * Rb[..., 0, 2] + py * Rb[..., 1, 2] + pz * Rb[..., 2, 2] - tb[..., 2]
@@ -532,32 +556,45 @@ def frozen_soft_hpr_scores(
 
     R, tR = camera_frames(quats_sel, poses_sel)
     qcam = _cam_planes_nd(plan["q_xyz"], R, tR)  # (W, G, M, 3)
-    ccam = _cam_planes_nd(plan["c_xyz"], R, tR)
     qn = safe_norm(qcam, axis=-1)
-    cn = safe_norm(ccam, axis=-1)
     rad_b = radius[:, None, None]
     q_rho = 2.0 * rad_b - qn
-    c_rho = 2.0 * rad_b - cn
     qu = qcam / jnp.maximum(qn, 1e-12)[..., None]
-    cu = ccam / jnp.maximum(cn, 1e-12)[..., None]
 
-    # (W, G, T, cap, cap) dominance tiles — elementwise producers that fuse
-    # into the logsumexp (the dense-kernel discipline, ops.hpr)
+    # coverers: self-covering tiles (coff == own span — nearly all) reuse
+    # the query data; big-bin query-chunk tiles pick their rows from the
+    # compact (W, G, TB, cap) ext arrays (a coarse per-tile gather)
+    ccam_ext = _cam_planes_nd(plan["c_xyz_ext"], R, tR)  # (W, G, TB, cap, 3)
+    cn_ext = safe_norm(ccam_ext, axis=-1)
+    c_rho_ext = 2.0 * radius[:, None, None, None] - cn_ext
+    cu_ext = ccam_ext / jnp.maximum(cn_ext, 1e-12)[..., None]
+
     G = meta.n_grids
     qv = qu.reshape(W, G, T, cap, 3)
-    cv = cu.reshape(W, G, T, cap, 3)
+    sel = plan["c_sel"]  # (W, G, T); -1 = self-covering tile
+    selc = jnp.maximum(sel, 0)
+    is_self = sel < 0
+    cv = jnp.where(is_self[..., None, None],
+                   qv, jnp.take_along_axis(
+                       cu_ext, selc[..., None, None], axis=2))
+    # (W, G, T, cap, cap) dominance tiles — elementwise producers that fuse
+    # into the logsumexp (the dense-kernel discipline, ops.hpr)
     cos = (qv[..., :, None, 0] * cv[..., None, :, 0]
            + qv[..., :, None, 1] * cv[..., None, :, 1]
            + qv[..., :, None, 2] * cv[..., None, :, 2])
     qb = plan["q_bin"].reshape(W, G, T, cap)
-    cb = plan["c_bin"].reshape(W, G, T, cap)
+    cb = jnp.where(is_self[..., None], qb,
+                   jnp.take_along_axis(plan["c_bin_ext"],
+                                       selc[..., None], axis=2))
     # self-exclusion by LAYOUT ROW: each point appears exactly once per
     # grid layout, so query row t·cap+i and coverer row coff_t+j are the
     # same point iff they are the same row — no id arrays needed on device
     q_row = (jnp.arange(T, dtype=jnp.int32)[:, None] * cap
              + jnp.arange(cap, dtype=jnp.int32)[None, :])  # (T, cap)
     c_row = plan["coff"][..., None] + jnp.arange(cap, dtype=jnp.int32)
-    crho_t = c_rho.reshape(W, G, T, cap)
+    crho_t = jnp.where(is_self[..., None], q_rho.reshape(W, G, T, cap),
+                       jnp.take_along_axis(c_rho_ext, selc[..., None],
+                                           axis=2))
     pair_ok = ((qb[..., :, None] == cb[..., None, :])
                & (qb[..., :, None] >= 0)
                & (q_row[None, None, :, :, None] != c_row[..., None, :]))
