@@ -260,6 +260,7 @@ def build_traj_plan(
     problem: TrajProblem,
     cfg: FrozenPlanConfig = FrozenPlanConfig(),
     min_tiles: int = 1,
+    min_t_big: int = 1,
 ) -> Tuple[Dict[str, np.ndarray], PlanMeta]:
     """Build the frozen routing plan for the selected waypoints (host-side).
 
@@ -412,7 +413,11 @@ def build_traj_plan(
     # carry separate coverer rows, compacted into (W, G, TB, cap) ext
     # arrays — this roughly halves the per-refresh plan transfer.
     self_tile = coff_arr == (np.arange(T, dtype=np.int64) * cap)[None, None]
-    TB = max(1, int((~self_tile).sum(axis=2).max()))
+    # round TB up and floor it at the runner's max-seen (like T): t_big is
+    # part of PlanMeta, so letting it drift per refresh would recompile
+    # the step program every boundary (measured: a recompile storm)
+    TB = max(-(-int((~self_tile).sum(axis=2).max()) // 4) * 4, 4,
+             int(min_t_big))
     meta = PlanMeta(n_sel=w_sel, n_points=n, cap=cap, n_grids=G, tiles=T,
                     t_big=TB)
     c_sel = np.full((w_sel, G, T), -1, np.int64)
@@ -687,6 +692,7 @@ class FrozenTrajOptimizer:
         self._pool = None
         self._ones = None  # cached all-ones valid mask (hot-loop reuse)
         self._t_floor = 1  # largest tile count seen: keeps ONE PlanMeta
+        self._tb_floor = 1  # largest big-tile count seen (same reason)
         self.stats = {"refreshes": 0, "swap_s": 0.0, "build_s": 0.0}
 
     def _selected(self, params_host):
@@ -700,23 +706,36 @@ class FrozenTrajOptimizer:
         plan, meta = build_traj_plan(
             self.points_np, self.valid_np, poses_sel, quats_sel,
             self.K_np, self.problem, self.plan_cfg,
-            min_tiles=self._t_floor)
+            min_tiles=self._t_floor, min_t_big=self._tb_floor)
         self._t_floor = max(self._t_floor, meta.tiles)
+        self._tb_floor = max(self._tb_floor, meta.t_big)
         return plan, meta
 
-    def _swap(self, plan_np, meta):
+    def _swap(self, plan, meta):
         import time
 
         t0 = time.perf_counter()
         # ONE batched host->device transfer for the whole plan pytree —
         # per-array jnp.asarray calls each pay a link round trip here.
         # Underscored keys are host-only diagnostics and stay off the link.
-        self._plan = jax.device_put(
-            {k: v for k, v in plan_np.items() if not k.startswith("_")})
+        # Async builds arrive already device-put (the builder thread ships
+        # them the moment the build finishes, overlapping the transfer
+        # with device steps — the tunnel's upload bandwidth swings
+        # 47-400 MB/s, so this hides the weather-exposed part).
+        if any(isinstance(v, np.ndarray) for v in plan.values()):
+            plan = jax.device_put(
+                {k: v for k, v in plan.items() if not k.startswith("_")})
+        self._plan = plan
         self._meta = meta
         self._steps_since_refresh = 0
         self.stats["refreshes"] += 1
         self.stats["swap_s"] += time.perf_counter() - t0
+
+    def _build_put(self, host):
+        plan_np, meta = self._build(host)
+        dev = jax.device_put(
+            {k: v for k, v in plan_np.items() if not k.startswith("_")})
+        return dev, meta
 
     def _kick_async(self, params):
         import concurrent.futures
@@ -726,7 +745,7 @@ class FrozenTrajOptimizer:
                 max_workers=1, thread_name_prefix="frozenplan")
         # snapshot params on host NOW (device steps keep mutating them)
         host = {k: np.asarray(v) for k, v in params.items()}
-        self._pending = self._pool.submit(self._build, host)
+        self._pending = self._pool.submit(self._build_put, host)
 
     def _refresh(self, params):
         import time
