@@ -25,6 +25,115 @@ import time
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# per-round regression guard (VERDICT r4 item 7): the SAME patterns parse
+# this run's stderr lines and the prior round's BENCH_r*.json "tail", so a
+# >25% drop on any tracked metric is flagged before a judge diffs the JSONs.
+# (key, stderr-line regex with one numeric group, higher_is_better)
+# ---------------------------------------------------------------------------
+_METRIC_PATTERNS = [
+    ("ref_workload_steps_s",
+     r"reference workload \([^)]*scan windows\): ([\d.]+) traj steps/s", True),
+    ("ref_serving_steps_s",
+     r"serving-mode \(1 dispatch/step\): ([\d.]+) steps/s", True),
+    ("north_star_steps_s",
+     r"north star \(1M pts x 50 wps\): ([\d.]+) traj steps/s", True),
+    ("north_star_scan_steps_s",
+     r"training-mode \(200-step lax\.scan per dispatch\): ([\d.]+) steps/s",
+     True),
+    ("sharded_step_steps_s",
+     r"sharded train step [^:]*: ([\d.]+) steps/s", True),
+    ("occl_pose_ms",
+     r"occlusion-aware pose step [^:]*: ([\d.]+) ms/step", False),
+    ("occl_traj_ms",
+     r"occlusion-aware trajectory step [^:]*: ([\d.]+) ms/step", False),
+    ("pose_serving_steps_s",
+     r"pose model serving-mode [^:]*: ([\d.]+) steps/s", True),
+    ("pose_scan_steps_s",
+     r"pose model production loop [^:]*: ([\d.]+) steps/s", True),
+    ("node_msgs_s",
+     r"TrajOptNode end-to-end [^:]*: ([\d.]+) msgs/s wall", True),
+    ("node_pipelined_msgs_s",
+     r"TrajOptNode pipelined [^:]*: ([\d.]+) msgs/s wall", True),
+]
+
+
+class _StderrTee:
+    """Mirror stderr so the regression guard can re-parse this run's lines."""
+
+    def __init__(self, f):
+        self._f = f
+        self.chunks = []
+
+    def write(self, s):
+        self._f.write(s)
+        self.chunks.append(s)
+        return len(s)
+
+    def flush(self):
+        self._f.flush()
+
+    def __getattr__(self, name):  # isatty etc. pass through
+        return getattr(self._f, name)
+
+
+def _parse_metrics(text: str) -> dict:
+    import re
+
+    out = {}
+    for key, pat, _hib in _METRIC_PATTERNS:
+        m = re.search(pat, text)
+        if m:
+            out[key] = float(m.group(1))
+    return out
+
+
+def _regression_guard(cur_text: str) -> None:
+    """Compare this run's metrics against the latest driver BENCH_r*.json
+    (whose 'tail' field is the prior round's stderr) and flag >25% drops.
+    Link-RTT weather swings ±20% (CLAUDE.md) — a flag here means 'probe the
+    link and re-run before believing it', not necessarily a code regression."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not files:
+        return
+    try:
+        with open(files[-1]) as f:
+            prior_text = json.load(f).get("tail", "")
+    except Exception as e:  # noqa: BLE001 — the guard must never fail a bench
+        print(f"[bench] regression guard: could not read prior round: {e}",
+              file=sys.stderr)
+        return
+    prev, cur = _parse_metrics(prior_text), _parse_metrics(cur_text)
+    flagged = []
+    lines = []
+    for key, _pat, hib in _METRIC_PATTERNS:
+        if key in prev and key in cur and prev[key] > 0 and cur[key] > 0:
+            gain = (cur[key] / prev[key] if hib else prev[key] / cur[key]) - 1.0
+            lines.append(f"  {key}: {prev[key]:g} -> {cur[key]:g} "
+                         f"({gain * 100:+.1f}%)")
+            if gain < -0.25:
+                flagged.append(key)
+    if lines:
+        print(f"[bench] regression guard vs {os.path.basename(files[-1])}:",
+              file=sys.stderr)
+        for ln in lines:
+            print(ln, file=sys.stderr)
+    if flagged:
+        print(
+            f"[bench] REGRESSION >25% vs prior round: {', '.join(flagged)} — "
+            "probe the link (RTT and upload bandwidth) and re-run before "
+            "treating this as a code regression",
+            file=sys.stderr,
+        )
+
 
 def _first_leaf(state):
     import jax
@@ -547,6 +656,10 @@ def main():
     from trajectory_optimization_tpu.bus.launch import enable_compilation_cache
     from trajectory_optimization_tpu.utils.data import load_point_cloud, load_path
 
+    # tee stderr: the regression guard at the end re-parses this run's own
+    # lines with the same patterns it applies to the prior round's tail
+    tee = sys.stderr = _StderrTee(sys.stderr)
+
     # compiles are warmed up before every timed window, so the persistent
     # cache changes wall time only (a full cold bench spends minutes in XLA)
     enable_compilation_cache()
@@ -704,6 +817,9 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] pipelined node throughput failed: {e}", file=sys.stderr)
+
+    sys.stderr = tee._f  # restore before the guard's own prints
+    _regression_guard("".join(tee.chunks))
 
     print(
         json.dumps(

@@ -1918,7 +1918,18 @@ class BagPlayer:
                 # next gap
                 prev_t = t if prev_t is None else max(prev_t, t)
                 if pool is not None and hasattr(msg, "result"):
-                    msg = msg.result()  # pooled camera decode, in order
+                    try:
+                        msg = msg.result()  # pooled camera decode, in order
+                    except Exception as e:
+                        # Pooled replay reads ahead: up to `prefetch` later
+                        # records were already framed when this decode
+                        # failed, but the error still surfaces HERE, at the
+                        # failing record's ordered position — annotated
+                        # with record context, mirroring where the
+                        # sequential path would have raised inline.
+                        raise RuntimeError(
+                            f"camera decode failed during pooled replay "
+                            f"(topic {topic!r}, t={t:.6f})") from e
                 bus.publish(topic, msg)
                 n += 1
         finally:

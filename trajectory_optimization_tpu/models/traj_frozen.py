@@ -292,6 +292,16 @@ def build_traj_plan(
     r_param = _HPR_DEF["r_param"]
     theta_max, grids = _binned_grids(r_param, tau, problem.hpr_safety)
     G = len(grids)
+    # bin ids ride int16 on the link (plan['q_bin']/['c_bin_ext']); the
+    # defaults give ~10² bins, but _grid_bin_key itself allows up to ~4M —
+    # fail loudly instead of silently wrapping the same-bin dominance test
+    # if a future r_param/safety change ever gets this far
+    n_bins_max = max(g[-1] for g in grids)
+    if n_bins_max >= 32768:
+        raise ValueError(
+            f"binned grids produced {n_bins_max} bins >= 2**15; widen the "
+            "plan's bin-id dtype to int32 before raising r_param/safety "
+            "this far")
     Rs = _np_quat_matrices(quats_sel)
 
     per_wp = []  # (g_rows (G,), g_coffs (G,), g_bins (G,), q_rel)
@@ -815,7 +825,16 @@ class FrozenTrajOptimizer:
         automatically; manual ``step()`` loops across restarts must not
         skip this."""
         if self._pending is not None:
-            self._pending.cancel()
+            if not self._pending.cancel():
+                # a build already running on the pool thread cannot be
+                # cancelled — wait it out (sub-second) so its device_put
+                # doesn't overlap the next synchronous build. The floor
+                # updates it makes are harmless either way: _t_floor /
+                # _tb_floor are intentionally monotonic.
+                try:
+                    self._pending.result()
+                except Exception:
+                    pass
             self._pending = None
         self._plan = None
         self._meta = None

@@ -172,6 +172,7 @@ def make_sharded_wps_step(
     axis: str = "pts",
     hpr_cap=None,
     hpr_safety=None,
+    occlusion: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build (init_fn, step_fn) for multi-chip waypoint refinement
     (occlusion-aware when ``problem.soft_hpr``, plain visibility otherwise).
@@ -180,12 +181,17 @@ def make_sharded_wps_step(
     opt_state, losses, observations)`` — one jitted dispatch per Adam step;
     ``losses`` is the replicated (W,) per-waypoint vector, observations stay
     sharded for lazy fetching. Two-group Adam on ('xy', 'yaw') exactly like
-    the single-chip engine path. A static hard-occlusion gate (single-chip
-    ``wps_forward(occlusion_mask=...)``) folds into ``valid`` before the
-    step — exactly equivalent for the plain loss (both multiply the scores
-    elementwise); with ``soft_hpr`` route it through
-    ``wps_loss_sharded(occlusion_mask=...)`` instead, which keeps it out of
-    the HPR coverer set.
+    the single-chip engine path.
+
+    ``occlusion=True`` adds the single-chip static hard-HPR gate
+    (``wps_forward(occlusion_mask=...)``) to the step signature:
+    ``step_fn(params, opt_state, frozen, points, valid, occlusion_mask,
+    K)`` with the (N,) gate sharded like ``valid``. It rides
+    ``wps_loss_sharded(occlusion_mask=...)``, which multiplies scores but
+    stays out of the soft-HPR coverer set — folding the gate into
+    ``valid`` instead would change the coverer semantics (mirror of
+    pose_sharded's flag). A build flag (not a runtime None) so both
+    variants keep a fixed jit signature.
     """
     hpr_cap, hpr_safety = _resolve_hpr_knobs(problem, hpr_cap, hpr_safety)
     tx = make_optimizer(cfg, pose_key="xy", quat_key="yaw")
@@ -194,26 +200,38 @@ def make_sharded_wps_step(
     ps_2d = NamedSharding(mesh, P(axis, None))
     ps_wn = NamedSharding(mesh, P(None, axis))
 
-    def loss_fn(params, frozen, points, valid, K):
+    def loss_fn(params, frozen, points, valid, occ, K):
         return wps_loss_sharded(
             mesh, params, frozen, points, valid, K, problem, axis=axis,
-            hpr_cap=hpr_cap, hpr_safety=hpr_safety)
+            occlusion_mask=occ, hpr_cap=hpr_cap, hpr_safety=hpr_safety)
 
     def init_fn(params):
         return jax.device_put(tx.init(params), rep)
 
-    @partial(
-        jax.jit,
-        donate_argnums=(0, 1),
-        in_shardings=(rep, rep, rep, ps_2d, ps_1d, rep),
-        out_shardings=(rep, rep, rep, ps_wn),
-    )
-    def step_fn(params, opt_state, frozen, points, valid, K):
+    def _step(params, opt_state, frozen, points, valid, occ, K):
         (_, aux), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, frozen, points, valid, K)
+            loss_fn, has_aux=True)(params, frozen, points, valid, occ, K)
         losses, obs = aux["losses"], aux["observations"]
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses, obs
+
+    if occlusion:
+        step_fn = partial(
+            jax.jit,
+            donate_argnums=(0, 1),
+            in_shardings=(rep, rep, rep, ps_2d, ps_1d, ps_1d, rep),
+            out_shardings=(rep, rep, rep, ps_wn),
+        )(_step)
+    else:
+        @partial(
+            jax.jit,
+            donate_argnums=(0, 1),
+            in_shardings=(rep, rep, rep, ps_2d, ps_1d, rep),
+            out_shardings=(rep, rep, rep, ps_wn),
+        )
+        def step_fn(params, opt_state, frozen, points, valid, K):
+            occ = jnp.ones((points.shape[0],), jnp.float32)
+            return _step(params, opt_state, frozen, points, valid, occ, K)
 
     return init_fn, step_fn
