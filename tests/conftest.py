@@ -41,6 +41,7 @@ SLOW_MODULES = {
     "test_hpr_sharded",     # sharded binned-HPR programs
     "test_traj_sharded",
     "test_traj_frozen",
+    "test_traj_frozen_sharded",
     "test_sharded_pallas",
     "test_sharding",
     "test_wps_eval",

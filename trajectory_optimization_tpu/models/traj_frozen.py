@@ -261,6 +261,8 @@ def build_traj_plan(
     cfg: FrozenPlanConfig = FrozenPlanConfig(),
     min_tiles: int = 1,
     min_t_big: int = 1,
+    owner: Optional[Tuple[int, int]] = None,
+    wp_active: Optional[np.ndarray] = None,
 ) -> Tuple[Dict[str, np.ndarray], PlanMeta]:
     """Build the frozen routing plan for the selected waypoints (host-side).
 
@@ -269,18 +271,39 @@ def build_traj_plan(
     compiled program) instead of recompiling whenever the active set
     breathes across a tile_round boundary.
 
+    ``owner=(lo, hi)`` builds a POINT-SHARD slice of the plan (the
+    multi-chip composition, parallel.traj_frozen_sharded): only points
+    with lo <= id < hi become queries, and the embedding maps plan rows
+    into the LOCAL id range [0, hi-lo) — while coverers still come from
+    the full cloud (occluders don't respect shard boundaries; duplicating
+    them across shards is correct because each query's dominance max uses
+    every coverer exactly once, on its owner's shard). The per-bin coverer
+    band then keys off the OWNED queries only — a subset of the
+    single-chip band that still contains every coverer relevant to an
+    owned query (same-bin dominance + the logsumexp tail bound), so the
+    union over shards reproduces the single-chip gate to tail tolerance.
+
+    ``wp_active`` (bool, per selected waypoint) marks dummy padding
+    waypoints False: they get all-padding layouts (zero queries, zero
+    gradient) instead of real routing — the sharded step pads W to the
+    mesh axis with weight-0 dummies.
+
     Returns (plan arrays, meta). Plan arrays (device-put by the caller):
       q_xyz   (W,G,M,3) world coords in layout order (_PAD_COORD padding)
-      c_xyz   (W,G,M,3) coverer coords per tile slot
-      q_bin/c_bin (W,G,M) int32 bin ids (-1 padding)
-      q_id/c_id   (W,G,M) int32 canonical point ids (-1 padding)
+      c_xyz_ext (W,G,TB,cap,3) coverer coords for non-self tiles
+      q_bin/c_bin_ext int16 bin ids (-1 padding)
       align_fwd/align_bwd (W,G,M) int32 grid→grid-0 permutation keys
-      embed_fwd/embed_bwd (W,M+N) int32 plan→cloud embedding keys
+      embed_fwd/embed_bwd (W,M+n_emb) int32 plan→cloud embedding keys
+      (n_emb = hi-lo under ``owner``, the full cloud size otherwise)
     """
     pts = np.asarray(points, np.float64)
     n = len(pts)
     v = (np.ones(n, bool) if valid is None
          else np.asarray(valid) > 0)
+    lo_own, hi_own = (0, n) if owner is None else owner
+    n_emb = hi_own - lo_own
+    owned = np.zeros(n, bool)
+    owned[lo_own:hi_own] = True
     min_tiles = int(min_tiles)
     K = np.asarray(K, np.float64)
     poses_sel = np.asarray(poses_sel, np.float64)
@@ -314,6 +337,11 @@ def build_traj_plan(
         q_rel = v & (score > cfg.score_rel_thresh * max(smax, 1e-300))
         if not q_rel.any():
             q_rel = v.copy()  # degenerate: keep everything (blind waypoint)
+        # owner restriction AFTER the global gate/fallback: the query SET
+        # partitions exactly across shards (union = the single-chip set)
+        q_rel &= owned
+        if wp_active is not None and not wp_active[w]:
+            q_rel = np.zeros(n, bool)  # dummy waypoint: empty layout
         scale = max(norms[v].max() if v.any() else 1.0, 1e-6)
         # a point only matters as a coverer when ITS OWN BIN holds a query
         # within the logsumexp tail's norm band (dominance is same-bin
@@ -349,8 +377,8 @@ def build_traj_plan(
     qmask = np.zeros((w_sel, G, M), bool)
     align_fwd = np.empty((w_sel, G, M), np.int64)
     align_bwd = np.empty((w_sel, G, M), np.int64)
-    embed_fwd = np.empty((w_sel, M + n), np.int64)
-    embed_bwd = np.empty((w_sel, M + n), np.int64)
+    embed_fwd = np.empty((w_sel, M + n_emb), np.int64)
+    embed_bwd = np.empty((w_sel, M + n_emb), np.int64)
     ar_m = np.arange(M)
     for w in range(w_sel):
         g_rows, g_coffs, g_bins, q_rel = per_wp[w]
@@ -392,26 +420,28 @@ def build_traj_plan(
             align_bwd[w, g] = inv
 
         # plan(grid-0) → cloud embedding keys (see _make_perm_apply):
-        # slots are [M plan rows, n extension]; sort by fwd key, take
-        # [:n]. Only QUERY rows land at their canonical position — coverer
-        # -only and padding rows sort past the end, so every non-query
-        # point reads exactly 0 (the gate semantics).
-        fwd = np.empty(M + n, np.int64)
-        fwd[ar_m[qmask0]] = g0[qmask0]
-        nonq_pts = np.ones(n, bool)
-        nonq_pts[g0[qmask0]] = False
-        ext = np.arange(M, M + n)
+        # slots are [M plan rows, n_emb extension]; sort by fwd key, take
+        # [:n_emb]. Only QUERY rows land at their canonical position —
+        # coverer-only and padding rows sort past the end, so every
+        # non-query point reads exactly 0 (the gate semantics). Canonical
+        # positions are LOCAL under ``owner`` (global id − lo).
+        loc0 = g0[qmask0] - lo_own  # owned query points' local ids
+        fwd = np.empty(M + n_emb, np.int64)
+        fwd[ar_m[qmask0]] = loc0
+        nonq_pts = np.ones(n_emb, bool)
+        nonq_pts[loc0] = False
+        ext = np.arange(M, M + n_emb)
         fwd[ext[nonq_pts]] = np.flatnonzero(nonq_pts)  # fillers (0-valued)
         rest = np.concatenate([ar_m[~qmask0], ext[~nonq_pts]])
-        fwd[rest] = np.arange(n, n + len(rest))
+        fwd[rest] = np.arange(n_emb, n_emb + len(rest))
         embed_fwd[w] = fwd
-        # backward: cotangent slots are [n canonical, M zero-extension];
+        # backward: cotangent slots are [n_emb canonical, M zero-extension];
         # sort by bwd key, take [:M] = plan-row-ordered cotangents
-        bwd = np.empty(M + n, np.int64)
-        bwd[g0[qmask0]] = ar_m[qmask0]
-        zslots = np.arange(n, n + M)
+        bwd = np.empty(M + n_emb, np.int64)
+        bwd[loc0] = ar_m[qmask0]
+        zslots = np.arange(n_emb, n_emb + M)
         bwd[zslots[: (~qmask0).sum()]] = ar_m[~qmask0]
-        rest_dst = np.arange(M, M + n)
+        rest_dst = np.arange(M, M + n_emb)
         rest_src = np.concatenate([np.flatnonzero(nonq_pts),
                                    zslots[(~qmask0).sum():]])
         bwd[rest_src] = rest_dst
@@ -428,7 +458,7 @@ def build_traj_plan(
     # the step program every boundary (measured: a recompile storm)
     TB = max(-(-int((~self_tile).sum(axis=2).max()) // 4) * 4, 4,
              int(min_t_big))
-    meta = PlanMeta(n_sel=w_sel, n_points=n, cap=cap, n_grids=G, tiles=T,
+    meta = PlanMeta(n_sel=w_sel, n_points=n_emb, cap=cap, n_grids=G, tiles=T,
                     t_big=TB)
     c_sel = np.full((w_sel, G, T), -1, np.int64)
     c_id_ext = np.full((w_sel, G, TB, cap), -1, np.int64)
@@ -541,6 +571,8 @@ def frozen_soft_hpr_scores(
     K: jnp.ndarray,
     problem: TrajProblem,
     valid: Optional[jnp.ndarray] = None,
+    *,
+    norm_allreduce=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(W, N) occlusion-gated visibility scores hpr·p under the frozen plan.
 
@@ -548,6 +580,12 @@ def frozen_soft_hpr_scores(
     plan's active set get exactly 0 (their score is below the gate
     threshold, see FrozenPlanConfig). Differentiable in (quats_sel,
     poses_sel); reverse-mode only (the stored-permutation custom VJPs).
+
+    ``norm_allreduce`` (multi-chip composition): maps the per-waypoint max
+    point norm (W,) computed over the LOCAL ``points`` to the global
+    maximum — under shard_map, an all_gather+max over the point axis —
+    so the flip radius and sharpness scale match the single-chip values
+    exactly. None (default) = ``points`` is the whole cloud already.
     """
     W, cap, T, M = meta.n_sel, meta.cap, meta.tiles, meta.rows
     n = meta.n_points
@@ -565,6 +603,8 @@ def frozen_soft_hpr_scores(
     if valid is not None:
         n2 = jnp.where(valid[None, :] > 0, n2, 0.0)
     maxnorm = jnp.sqrt(jnp.max(n2, axis=-1))  # (W,)
+    if norm_allreduce is not None:
+        maxnorm = norm_allreduce(maxnorm)
     radius = jnp.maximum(maxnorm, 1e-12) * 10.0 ** r_param
     scale = jax.lax.stop_gradient(jnp.maximum(maxnorm, 1e-6))
     beta = sharpness / scale  # (W,)
@@ -693,7 +733,8 @@ class FrozenTrajOptimizer:
         self.quats0 = jnp.asarray(quats0, jnp.float32)
         self.problem = problem
         self.plan_cfg = plan_cfg
-        self.tx = make_optimizer(opt_cfg or OptimizerConfig())
+        self.opt_cfg = opt_cfg or OptimizerConfig()
+        self.tx = make_optimizer(self.opt_cfg)
         self._step_cache: Dict[PlanMeta, callable] = {}
         self._steps_since_refresh = 0
         self._plan = None
@@ -733,19 +774,23 @@ class FrozenTrajOptimizer:
         # with device steps — the tunnel's upload bandwidth swings
         # 47-400 MB/s, so this hides the weather-exposed part).
         if any(isinstance(v, np.ndarray) for v in plan.values()):
-            plan = jax.device_put(
-                {k: v for k, v in plan.items() if not k.startswith("_")})
+            plan = self._put_plan(plan)
         self._plan = plan
         self._meta = meta
         self._steps_since_refresh = 0
         self.stats["refreshes"] += 1
         self.stats["swap_s"] += time.perf_counter() - t0
 
+    def _put_plan(self, plan_np):
+        """Host plan dict -> device arrays (underscored diagnostics stay on
+        host). Subclasses with sharded steps override this to device_put
+        with the plan's NamedSharding."""
+        return jax.device_put(
+            {k: v for k, v in plan_np.items() if not k.startswith("_")})
+
     def _build_put(self, host):
         plan_np, meta = self._build(host)
-        dev = jax.device_put(
-            {k: v for k, v in plan_np.items() if not k.startswith("_")})
-        return dev, meta
+        return self._put_plan(plan_np), meta
 
     def _kick_async(self, params):
         import concurrent.futures
