@@ -179,6 +179,8 @@ def launch_trajectory_optimization(
     data_dir: str = "data/points",
     overrides: Optional[TrajOptNodeConfig] = None,
     processes: bool = False,
+    viewer: bool = False,
+    viewer_port: Optional[int] = 8123,
 ) -> Launch:
     """`launch/trajectory_optimization.launch`: trajectory optimizer wired to
     cloud + path topics (subt-sim values: opt_steps 30, smooth_weight 28,
@@ -187,24 +189,41 @@ def launch_trajectory_optimization(
     ``processes=True`` runs the optimizer as its own OS process bridged over
     a unix socket (the reference's node-per-process runtime shape); the
     returned handle's ``bus`` stays in the caller's process — publish inputs
-    and subscribe outputs there as usual, and ``close()`` when done."""
+    and subscribe outputs there as usual, and ``close()`` when done.
+
+    ``viewer=True`` adds the live HTTP scene viewer (bus.viewer.ViewerNode,
+    the reference's rviz-in-the-launch-file role) subscribed to the same
+    topics; the URL is printed and available as
+    ``launch.nodes['viewer'].url``."""
     enable_compilation_cache()
     bus = Bus()
     cfg = overrides or default_trajopt_config()
+    nodes = {}
+    if viewer:
+        from trajectory_optimization_tpu.bus.viewer import ViewerNode
+        from trajectory_optimization_tpu.utils.config import ViewerConfig
+
+        nodes["viewer"] = ViewerNode(bus, ViewerConfig(
+            pc_topic=cfg.pc_topic, path_topic=cfg.path_topic,
+            port=viewer_port, title="trajectory optimization"))
+        if nodes["viewer"].url:
+            print(f"[launch] viewer at {nodes['viewer'].url}")
     if processes:
         from trajectory_optimization_tpu.bus.remote import BusBroker, NodeProcess
 
         broker = BusBroker().start()
         node = NodeProcess("TrajOptNode", cfg, broker.address)
         bridge = _attach_process_graph(bus, broker, [node], 2)
-        return Launch(bus, {"traj_opt": node}, [], broker=broker, bridge=bridge)
+        return Launch(bus, {"traj_opt": node, **nodes}, [], broker=broker,
+                      bridge=bridge)
     node = TrajOptNode(bus, cfg)
-    return Launch(bus, {"traj_opt": node}, [])
+    return Launch(bus, {"traj_opt": node, **nodes}, [])
 
 
 def launch_pose_optimization(
     *, data_dir: str = "data/points", processes: bool = False,
     overrides: Optional[PoseOptNodeConfig] = None,
+    viewer: bool = False, viewer_port: Optional[int] = 8123,
 ) -> Launch:
     """`launch/pose_optimization.launch`: cloud feeder + pose feeder + voxel
     filter + pose optimizer (opt_steps 200, lr 0.02/0.02,
@@ -221,6 +240,16 @@ def launch_pose_optimization(
     enable_compilation_cache()
     bus = Bus()
     opt_cfg = overrides or default_poseopt_config()
+    extra_nodes = {}
+    if viewer:
+        from trajectory_optimization_tpu.bus.viewer import ViewerNode
+        from trajectory_optimization_tpu.utils.config import ViewerConfig
+
+        extra_nodes["viewer"] = ViewerNode(bus, ViewerConfig(
+            pc_topic=opt_cfg.pc_topic, path_topic="/path",
+            port=viewer_port, title="pose optimization"))
+        if extra_nodes["viewer"].url:
+            print(f"[launch] viewer at {extra_nodes['viewer'].url}")
     # feeders/filter follow the optimizer's topic overrides so a CLI
     # `pc_topic=...` rewires the whole chain, not just the subscription
     feeder_c = CloudFeederNode(bus, CloudFeederConfig(
@@ -237,13 +266,14 @@ def launch_pose_optimization(
         filt = NodeProcess("VoxelFilterNode", filt_cfg, broker.address)
         node = NodeProcess("PoseOptNode", opt_cfg, broker.address)
         bridge = _attach_process_graph(bus, broker, [filt, node], 3)
-        return Launch(bus, {"pose_opt": node, "voxel_filter": filt},
+        return Launch(bus, {"pose_opt": node, "voxel_filter": filt,
+                            **extra_nodes},
                       [feeder_c, feeder_p], broker=broker, bridge=bridge)
     filt = VoxelFilterNode(bus, filt_cfg)
     node = PoseOptNode(bus, opt_cfg)
     return Launch(
         bus,
-        {"pose_opt": node, "voxel_filter": filt},
+        {"pose_opt": node, "voxel_filter": filt, **extra_nodes},
         [feeder_c, feeder_p],
     )
 

@@ -113,6 +113,22 @@ class VoxelFilterConfig:
     z_limits: Optional[Tuple[float, float]] = None
 
 
+@dataclasses.dataclass
+class ViewerConfig:
+    """Live HTTP scene viewer (bus.viewer.ViewerNode) — the rviz role
+    (`launch/pointcloud_processor.launch:20`, `config/*.rviz`) on a
+    headless host. Subscribes to ``pc_topic``(+"/rewards") and
+    ``path_topic``(+"/optimized"); ``port=0`` binds an ephemeral port
+    (tests), ``port=None`` disables the server (render_png() only)."""
+
+    pc_topic: str = "/pts"
+    path_topic: str = "/path"
+    host: str = "127.0.0.1"
+    port: Optional[int] = 8123
+    max_points: int = 20000
+    title: str = "trajectory_optimization viewer"
+
+
 def _coerce(value: str, target_type) -> Any:
     import typing
 
