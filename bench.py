@@ -46,7 +46,10 @@ _METRIC_PATTERNS = [
     ("occl_pose_ms",
      r"occlusion-aware pose step [^:]*: ([\d.]+) ms/step", False),
     ("occl_traj_ms",
-     r"occlusion-aware trajectory step [^:]*: ([\d.]+) ms/step", False),
+     r"occlusion-aware trajectory step \(binned[^:]*: ([\d.]+) ms/step",
+     False),
+    ("occl_traj_1m_ms",
+     r"NORTH-STAR scale [^:]*: ([\d.]+) ms/step pure", False),
     ("pose_serving_steps_s",
      r"pose model serving-mode [^:]*: ([\d.]+) steps/s", True),
     ("pose_scan_steps_s",
@@ -602,6 +605,66 @@ def bench_soft_hpr_traj_step(pts_np, poses_np, n_steps=12):
     return best, -(-len(poses_np) // stride)
 
 
+def bench_frozen_traj_1m(n_steps=8):
+    """Occlusion-aware TRAJECTORY optimization at the NORTH-STAR cloud
+    scale: 2^20 points x 13 selected waypoints, soft-HPR per waypoint
+    inside the loss, through the frozen-routing engine. The reference
+    cannot do this at any speed or scale (its HPR is host-side Qhull,
+    non-differentiable — `src/tools.py:56-85`; its trajectory model has no
+    occlusion at all). Reports (pure_step_ms, n_selected, build_s): pure
+    device step time between refreshes, and the host plan-build cost one
+    refresh pays (built on the async builder thread in production; the
+    gate keeps ~9% of the uniform cloud per waypoint so the dominance work
+    stays bounded)."""
+    from trajectory_optimization_tpu.models.traj import (
+        TrajProblem,
+        init_traj_params,
+    )
+    from trajectory_optimization_tpu.models.traj_frozen import (
+        FrozenPlanConfig,
+        FrozenTrajOptimizer,
+    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+    from trajectory_optimization_tpu.utils.data import identity_quaternions
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-20, 20, size=(1_048_576, 3)).astype(np.float32)
+    t = np.linspace(0, 1, 50, dtype=np.float32)
+    path = np.stack([30 * t, 10 * np.sin(4 * t), np.zeros_like(t)], axis=1)
+    intr = default_intrinsics()
+    problem = TrajProblem(
+        img_width=intr.width, img_height=intr.height,
+        wps_step=4, soft_hpr=True, soft_hpr_dense_max=0)
+    quats = identity_quaternions(50)
+    K = np.asarray(intr.matrix())
+    opt = FrozenTrajOptimizer(
+        pts, K, path, quats, problem,
+        OptimizerConfig(lr_pose=0.1, lr_quat=0.02),
+        # one refresh for the whole window: this line measures the pure
+        # device step; the builder cost is reported separately (hidden on
+        # the async thread in production at a matching cadence)
+        FrozenPlanConfig(refresh_every=10_000, async_refresh=False,
+                         prewarm=False))
+    params = init_traj_params(path, quats)
+    st = opt.init(params)
+    for _ in range(2):  # refresh+compile, then layout-commit warm
+        params, st, _, _ = opt.step(params, st)
+    np.asarray(params["poses"])
+    best = 1e9
+    for _ in range(3):
+        rtt = _fetch_rtt()
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            params, st, _, _ = opt.step(params, st)
+        np.asarray(params["poses"])
+        best = min(best, (time.perf_counter() - t0 - rtt) / n_steps * 1e3)
+    n_sel = -(-50 // problem.wps_step)
+    build_s = opt.stats["build_s"] / max(opt.stats["refreshes"], 1)
+    opt.close()
+    return best, n_sel, build_s
+
+
 def bench_node_throughput(pts_np, poses_np, n_msgs=20, pipeline_depth=1):
     """Messages/s through the full TrajOptNode path: time-sync pairing,
     padding/bucketing, a 30-step on-device optimization, output publishing.
@@ -773,6 +836,18 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] soft-HPR traj step failed: {e}", file=sys.stderr)
+
+    try:
+        ms_1m, n_sel_1m, build_1m = bench_frozen_traj_1m()
+        print(
+            f"[bench] occlusion-aware trajectory step at NORTH-STAR scale "
+            f"(1,048,576 pts x {n_sel_1m} wps, frozen-routing engine): "
+            f"{ms_1m:.0f} ms/step pure; host plan rebuild {build_1m:.1f} s "
+            f"per refresh (async builder thread in production)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] 1M occl-traj step failed: {e}", file=sys.stderr)
 
     rate_pose = bench_pose(pts)
     print(

@@ -125,8 +125,12 @@ def main():
 
     print("## binned kernel at the operating point, full cloud-10 "
           "viewpoints\n")
-    print("| viewpoint | cap | safety | precision | recall | agreement |")
-    print("|---|---|---|---|---|---|")
+    print("(strat = the tiered distance-rank coverer sampling in over-full "
+          "bins, the production default; 'P unstrat' = the closest-cap "
+          "prefix it replaced)\n")
+    print("| viewpoint | cap | safety | precision | recall | agreement "
+          "| P unstrat |")
+    print("|---|---|---|---|---|---|---|")
     for wp in (0, 9, 18, 26):
         cam = (pts_full - path[wp]).astype(np.float32)
         truth = hpr_mask_exact(cam)
@@ -135,12 +139,17 @@ def main():
             vis = np.asarray(hpr_mask_soft_binned(
                 jnp.asarray(cam), sharpness=float(s_b), tau=float(t_b),
                 cap=cap, safety=safety))
+            vis_u = np.asarray(hpr_mask_soft_binned(
+                jnp.asarray(cam), sharpness=float(s_b), tau=float(t_b),
+                cap=cap, safety=safety, stratified_coverers=False))
             tp, fp, fn = prf(vis > 0.5, truth)
+            tpu_, fpu, _ = prf(vis_u > 0.5, truth)
             p = tp / max(tp + fp, 1)
             r = tp / max(tp + fn, 1)
             agree = ((vis > 0.5) == truth).mean()
+            pu = tpu_ / max(tpu_ + fpu, 1)
             print(f"| cloud10-wp{wp} | {cap} | {safety:g} | {p:.3f} "
-                  f"| {r:.3f} | {agree:.3f} |", flush=True)
+                  f"| {r:.3f} | {agree:.3f} | {pu:.3f} |", flush=True)
 
 
 if __name__ == "__main__":

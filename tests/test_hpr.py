@@ -398,13 +398,15 @@ def test_soft_hpr_gradient_finite_at_sensor_origin():
 
 def test_soft_binned_operating_point_vs_exact(cloud10, path10):
     """CI pin of the production binned soft-HPR tier at its default
-    operating point (sharpness=400, tau=0.02 — chosen from the full
-    precision/recall sweep, PARITY.md 'soft-HPR operating curve') against
-    exact Qhull on a real cloud-10 viewpoint. Thresholds sit under the
-    measured 40k-cloud values (P 0.80 / R 0.96 / agreement 0.94 at wp9)
-    with margin for the 16k subsample; a regression in the relaxation or
-    the binning fails loudly here instead of silently degrading every
-    soft_hpr loss."""
+    operating point (sharpness=400, tau=0.02, stratified coverers — see
+    PARITY.md 'soft-HPR operating curve') against exact Qhull on a real
+    cloud-10 viewpoint. Thresholds sit under the round-5 measured values
+    on this exact 16k subsample (P 0.909 / R 0.948 / agreement 0.958);
+    a regression in the relaxation, the binning, or the stratified
+    coverer layout fails loudly here instead of silently degrading every
+    soft_hpr loss. (Full-cloud production-tier values: P 0.804 / R 0.969
+    micro-averaged — within ~1 point of the pointwise criterion's own
+    precision ceiling, PARITY.md.)"""
     import jax.numpy as jnp
 
     from trajectory_optimization_tpu.ops.hpr import (
@@ -421,6 +423,6 @@ def test_soft_binned_operating_point_vs_exact(cloud10, path10):
     precision = tp / max(vis.sum(), 1)
     recall = tp / max(truth.sum(), 1)
     agree = (vis == truth).mean()
-    assert recall >= 0.94, (precision, recall, agree)
-    assert precision >= 0.70, (precision, recall, agree)
-    assert agree >= 0.86, (precision, recall, agree)
+    assert recall >= 0.93, (precision, recall, agree)
+    assert precision >= 0.86, (precision, recall, agree)
+    assert agree >= 0.93, (precision, recall, agree)

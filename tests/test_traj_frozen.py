@@ -275,3 +275,114 @@ def test_frozen_gradient_finite_at_sensor_origin(scene):
         has_aux=True))(params)
     for k in ("poses", "quats"):
         assert np.isfinite(np.asarray(g[k])).all(), k
+
+
+def test_tile_ladder_and_prewarm():
+    """Geometric tile-ladder rounding (round-5 recompile-stall fix) and the
+    background pre-warm: after the first refresh the runner compiles the
+    three neighbor rungs (T↑, TB↑, both↑) on a daemon thread, so active-set
+    growth onto the next rung finds a warm program instead of a 15-25 s
+    blocking compile."""
+    import dataclasses
+    import time as _t
+
+    from trajectory_optimization_tpu.models.traj_frozen import (
+        _ladder_ceil,
+        _ladder_next,
+    )
+    from trajectory_optimization_tpu.opt.engine import OptimizerConfig
+    from trajectory_optimization_tpu.utils.intrinsics import (
+        default_intrinsics,
+    )
+
+    # ladder math: multiples of base, strictly increasing, ≥ ratio apart
+    assert _ladder_ceil(1, 8, 1.15) == 8
+    assert _ladder_ceil(16, 8, 1.15) == 16
+    assert _ladder_ceil(17, 8, 1.15) == 24
+    assert _ladder_ceil(100, 8, 1.0) == 104  # ratio 1 = plain ceil-to-base
+    v = 8
+    for _ in range(12):
+        nv = _ladder_next(v, 8, 1.15)
+        assert nv > v and nv % 8 == 0 and nv <= max(v + 8, int(v * 1.3))
+        v = nv
+
+    # prewarm on a tiny scene (fast compiles)
+    rng = np.random.default_rng(2)
+    pts = (rng.normal(size=(512, 3)) * [4, 4, 1] + [4, 0, 1]).astype(
+        np.float32)
+    poses0 = np.asarray([[0.0, 0.0, 0.5], [1.0, 0.4, 0.5]], np.float32)
+    quats0 = identity_quaternions(2)
+    intr = default_intrinsics()
+    problem = TrajProblem(
+        img_width=intr.width, img_height=intr.height, wps_step=1,
+        soft_hpr=True, soft_hpr_dense_max=0, hpr_cap=64)
+    opt = FrozenTrajOptimizer(
+        pts, intr.matrix(), poses0, quats0, problem,
+        OptimizerConfig(lr_pose=0.1, lr_quat=0.02),
+        FrozenPlanConfig(refresh_every=4, async_refresh=False, prewarm=True))
+    params = init_traj_params(poses0, quats0)
+    st = opt.init(params)
+    params, st, _, _ = opt.step(params, st)
+    meta = opt._meta
+    deadline = _t.time() + 180
+    while _t.time() < deadline and opt._warming:
+        _t.sleep(0.2)
+    assert not opt._warming
+    r = opt.plan_cfg.tile_ladder_ratio
+    nt = _ladder_next(meta.tiles, opt.plan_cfg.tile_round, r)
+    ntb = _ladder_next(meta.t_big, 4, r)
+    for m in (dataclasses.replace(meta, tiles=nt, t_big=ntb),
+              dataclasses.replace(meta, tiles=nt),
+              dataclasses.replace(meta, t_big=ntb)):
+        assert m in opt._step_cache, m
+    assert opt.stats["prewarms"] == 3
+    # a forced jump onto the warmed rung runs without tracing anew
+    opt._t_floor = nt
+    opt._tb_floor = ntb
+    opt.reset()
+    p2, st2, loss, _ = opt.step(params, st)
+    assert opt._meta.tiles == nt and opt._meta.t_big == ntb
+    assert np.isfinite(float(loss))
+    opt.close()
+
+
+def test_frozen_big_bin_stratified_parity():
+    """Over-full bins (count ≫ cap): the frozen plan's stratified ext
+    coverers must track the per-step kernel's stratified layout. Per-point
+    visibilities near the log-odds clip amplify tail differences (CLAUDE.md
+    numerics note), so the pin is loss-level plus bulk gradients."""
+    from trajectory_optimization_tpu.utils.intrinsics import (
+        default_intrinsics,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 6144
+    pts = (rng.normal(size=(n, 3)) * [2, 2, 0.5] + [6, 0, 1]).astype(
+        np.float32)
+    t = np.linspace(0, 1, 3, dtype=np.float32)
+    poses0 = np.stack([t * 2, t * 1.0, 0.5 + 0 * t], axis=1)
+    quats0 = identity_quaternions(3)
+    intr = default_intrinsics()
+    problem = TrajProblem(
+        img_width=intr.width, img_height=intr.height, wps_step=1,
+        soft_hpr=True, soft_hpr_dense_max=0, hpr_cap=64)
+    K = intr.matrix()
+    params = init_traj_params(poses0, quats0)
+    P, p0, q0 = jnp.asarray(pts), jnp.asarray(poses0), jnp.asarray(quats0)
+
+    plan_np, meta = build_traj_plan(pts, None, poses0, quats0, K, problem)
+    assert (plan_np["c_sel"] >= 0).sum() > 100  # really exercises ext tiles
+    plan = {k: jnp.asarray(v) for k, v in plan_np.items()
+            if not k.startswith("_")}
+    (l_ref, _), g_ref = jax.jit(jax.value_and_grad(
+        lambda p: traj_forward(p, P, K, p0, q0, problem),
+        has_aux=True))(params)
+    (l_fr, _), g_fr = jax.jit(jax.value_and_grad(
+        lambda p: traj_forward_frozen(p, plan, meta, P, K, p0, q0, problem),
+        has_aux=True))(params)
+    assert abs(float(l_fr) - float(l_ref)) / abs(float(l_ref)) < 1e-4
+    a, b = np.asarray(g_ref["poses"]), np.asarray(g_fr["poses"])
+    assert np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30) < 0.02
+    # quats gradients are small in norm here; the relnorm is tail-dominated
+    a, b = np.asarray(g_ref["quats"]), np.asarray(g_fr["quats"])
+    assert np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30) < 0.15

@@ -93,8 +93,9 @@ def _np_scores(cam: np.ndarray, K: np.ndarray, problem) -> np.ndarray:
     """(N, 3) camera-frame points -> (N,) dist·fov score (ops.scores mirror).
 
     The plan only THRESHOLDS these (gate decisions are the plan's own
-    choice, like the stop-gradiented bin routing), so float64 numpy vs the
-    kernel's f32 is immaterial.
+    choice, like the stop-gradiented bin routing), so numpy dtype vs the
+    kernel's f32 is immaterial — the builder runs f32 (matches the device
+    kernel's own routing dtype and halves host build time at 1M points).
     """
     c0 = (problem.min_dist + problem.max_dist) / 2.0
     inv_var = 1.0 / ((problem.max_dist - problem.min_dist) / 2.0) ** 2
@@ -146,6 +147,17 @@ class FrozenPlanConfig:
       refreshes (added to the coverer norm band; angular drift is absorbed
       by the binning ``safety`` factor).
     tile_round: tiles-per-grid bucket granularity (jit cache friendliness).
+    tile_ladder_ratio: tile counts round UP onto a geometric ladder
+      (base=tile_round, each rung ≥ ratio x the previous) instead of just
+      the next tile_round multiple. Active-set growth then crosses a
+      handful of predictable rungs — each a one-off compile the runner
+      pre-warms in the background (``prewarm``) — instead of recompiling
+      at every +tile_round breath. Costs ≤ (ratio−1) padded-tile compute
+      at steady state. 1.0 = plain rounding (no ladder).
+    prewarm: compile the NEXT ladder rung's step program on a background
+      thread whenever a new PlanMeta activates, so active-set growth never
+      blocks a serving step on a 15-25 s XLA compile (it also seeds the
+      persistent compile cache for future sessions).
     """
 
     refresh_every: int = 8
@@ -153,6 +165,8 @@ class FrozenPlanConfig:
     tail: float = 12.0
     drift_slack: float = 0.5
     tile_round: int = 8
+    tile_ladder_ratio: float = 1.15
+    prewarm: bool = True
     # Build the next plan on a host thread WHILE device steps run on the
     # current one, swapping at the next refresh boundary (deterministic:
     # the plan applied at boundary b was built from the params at boundary
@@ -182,20 +196,58 @@ class PlanMeta:
         return self.tiles * self.cap
 
 
+def _ladder_ceil(n: int, base: int, ratio: float) -> int:
+    """Smallest rung ≥ n of the geometric ladder {base, ~base·ratio^k}
+    (each rung a multiple of ``base``, strictly increasing). ratio ≤ 1
+    degrades to plain ceil-to-base."""
+    if ratio <= 1.0:
+        return max(-(-int(n) // base) * base, base)
+    v = base
+    while v < n:
+        v = max(-(-int(v * ratio) // base) * base, v + base)
+    return v
+
+
+def _ladder_next(v: int, base: int, ratio: float) -> int:
+    """The rung after ``v`` (assumes ``v`` is on the ladder)."""
+    if ratio <= 1.0:
+        return v + base
+    return max(-(-int(v * ratio) // base) * base, v + base)
+
+
+def _np_stratified_ranks(count: int, cap: int) -> np.ndarray:
+    """Numpy mirror of ops.hpr._stratified_priority's selection: the first
+    ``cap`` in-bin distance ranks in tiered-priority order (all of the
+    closest cap/4, then every 2^(k+1)-th of tier k; unselected ranks fill
+    any remaining budget in distance order)."""
+    base = max(cap // 4, 1)
+    r = np.arange(count, dtype=np.int64)
+    rb = np.maximum(r // base, 1)
+    k = np.floor(np.log2(rb)).astype(np.int64)
+    sel = (r < base) | ((r < 16 * base)
+                        & ((r & ((1 << (k + 1)) - 1)) == 0))
+    order = np.concatenate([r[sel], r[~sel]])
+    return order[: min(cap, count)]
+
+
 def _layout_grid(ids_sorted: np.ndarray, bins_sorted: np.ndarray, cap: int):
     """Pack one grid's (bin, distance)-sorted active points into cap-aligned
-    tiles. Returns (row_ids, tile_coffs): row_ids has -1 padding; tile t's
-    queries are rows [t·cap, (t+1)·cap) and its coverers rows
-    [coff_t, coff_t + cap).
+    tiles. Returns (row_ids, tile_coffs, tile_bigcnt): row_ids has -1
+    padding; tile t's queries are rows [t·cap, (t+1)·cap); tile_bigcnt[t]
+    is the tile's bin member count when the tile is a big-bin chunk
+    (0 otherwise) — the assembly uses it to pick stratified coverers for
+    the deep chunks.
 
     Small bins (≤ cap) are packed first-fit-decreasing, several to a tile
     (coff = own tile ⇒ coverers = the whole tile, restricted to same-bin
     pairs by the bin-id test — exactly the bin's full member set; row order
     inside a tile is irrelevant to the math). A bin larger than cap gets a
-    dedicated tile-aligned span: queries chunked per tile, coverers always
-    the span's FIRST cap rows = the bin's cap closest members (the sort is
-    by distance within bin) — the same truncation hpr_mask_soft_binned
-    applies.
+    dedicated tile-aligned span: queries chunked per tile; chunk 0's
+    coverers are the span's FIRST cap rows (exact — every possible
+    dominator of a rank<cap query is nearer, i.e. inside the prefix);
+    deeper chunks get the tiered distance-rank sample
+    (:func:`_np_stratified_ranks`) — the same rules as
+    hpr_mask_soft_binned's stratified coverer layout.
     """
     if len(bins_sorted):
         cut = np.flatnonzero(np.diff(bins_sorted)) + 1
@@ -224,9 +276,11 @@ def _layout_grid(ids_sorted: np.ndarray, bins_sorted: np.ndarray, cap: int):
 
     rows: list[np.ndarray] = []
     coffs: list[int] = []
+    bigcnt: list[int] = []
     n_rows = 0
     for t, groups in enumerate(tiles):
         coffs.append(n_rows)
+        bigcnt.append(0)
         used = 0
         for g in groups:
             rows.append(ids_sorted[starts[g]:ends[g]])
@@ -244,11 +298,14 @@ def _layout_grid(ids_sorted: np.ndarray, bins_sorted: np.ndarray, cap: int):
             rows.append(np.full(pad, -1, np.int64))
         n_rows += nt * cap
         coffs.extend(span for _ in range(nt))
+        bigcnt.extend(c for _ in range(nt))
     if not coffs:  # empty grid: one all-padding tile
         coffs.append(0)
+        bigcnt.append(0)
         rows.append(np.full(cap, -1, np.int64))
         n_rows += cap
-    return np.concatenate(rows), np.asarray(coffs, np.int64)
+    return (np.concatenate(rows), np.asarray(coffs, np.int64),
+            np.asarray(bigcnt, np.int64))
 
 
 def build_traj_plan(
@@ -296,7 +353,11 @@ def build_traj_plan(
       embed_fwd/embed_bwd (W,M+n_emb) int32 plan→cloud embedding keys
       (n_emb = hi-lo under ``owner``, the full cloud size otherwise)
     """
-    pts = np.asarray(points, np.float64)
+    # f32 throughout the per-point host math: every output is either a
+    # threshold decision (gates, bins — the device kernel itself routes in
+    # f32) or re-derived exactly on device from live params; f64 here only
+    # doubled the build time (measured ~2x at 1M points)
+    pts = np.asarray(points, np.float32)
     n = len(pts)
     v = (np.ones(n, bool) if valid is None
          else np.asarray(valid) > 0)
@@ -325,12 +386,13 @@ def build_traj_plan(
             f"binned grids produced {n_bins_max} bins >= 2**15; widen the "
             "plan's bin-id dtype to int32 before raising r_param/safety "
             "this far")
-    Rs = _np_quat_matrices(quats_sel)
+    Rs = _np_quat_matrices(quats_sel).astype(np.float32)
+    poses32 = poses_sel.astype(np.float32)
 
     per_wp = []  # (g_rows (G,), g_coffs (G,), g_bins (G,), q_rel)
     max_tiles = 1
     for w in range(w_sel):
-        cam = (pts - poses_sel[w]) @ Rs[w]
+        cam = (pts - poses32[w]) @ Rs[w]
         norms = np.linalg.norm(cam, axis=1)
         score = np.where(v, _np_scores(cam, K, problem), 0.0)
         smax = score.max()
@@ -350,7 +412,7 @@ def build_traj_plan(
         u = cam / np.maximum(norms, 1e-12)[:, None]
         lat = np.arcsin(np.clip(u[:, 2], -1.0, 1.0))
         az = np.arctan2(u[:, 1], u[:, 0]) + np.pi
-        g_rows, g_coffs, g_bins = [], [], []
+        g_rows, g_coffs, g_bins, g_bigs = [], [], [], []
         for grid in grids:
             n_bins = grid[-1]
             bins = _np_grid_bins(grid, lat, az)
@@ -359,15 +421,17 @@ def build_traj_plan(
             keep = v & (norms <= qmax[bins] + slack)  # queries pass trivially
             active = np.flatnonzero(keep)
             order = np.lexsort((norms[active], bins[active]))
-            row_ids, coffs = _layout_grid(
+            row_ids, coffs, bigcnt = _layout_grid(
                 active[order], bins[active][order], cap)
             g_rows.append(row_ids)
             g_coffs.append(coffs)
+            g_bigs.append(bigcnt)
             g_bins.append(bins)
             max_tiles = max(max_tiles, len(coffs))
-        per_wp.append((g_rows, g_coffs, g_bins, q_rel))
+        per_wp.append((g_rows, g_coffs, g_bins, q_rel, g_bigs))
 
-    T = max(-(-max_tiles // cfg.tile_round) * cfg.tile_round, min_tiles)
+    T = max(_ladder_ceil(max_tiles, cfg.tile_round, cfg.tile_ladder_ratio),
+            min_tiles)
     M = T * cap
     # meta is finalized after the assembly loop (t_big needs the layouts)
 
@@ -381,7 +445,7 @@ def build_traj_plan(
     embed_bwd = np.empty((w_sel, M + n_emb), np.int64)
     ar_m = np.arange(M)
     for w in range(w_sel):
-        g_rows, g_coffs, g_bins, q_rel = per_wp[w]
+        g_rows, g_coffs, g_bins, q_rel, _ = per_wp[w]
         # grid-0 row of every query point (queries are in every grid)
         g0 = np.full(M, -1, np.int64)
         g0[: len(g_rows[0])] = g_rows[0]
@@ -456,36 +520,53 @@ def build_traj_plan(
     # round TB up and floor it at the runner's max-seen (like T): t_big is
     # part of PlanMeta, so letting it drift per refresh would recompile
     # the step program every boundary (measured: a recompile storm)
-    TB = max(-(-int((~self_tile).sum(axis=2).max()) // 4) * 4, 4,
-             int(min_t_big))
+    TB = max(_ladder_ceil(int((~self_tile).sum(axis=2).max()), 4,
+                          cfg.tile_ladder_ratio), 4, int(min_t_big))
     meta = PlanMeta(n_sel=w_sel, n_points=n_emb, cap=cap, n_grids=G, tiles=T,
                     t_big=TB)
+    strat = bool(_HPR_DEF.get("stratified_coverers", True))
     c_sel = np.full((w_sel, G, T), -1, np.int64)
+    c_sel_inv = np.full((w_sel, G, TB), -1, np.int64)  # slot -> its one tile
     c_id_ext = np.full((w_sel, G, TB, cap), -1, np.int64)
     c_bin_ext = np.full((w_sel, G, TB, cap), -1, np.int64)
+    c_row_ext = np.full((w_sel, G, TB, cap), -1, np.int64)  # layout rows
     for w in range(w_sel):
         g_bins = per_wp[w][2]
+        g_bigs = per_wp[w][4]
         for g in range(G):
             for k, t in enumerate(np.flatnonzero(~self_tile[w, g])):
                 c_sel[w, g, t] = k
+                c_sel_inv[w, g, k] = t
                 off = coff_arr[w, g, t]
-                rows = q_id[w, g][off:off + cap]
-                c_id_ext[w, g, k] = rows
+                cnt = int(g_bigs[g][t]) if t < len(g_bigs[g]) else 0
+                if strat and cnt > cap:
+                    # deep chunk of a big bin: tiered distance-rank sample
+                    # over the WHOLE bin (mirrors the per-step kernel's
+                    # stratified coverer layout — chunk 0 stays a self
+                    # tile = the exact closest-cap prefix)
+                    pos = off + _np_stratified_ranks(cnt, cap)
+                else:
+                    pos = off + np.arange(cap)
+                rows = q_id[w, g][pos]
+                c_id_ext[w, g, k, : len(rows)] = rows
+                c_row_ext[w, g, k, : len(rows)] = pos
                 okr = rows >= 0
-                c_bin_ext[w, g, k, okr] = g_bins[g][rows[okr]]
+                c_bin_ext[w, g, k, : len(rows)][okr] = g_bins[g][rows[okr]]
 
     pad3 = np.full(3, _PAD_COORD)
     pts_ext = np.concatenate([pts, pad3[None]], axis=0)  # id -1 -> padding
     # self-exclusion on device compares LAYOUT ROWS (each point appears
     # once per grid layout), so the id arrays never cross the link; bins
-    # ride int16 (n_bins ~10²). coff is the per-tile coverer offset.
+    # ride int16 (n_bins ~10²). c_row_ext carries the ext coverers'
+    # layout rows (stratified picks are non-contiguous).
     plan = {
         "q_xyz": pts_ext[q_id].astype(np.float32),
         "c_xyz_ext": pts_ext[c_id_ext].astype(np.float32),
         "q_bin": q_bin.astype(np.int16),
         "c_bin_ext": c_bin_ext.astype(np.int16),
         "c_sel": c_sel.astype(np.int32),
-        "coff": coff_arr.astype(np.int32),
+        "c_sel_inv": c_sel_inv.astype(np.int32),
+        "c_row_ext": c_row_ext.astype(np.int32),
         "qmask": qmask,
         "align_fwd": align_fwd.astype(np.int32),
         "align_bwd": align_bwd.astype(np.int32),
@@ -541,6 +622,51 @@ def perm_apply(fwd_key, bwd_key, x, fill, n_out: int):
     """Batched stored-permutation apply (see _make_perm_apply)."""
     return _make_perm_apply(x.shape[-1], n_out, float(fill))(
         fwd_key, bwd_key, x)
+
+
+@jax.custom_vjp
+def _select_ext(ext, self_vals, sel, inv):
+    """Per-tile coverer pick: ``where(sel < 0, self_vals, ext[sel])`` along
+    the tile axis, with a GATHER transpose.
+
+    ``ext`` is (W, G, TB, cap[, 3]) compact non-self coverer data; ``sel``
+    (W, G, T) maps tile → ext slot (−1 = self-covering tile, which reads
+    ``self_vals`` (W, G, T, cap[, 3]) instead). ``sel`` is INJECTIVE per
+    (w, g) — each ext slot feeds exactly one tile — so the autodiff
+    transpose (a scatter-add over (W·G·T·cap) rows, ~60 ns/row serialized
+    on TPU; measured 150+ ms of the 1M-scale frozen backward) collapses to
+    a tile-block gather by the host-stored inverse ``inv`` (W, G, TB),
+    tile index per slot, −1 = slot unused.
+    """
+    out, _ = _select_ext_fwd(ext, self_vals, sel, inv)
+    return out
+
+
+def _expand(idx, ndim):
+    """(W, G, X) int → (W, G, X, 1[, 1]) for take_along_axis on axis 2."""
+    return idx.reshape(idx.shape + (1,) * (ndim - idx.ndim))
+
+
+def _select_ext_fwd(ext, self_vals, sel, inv):
+    is_self = sel < 0
+    picked = jnp.take_along_axis(ext, _expand(jnp.maximum(sel, 0), ext.ndim),
+                                 axis=2)
+    out = jnp.where(_expand(is_self, ext.ndim), self_vals, picked)
+    return out, (sel, inv)
+
+
+def _select_ext_bwd(res, cot):
+    sel, inv = res
+    is_self = _expand(sel < 0, cot.ndim)
+    d_self = jnp.where(is_self, cot, 0.0)
+    cot_ext_src = jnp.where(is_self, 0.0, cot)
+    gathered = jnp.take_along_axis(
+        cot_ext_src, _expand(jnp.maximum(inv, 0), cot.ndim), axis=2)
+    d_ext = jnp.where(_expand(inv >= 0, cot.ndim), gathered, 0.0)
+    return d_ext, d_self, None, None
+
+
+_select_ext.defvjp(_select_ext_fwd, _select_ext_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -627,11 +753,10 @@ def frozen_soft_hpr_scores(
     G = meta.n_grids
     qv = qu.reshape(W, G, T, cap, 3)
     sel = plan["c_sel"]  # (W, G, T); -1 = self-covering tile
+    sel_inv = plan["c_sel_inv"]
     selc = jnp.maximum(sel, 0)
     is_self = sel < 0
-    cv = jnp.where(is_self[..., None, None],
-                   qv, jnp.take_along_axis(
-                       cu_ext, selc[..., None, None], axis=2))
+    cv = _select_ext(cu_ext, qv, sel, sel_inv)
     # (W, G, T, cap, cap) dominance tiles — elementwise producers that fuse
     # into the logsumexp (the dense-kernel discipline, ops.hpr)
     cos = (qv[..., :, None, 0] * cv[..., None, :, 0]
@@ -642,14 +767,17 @@ def frozen_soft_hpr_scores(
                    jnp.take_along_axis(plan["c_bin_ext"],
                                        selc[..., None], axis=2))
     # self-exclusion by LAYOUT ROW: each point appears exactly once per
-    # grid layout, so query row t·cap+i and coverer row coff_t+j are the
-    # same point iff they are the same row — no id arrays needed on device
+    # grid layout, so a query row and a coverer row are the same point iff
+    # they are the same row — no id arrays needed on device. Self tiles
+    # cover themselves (rows = own span); ext tiles carry their
+    # (stratified, non-contiguous) coverer rows in c_row_ext.
     q_row = (jnp.arange(T, dtype=jnp.int32)[:, None] * cap
              + jnp.arange(cap, dtype=jnp.int32)[None, :])  # (T, cap)
-    c_row = plan["coff"][..., None] + jnp.arange(cap, dtype=jnp.int32)
-    crho_t = jnp.where(is_self[..., None], q_rho.reshape(W, G, T, cap),
-                       jnp.take_along_axis(c_rho_ext, selc[..., None],
-                                           axis=2))
+    c_row = jnp.where(
+        is_self[..., None], q_row[None, None],
+        jnp.take_along_axis(plan["c_row_ext"], selc[..., None], axis=2))
+    crho_t = _select_ext(c_rho_ext, q_rho.reshape(W, G, T, cap), sel,
+                         sel_inv)
     pair_ok = ((qb[..., :, None] == cb[..., None, :])
                & (qb[..., :, None] >= 0)
                & (q_row[None, None, :, :, None] != c_row[..., None, :]))
@@ -744,7 +872,10 @@ class FrozenTrajOptimizer:
         self._ones = None  # cached all-ones valid mask (hot-loop reuse)
         self._t_floor = 1  # largest tile count seen: keeps ONE PlanMeta
         self._tb_floor = 1  # largest big-tile count seen (same reason)
-        self.stats = {"refreshes": 0, "swap_s": 0.0, "build_s": 0.0}
+        self._warming: set = set()  # metas with a background warm in flight
+        self._params_avals = None  # params shapes, for prewarm dummies
+        self.stats = {"refreshes": 0, "swap_s": 0.0, "build_s": 0.0,
+                      "prewarms": 0}
 
     def _selected(self, params_host):
         """(poses_sel, quats_sel) the plan is built for — numpy, host."""
@@ -780,6 +911,7 @@ class FrozenTrajOptimizer:
         self._steps_since_refresh = 0
         self.stats["refreshes"] += 1
         self.stats["swap_s"] += time.perf_counter() - t0
+        self._maybe_prewarm(meta)
 
     def _put_plan(self, plan_np):
         """Host plan dict -> device arrays (underscored diagnostics stay on
@@ -787,6 +919,78 @@ class FrozenTrajOptimizer:
         with the plan's NamedSharding."""
         return jax.device_put(
             {k: v for k, v in plan_np.items() if not k.startswith("_")})
+
+    # -- background pre-warm of the NEXT tile-ladder rungs ----------------
+    # Active-set growth moves T / TB up the geometric ladder
+    # (FrozenPlanConfig.tile_ladder_ratio); each new rung is a fresh jit
+    # signature = a 15-25 s XLA compile. Warming the three neighbor metas
+    # (T↑, TB↑, both↑) with zero-filled dummies on a daemon thread turns
+    # that serving stall into background work (and seeds the persistent
+    # compile cache for future sessions).
+
+    def _dummy_plan_arrays(self, meta: PlanMeta):
+        W, G, T, TB = meta.n_sel, meta.n_grids, meta.tiles, meta.t_big
+        cap, M, n = meta.cap, meta.rows, meta.n_points
+        z = jnp.zeros
+        return {
+            "q_xyz": z((W, G, M, 3), jnp.float32),
+            "c_xyz_ext": z((W, G, TB, cap, 3), jnp.float32),
+            "q_bin": z((W, G, M), jnp.int16),
+            "c_bin_ext": z((W, G, TB, cap), jnp.int16),
+            "c_sel": z((W, G, T), jnp.int32),
+            "c_sel_inv": z((W, G, TB), jnp.int32),
+            "c_row_ext": z((W, G, TB, cap), jnp.int32),
+            "qmask": z((W, G, M), bool),
+            "align_fwd": z((W, G, M), jnp.int32),
+            "align_bwd": z((W, G, M), jnp.int32),
+            "embed_fwd": z((W, M + n), jnp.int32),
+            "embed_bwd": z((W, M + n), jnp.int32),
+        }
+
+    def _dummy_args(self, meta: PlanMeta):
+        plan = self._put_plan(self._dummy_plan_arrays(meta))
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, a.dtype), self._params_avals)
+        st = self.tx.init(params)
+        if self.valid is None and self._ones is None:
+            self._ones = jnp.ones((self.points.shape[0],), jnp.float32)
+        valid = self._ones if self.valid is None else self.valid
+        return (params, st, plan, self.points, valid, self.K, self.poses0,
+                self.quats0)
+
+    def _warm_metas(self, metas):
+        try:
+            for m in metas:
+                step_fn = self._get_step(m)
+                out = step_fn(*self._dummy_args(m))
+                jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+                self.stats["prewarms"] += 1
+        except Exception:  # noqa: BLE001 — warm-up is best effort
+            pass
+        finally:
+            self._warming.difference_update(metas)
+
+    def _maybe_prewarm(self, meta: PlanMeta):
+        if not self.plan_cfg.prewarm or self._params_avals is None:
+            return
+        import dataclasses as _dc
+        import threading
+
+        r = self.plan_cfg.tile_ladder_ratio
+        nt = _ladder_next(meta.tiles, self.plan_cfg.tile_round, r)
+        ntb = _ladder_next(meta.t_big, 4, r)
+        cands = [
+            _dc.replace(meta, tiles=nt, t_big=ntb),
+            _dc.replace(meta, tiles=nt),
+            _dc.replace(meta, t_big=ntb),
+        ]
+        cands = [m for m in cands
+                 if m not in self._step_cache and m not in self._warming]
+        if not cands:
+            return
+        self._warming.update(cands)
+        threading.Thread(target=self._warm_metas, args=(cands,),
+                         daemon=True, name="frozenwarm").start()
 
     def _build_put(self, host):
         plan_np, meta = self._build(host)
@@ -890,6 +1094,10 @@ class FrozenTrajOptimizer:
         (params, opt_state, loss, scalar_aux). Assumes ``params``
         continues the trajectory of the previous step call — call
         :meth:`reset` first when jumping to unrelated params."""
+        if self._params_avals is None:
+            self._params_avals = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                               jnp.result_type(x)), params)
         if (self._plan is None
                 or self._steps_since_refresh >= self.plan_cfg.refresh_every):
             self._refresh(params)

@@ -371,6 +371,34 @@ def make_cosort(n_diff: int, n_aux: int, dimension: int = 0):
 _cosort = make_cosort(4, 0)
 
 
+def _stratified_priority(rank, base: int, n: int):
+    """Tiered distance-rank stratification of a bin's coverer candidates.
+
+    Keeps ALL of the closest ``base`` members, then every 2^(k+1)-th member
+    of tier k = ranks [base·2^k, base·2^(k+1)) — ≤ base/2 selections per
+    tier, so a fixed budget of ~base + T·base/2 coverers reaches depth
+    base·2^T in the bin's distance order instead of stopping at the budget.
+    Rationale (measured on cloud-10): in over-full bins the strongest
+    dominator of a truncation false-visible sits at rank 2-4× cap — never
+    inside the closest-cap prefix — while dense occluding surfaces provide
+    MANY dominators, so sampling every 2^k-th at depth keeps ≥1 of them.
+
+    Tiers stop at depth 16·base (4 tiers): beyond that the sampled members
+    are the bin's weakest-ρ tail AND a bounded depth is what lets the
+    multi-chip kernel (parallel.hpr_sharded) reproduce this selection
+    EXACTLY from a 4·cap-deep gathered candidate table.
+
+    Returns an int priority: selected members keep their rank (distance
+    order), unselected sort after everything selected (``n + rank``).
+    """
+    r = rank
+    rb = jnp.maximum(r // base, 1).astype(jnp.float32)
+    k = jnp.floor(jnp.log2(rb)).astype(jnp.int32)
+    stride_mask = (1 << (k + 1)) - 1  # stride is a power of two
+    selected = (r < base) | ((r < 16 * base) & ((r & stride_mask) == 0))
+    return jnp.where(selected, r, n + r)
+
+
 @jax.custom_vjp
 def _unpermute(key, perm, x):
     """Map sorted-order ``x`` back to canonical order (perm from
@@ -474,7 +502,8 @@ def _grid_bin_key(grid, lat, az, norms, scale, v):
     return key, frac_bits, n_bins
 
 
-@partial(jax.jit, static_argnames=("r_param", "sharpness", "tau", "cap", "safety"))
+@partial(jax.jit, static_argnames=("r_param", "sharpness", "tau", "cap",
+                                   "safety", "stratified_coverers"))
 def hpr_mask_soft_binned(
     points: jnp.ndarray,
     r_param: float = 2.0,
@@ -483,6 +512,7 @@ def hpr_mask_soft_binned(
     tau: float = 0.02,
     cap: int = 1024,
     safety: float = 3.0,
+    stratified_coverers: bool = True,
     valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Differentiable HPR at scale: direction-binned dominance, O(N·cap).
@@ -504,9 +534,15 @@ def hpr_mask_soft_binned(
       under-counts duplicated pairs by ≤ ln4/β — below f32 noise).
 
     Approximation vs the dense form: exact to sigmoid-tail precision except
-    in bins holding more than ``cap`` points, where only the ``cap``
-    closest members act as coverers (the dropped ones are the farthest —
-    the weakest ρ). Agreement is pinned in tests/test_hpr.py.
+    in bins holding more than ``cap`` points, where only ``cap`` members
+    act as coverers. With ``stratified_coverers`` (the default) those are
+    a tiered distance-rank sample — the closest cap/4 plus every 2^(k+1)-th
+    of each deeper tier (:func:`_stratified_priority`) — reaching ~16× cap
+    deep; with it off, the plain closest-``cap`` prefix (round-3 behavior:
+    on full cloud-10 that prefix missed the real occluders of points deep
+    in over-full bins — their strongest dominator sits at rank 2-4× cap —
+    leaking ~30% of the occluded mass to "visible"). Agreement vs exact
+    Qhull is pinned in tests/test_hpr.py.
 
     ``valid`` follows the package convention: padded points contribute
     nothing and report 0. Returns (N,) visibility in (0, 1).
@@ -554,6 +590,30 @@ def hpr_mask_soft_binned(
         edges = jnp.searchsorted(bin_s, jnp.arange(n_bins + 1, dtype=bin_s.dtype))
         counts = edges[1:] - edges[:-1]
         starts = edges[:-1]
+
+        # coverer layout: by default a SECOND (bin, stratified-priority)
+        # sort re-orders each bin so its first ``cap`` rows are the tiered
+        # distance-rank sample (see _stratified_priority) instead of the
+        # plain closest-cap prefix. Rank-in-bin comes from a searchsorted
+        # against the row's own bin (scatter/gather-free); the extra
+        # 4-operand sort costs ~1 sort of N — the same discipline as the
+        # layout sort. cov_pos carries each coverer row's LAYOUT-1 position
+        # for the self-pair exclusion.
+        strat = (stratified_coverers and cap < n
+                 and (2 * n) < (1 << frac_bits))
+        if strat:
+            iota = jnp.arange(n, dtype=jnp.int32)
+            rank = iota - jnp.searchsorted(
+                bin_s, bin_s, side="left").astype(jnp.int32)
+            prio = _stratified_priority(rank, max(cap // 4, 1), n)
+            key2 = jax.lax.stop_gradient(bin_s * (1 << frac_bits) + prio)
+            _, cov_u0, cov_u1, cov_u2, cov_rho, cov_pos = _cosort(
+                key2, u0_s, u1_s, u2_s, rho_s)
+            cov_u = jnp.stack([cov_u0, cov_u1, cov_u2], axis=1)
+            cov_bin = bin_s  # same per-bin segments, re-ordered within
+        else:
+            cov_u, cov_rho, cov_bin = u_s, rho_s, bin_s
+            cov_pos = jnp.arange(n, dtype=jnp.int32)
         tiles_per_bin = -(-counts // cap)  # ceil; 0 for empty bins
         tile_cum = jnp.concatenate(
             [jnp.zeros((1,), tiles_per_bin.dtype), jnp.cumsum(tiles_per_bin)])
@@ -570,13 +630,31 @@ def hpr_mask_soft_binned(
         @jax.checkpoint  # recompute the (cap, cap) tile in backward: saving
         # it per scan step held n_tiles·cap² residuals (18+ GB at 64k pts on
         # a 16 GB chip, measured OOM); remat keeps residuals O(cap)
-        def tile_smax(b, qoff, coff, u_s, rho_s, bin_s):
+        def tile_smax(b, qoff, coff, deep, u_s, rho_s, bin_s, cov_u, cov_rho,
+                      cov_bin, cov_pos):
             qu = jax.lax.dynamic_slice(u_s, (qoff, 0), (cap, 3))
-            cu = jax.lax.dynamic_slice(u_s, (coff, 0), (cap, 3))
-            crho = jax.lax.dynamic_slice(rho_s, (coff,), (cap,))
-            cbin = jax.lax.dynamic_slice(bin_s, (coff,), (cap,))
             qi = qoff + jnp.arange(cap)
-            ci = coff + jnp.arange(cap)
+            # chunk 0 of a bin ('deep'=False) keeps the EXACT closest-cap
+            # prefix — every preceding member of its queries is inside it.
+            # Deeper chunks read the stratified layout (the tiered sample
+            # reaches the ranks where their occluders actually sit).
+            cu = jnp.where(
+                deep,
+                jax.lax.dynamic_slice(cov_u, (coff, 0), (cap, 3)),
+                jax.lax.dynamic_slice(u_s, (coff, 0), (cap, 3)))
+            crho = jnp.where(
+                deep,
+                jax.lax.dynamic_slice(cov_rho, (coff,), (cap,)),
+                jax.lax.dynamic_slice(rho_s, (coff,), (cap,)))
+            cbin = jnp.where(
+                deep,
+                jax.lax.dynamic_slice(cov_bin, (coff,), (cap,)),
+                jax.lax.dynamic_slice(bin_s, (coff,), (cap,)))
+            # self-exclusion compares LAYOUT-1 positions (cov_pos maps
+            # stratified coverer rows back)
+            ci = jnp.where(deep,
+                           jax.lax.dynamic_slice(cov_pos, (coff,), (cap,)),
+                           coff + jnp.arange(cap))
             # elementwise broadcast (K=3 matmul is MXU-hostile; fuses into
             # the logsumexp like the dense path)
             cos = (qu[:, 0:1] * cu[None, :, 0] + qu[:, 1:2] * cu[None, :, 1]
@@ -587,17 +665,22 @@ def hpr_mask_soft_binned(
                             -_BIG_SOFT)
             return jax.nn.logsumexp(beta * dom, axis=1) / beta
 
-        def body(carry, tile, u_s=u_s, rho_s=rho_s, bin_s=bin_s):
-            b, qoff, coff, ok = tile
+        def body(carry, tile, u_s=u_s, rho_s=rho_s, bin_s=bin_s,
+                 cov_u=cov_u, cov_rho=cov_rho, cov_bin=cov_bin,
+                 cov_pos=cov_pos):
+            b, qoff, coff, ok, deep = tile
             qbin = jax.lax.dynamic_slice(bin_s, (qoff,), (cap,))
-            s = tile_smax(b, qoff, coff, u_s, rho_s, bin_s)
+            s = tile_smax(b, qoff, coff, deep, u_s, rho_s, bin_s,
+                          cov_u, cov_rho, cov_bin, cov_pos)
             cur = jax.lax.dynamic_slice(carry, (qoff,), (cap,))
             upd = jnp.where((qbin == b) & ok, jnp.maximum(cur, s), cur)
             return jax.lax.dynamic_update_slice(carry, upd, (qoff,)), None
 
+        tile_deep = strat & (within >= 1)
         smax_g = jnp.full((n,), -_BIG_SOFT, jnp.float32)
         smax_g, _ = jax.lax.scan(
-            body, smax_g, (tile_bin, tile_qoff, tile_coff, tile_ok))
+            body, smax_g, (tile_bin, tile_qoff, tile_coff, tile_ok,
+                           tile_deep))
         # un-permute by sorting (perm, smax_g): perm is a permutation of
         # iota, so the co-sorted smax lands in canonical order. One 2-op
         # sort (~1.3 ms at 256k) replaces the old inv_perm sort PLUS a 1D

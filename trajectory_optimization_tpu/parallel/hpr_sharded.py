@@ -38,6 +38,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.hpr import (
@@ -81,7 +82,7 @@ def resolve_hpr_knobs(problem, hpr_cap, hpr_safety):
 
 
 def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
-                safety, axis, n_global, vma_axes=None):
+                safety, axis, n_global, vma_axes=None, stratified=None):
     """Per-shard body (runs under shard_map over ``axis``).
 
     ``vma_axes``: all mesh axes the INPUTS vary over, when the enclosing
@@ -93,6 +94,9 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
     """
     if vma_axes is None:
         vma_axes = (axis,)
+    if stratified is None:
+        stratified = bool(SOFT_BINNED_DEFAULTS.get("stratified_coverers",
+                                                   True))
     n_l = points_l.shape[0]
     # cap is the GLOBAL per-bin candidate budget (single-chip semantics:
     # min(cap, N)); a shard contributes at most min(cap_g, n_l) rows —
@@ -133,15 +137,22 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
         counts = edges[1:] - edges[:-1]
         starts = edges[:-1]
 
-        # --- local per-bin candidate tables: first (closest) cap_l members --
+        # --- local per-bin candidate tables ---------------------------------
+        # first (closest) cand_l members per bin; with stratification the
+        # tables go 4x deeper (cand_l = 4·cap_g) so the MERGED order below
+        # is the exact global distance order to the tier reach 16·base =
+        # 4·cap_g — each shard keeps at least its share of the global
+        # top-4·cap_g, so no member of that range is ever truncated away.
         # n_bins is static and small (~10²); a scan of contiguous
         # dynamic_slices stays scatter/gather-free.
+        cand_l = min(4 * cap_g, n_l) if stratified else cap_l
+
         def cand_body(_, b):
-            off = jnp.clip(starts[b], 0, n_l - cap_l)
-            ck = jax.lax.dynamic_slice(key_s, (off,), (cap_l,))
-            cu = jax.lax.dynamic_slice(u_s, (off, 0), (cap_l, 3))
-            cr = jax.lax.dynamic_slice(rho_s, (off,), (cap_l,))
-            cg = jax.lax.dynamic_slice(gid_s, (off,), (cap_l,))
+            off = jnp.clip(starts[b], 0, n_l - cand_l)
+            ck = jax.lax.dynamic_slice(key_s, (off,), (cand_l,))
+            cu = jax.lax.dynamic_slice(u_s, (off, 0), (cand_l, 3))
+            cr = jax.lax.dynamic_slice(rho_s, (off,), (cand_l,))
+            cg = jax.lax.dynamic_slice(gid_s, (off,), (cand_l,))
             # rows can spill into a neighbouring bin when the slice is
             # clipped at the array edge — mark them invalid (same
             # semantics as the single-chip cbin==b pair test)
@@ -171,11 +182,40 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
         gk_s, gu0, gu1, gu2, gr_s, gg_s, gok_s, _mperm = _cosort_merge(
             gk, gu[..., 0], gu[..., 1], gu[..., 2], gr, gg,
             gok.astype(jnp.int32))
+        # candidate columns — the union of the single-chip per-chunk
+        # coverer sets, selected by STATIC merged-position index (the
+        # merged order is the exact global in-bin distance order to depth
+        # 4·cap_g, see cand_l above):
+        #   * prefix columns  [0, cap_g): what single-chip gives chunk-0
+        #     (rank < cap_g) queries — every possible dominator of theirs;
+        #   * strat columns: the single-chip stratified layout's first
+        #     cap_g priority picks (ops.hpr._stratified_priority) — what
+        #     deeper chunks see.
+        # Each query then masks to ITS OWN rule via its global rank
+        # (searchsorted into the merged keys, in tile_smax below), so the
+        # sharded coverer sets match the single-chip kernel exactly, up to
+        # quantized-key ties. Cost: ~1.5x candidate columns.
+        m = int(gk_s.shape[1])
+        prefix_cols = np.arange(min(cap_g, m))
+        if stratified:
+            r = np.arange(m)
+            base = max(cap_g // 4, 1)
+            kk = np.floor(np.log2(np.maximum(r // base, 1))).astype(np.int64)
+            sel = (r < base) | ((r < 16 * base)
+                               & ((r & ((1 << (kk + 1)) - 1)) == 0))
+            strat_cols = np.concatenate([r[sel], r[~sel]])[:cap_g]
+            cols = np.unique(np.concatenate([prefix_cols, strat_cols]))
+            col_prefix = jnp.asarray(cols < cap_g)
+            col_strat = jnp.asarray(np.isin(cols, strat_cols))
+        else:
+            cols = prefix_cols
+            col_prefix = col_strat = None
+        n_cols = len(cols)
         cu_tab = jnp.stack(
-            [gu0[:, :cap_g], gu1[:, :cap_g], gu2[:, :cap_g]], axis=-1)
-        cr_tab = gr_s[:, :cap_g]
-        cg_tab = gg_s[:, :cap_g]
-        cok_tab = gok_s[:, :cap_g] > 0
+            [gu0[:, cols], gu1[:, cols], gu2[:, cols]], axis=-1)
+        cr_tab = gr_s[:, cols]
+        cg_tab = gg_s[:, cols]
+        cok_tab = gok_s[:, cols] > 0
 
         # --- local query tiles vs the global candidate table ---------------
         tiles_per_bin = -(-counts // cap_l)
@@ -193,13 +233,25 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
         def tile_smax(b, qoff, u_s, cu_tab, cr_tab, cg_tab, cok_tab):
             qu = jax.lax.dynamic_slice(u_s, (qoff, 0), (cap_l, 3))
             qg = jax.lax.dynamic_slice(gid_s, (qoff,), (cap_l,))
-            cu = jax.lax.dynamic_slice(cu_tab, (b, 0, 0), (1, cap_g, 3))[0]
-            cr = jax.lax.dynamic_slice(cr_tab, (b, 0), (1, cap_g))[0]
-            cg = jax.lax.dynamic_slice(cg_tab, (b, 0), (1, cap_g))[0]
-            cok = jax.lax.dynamic_slice(cok_tab, (b, 0), (1, cap_g))[0]
+            cu = jax.lax.dynamic_slice(cu_tab, (b, 0, 0), (1, n_cols, 3))[0]
+            cr = jax.lax.dynamic_slice(cr_tab, (b, 0), (1, n_cols))[0]
+            cg = jax.lax.dynamic_slice(cg_tab, (b, 0), (1, n_cols))[0]
+            cok = jax.lax.dynamic_slice(cok_tab, (b, 0), (1, n_cols))[0]
             cos = (qu[:, 0:1] * cu[None, :, 0] + qu[:, 1:2] * cu[None, :, 1]
                    + qu[:, 2:3] * cu[None, :, 2])
             pair_ok = cok[None, :] & (qg[:, None] != cg[None, :])
+            if stratified:
+                # each query follows ITS chunk's single-chip rule: global
+                # in-bin rank (searchsorted into the bin's merged keys,
+                # exact to the 4·cap_g candidate depth) < cap_g → the
+                # prefix columns (chunk 0 of the single-chip layout);
+                # deeper → the stratified columns
+                qk = jax.lax.dynamic_slice(key_s, (qoff,), (cap_l,))
+                gkrow = jax.lax.dynamic_slice(gk_s, (b, 0), (1, m))[0]
+                qrank = jnp.searchsorted(gkrow, qk)
+                colmask = jnp.where((qrank >= cap_g)[:, None],
+                                    col_strat[None, :], col_prefix[None, :])
+                pair_ok = pair_ok & colmask
             dom = jnp.where(pair_ok, jnp.maximum(cos, 0.0) * cr[None, :],
                             -_BIG_SOFT)
             return jax.nn.logsumexp(beta * dom, axis=1) / beta
@@ -228,7 +280,7 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
 
 @lru_cache(maxsize=64)
 def _sharded_fn(mesh: Mesh, axis: str, r_param: float, sharpness: float,
-                tau: float, cap: int, safety: float):
+                tau: float, cap: int, safety: float, stratified: bool):
     """Build (and cache) the jitted shard_map for one config.
 
     Without this cache every call re-built the shard_map closure and
@@ -241,7 +293,8 @@ def _sharded_fn(mesh: Mesh, axis: str, r_param: float, sharpness: float,
         gid0 = (jax.lax.axis_index(axis) * n_l).astype(jnp.int32)
         return _local_mask(
             points_l, valid_l, gid0, r_param=r_param, sharpness=sharpness,
-            tau=tau, cap=cap, safety=safety, axis=axis, n_global=n_l * d)
+            tau=tau, cap=cap, safety=safety, axis=axis, n_global=n_l * d,
+            stratified=stratified)
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
@@ -259,6 +312,7 @@ def hpr_mask_soft_binned_sharded(
     tau: float = 0.02,
     cap: int = 1024,
     safety: float = 3.0,
+    stratified_coverers: bool = True,
     valid: Optional[jnp.ndarray] = None,
     axis: str = "pts",
 ) -> jnp.ndarray:
@@ -283,7 +337,8 @@ def hpr_mask_soft_binned_sharded(
         valid = jnp.ones((n,), jnp.float32)
 
     f = _sharded_fn(mesh, axis, float(r_param), float(sharpness),
-                    float(tau), int(cap), float(safety))
+                    float(tau), int(cap), float(safety),
+                    bool(stratified_coverers))
     pts_sh = jax.device_put(points, NamedSharding(mesh, P(axis, None)))
     val_sh = jax.device_put(
         jnp.asarray(valid, jnp.float32), NamedSharding(mesh, P(axis)))

@@ -336,6 +336,11 @@ class FrozenShardedTrajOptimizer(FrozenTrajOptimizer):
             {k: v for k, v in plan_np.items() if not k.startswith("_")},
             self._plan_sh)
 
+    def _dummy_plan_arrays(self, meta: PlanMeta):
+        # sharded plans carry a leading (d_pts,) shard axis
+        return {k: jnp.zeros((self._d_pts,) + v.shape, v.dtype)
+                for k, v in super()._dummy_plan_arrays(meta).items()}
+
     def _get_step(self, meta: PlanMeta):
         if meta not in self._step_cache:
             self._step_cache[meta] = make_frozen_sharded_traj_step(
