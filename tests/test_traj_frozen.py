@@ -386,3 +386,52 @@ def test_frozen_big_bin_stratified_parity():
     # quats gradients are small in norm here; the relnorm is tail-dominated
     a, b = np.asarray(g_ref["quats"]), np.asarray(g_fr["quats"])
     assert np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30) < 0.15
+
+
+def test_sparse_mean_matches_embed_path(scene):
+    """traj_forward_frozen_mean (the production training step's sparse
+    criterion tail: query-row scores, host-grouped cross-waypoint fusion,
+    closed-form σ(0)/2 for untouched points) must match the embedding path
+    to f32 summation-order tolerance — loss, mean_reward and gradients —
+    including under a valid mask."""
+    from trajectory_optimization_tpu.models.traj_frozen import (
+        traj_forward_frozen_mean,
+    )
+
+    pts, poses0, quats0, K, problem = scene
+    params = init_traj_params(poses0, quats0)
+    P, p0, q0 = jnp.asarray(pts), jnp.asarray(poses0), jnp.asarray(quats0)
+    plan_np, meta = build_traj_plan(pts, None, poses0, quats0, K, problem)
+    plan = {k: jnp.asarray(v) for k, v in plan_np.items()
+            if not k.startswith("_")}
+    (l_e, aux_e), g_e = jax.jit(jax.value_and_grad(
+        lambda p: traj_forward_frozen(p, plan, meta, P, K, p0, q0, problem),
+        has_aux=True))(params)
+    (l_s, aux_s), g_s = jax.jit(jax.value_and_grad(
+        lambda p: traj_forward_frozen_mean(
+            p, plan, meta, P, K, p0, q0, problem),
+        has_aux=True))(params)
+    assert abs(float(l_s) - float(l_e)) / abs(float(l_e)) < 1e-6
+    assert abs(float(aux_s["mean_reward"]) - float(aux_e["mean_reward"])) < 1e-6
+    for k in ("poses", "quats"):
+        a, b = np.asarray(g_e[k]), np.asarray(g_s[k])
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+        assert rel < 1e-4, (k, rel)
+
+    # valid mask: untouched-but-invalid points must not enter the mean
+    n = len(pts)
+    valid = np.ones(n, np.float32)
+    valid[-500:] = 0.0
+    pts2 = pts.copy()
+    pts2[-500:] = 1e6
+    plan2_np, meta2 = build_traj_plan(pts2, valid, poses0, quats0, K,
+                                      problem)
+    plan2 = {k: jnp.asarray(v) for k, v in plan2_np.items()
+             if not k.startswith("_")}
+    l2e, _ = jax.jit(lambda p: traj_forward_frozen(
+        p, plan2, meta2, jnp.asarray(pts2), K, p0, q0, problem,
+        valid=jnp.asarray(valid)))(params)
+    l2s, _ = jax.jit(lambda p: traj_forward_frozen_mean(
+        p, plan2, meta2, jnp.asarray(pts2), K, p0, q0, problem,
+        valid=jnp.asarray(valid)))(params)
+    assert abs(float(l2s) - float(l2e)) / abs(float(l2e)) < 1e-6

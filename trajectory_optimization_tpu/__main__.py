@@ -55,13 +55,13 @@ def _build(args):
     if args.preset == "trajectory_optimization":
         cfg = C.apply_overrides(L.default_trajopt_config(), ov)
         handle = L.launch_trajectory_optimization(
-            overrides=cfg, processes=args.processes,
+            overrides=cfg, processes=args.processes, viewer=args.viewer,
             **({"data_dir": args.data_dir} if args.data_dir else {}))
         watch = [t.format(path_topic=cfg.path_topic) for t in _WATCH[args.preset]]
     elif args.preset == "pose_optimization":
         cfg = C.apply_overrides(L.default_poseopt_config(), ov)
         handle = L.launch_pose_optimization(
-            overrides=cfg, processes=args.processes,
+            overrides=cfg, processes=args.processes, viewer=args.viewer,
             **({"data_dir": args.data_dir} if args.data_dir else {}))
         watch = list(_WATCH[args.preset])
     elif args.preset == "pointcloud_processor":
@@ -293,6 +293,9 @@ def main(argv=None) -> int:
                    help="rosparam-style overrides for the preset's node config")
     p.add_argument("--processes", action="store_true",
                    help="run nodes as separate OS processes (reference shape)")
+    p.add_argument("--viewer", action="store_true",
+                   help="serve the live HTTP scene viewer (the rviz role) "
+                        "on the optimizer presets; URL printed at launch")
     p.add_argument("--steps", type=int, default=None, metavar="N",
                    help="drive the feeders N deterministic cycles")
     p.add_argument("--spin", type=float, default=None, metavar="SECONDS",

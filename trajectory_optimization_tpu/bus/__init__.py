@@ -10,8 +10,10 @@ from trajectory_optimization_tpu.bus.messages import (
 )
 from trajectory_optimization_tpu.bus.core import Bus, ApproximateTimeSynchronizer
 from trajectory_optimization_tpu.bus.frames import FrameGraph
+from trajectory_optimization_tpu.bus.viewer import ViewerNode
 
 __all__ = [
+    "ViewerNode",
     "Bus",
     "ApproximateTimeSynchronizer",
     "FrameGraph",

@@ -343,7 +343,6 @@ def traj_criterion(
     length terms. Split out so both the single-device backends (traj_forward)
     and the sharded fused-Pallas path (parallel.sharded) share it.
     """
-    poses = params["poses"]
     rewards = 1.0 / (1.0 + jnp.exp(-lo_sum))  # σ(Σ log-odds), `src/model.py:237`
 
     # --- loss terms (reference `src/model.py:244-260`) ---------------------
@@ -351,6 +350,23 @@ def traj_criterion(
         mean_reward = jnp.mean(rewards)
     else:
         mean_reward = jnp.sum(rewards * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    loss, aux = traj_criterion_from_mean(mean_reward, params, poses0, problem)
+    aux["rewards"] = rewards
+    return loss, aux
+
+
+def traj_criterion_from_mean(
+    mean_reward: jnp.ndarray,
+    params: Params,
+    poses0: jnp.ndarray,
+    problem: TrajProblem,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The criterion tail given the mean reward directly — for paths that
+    never materialize the (N,) rewards vector (the frozen engine's sparse
+    training step computes the mean from query rows + the closed-form
+    σ(0)=0.5 contribution of every untouched point). aux carries the
+    scalar terms only (no 'rewards')."""
+    poses = params["poses"]
     loss_vis = 1.0 / (mean_reward + problem.eps)
     loss_l2 = safe_norm(poses[0] - poses0[0])  # zero subgradient at init (torch parity)
     loss_smooth = problem.smoothness_weight / (
@@ -361,7 +377,6 @@ def traj_criterion(
     )
     loss = loss_vis + loss_l2 + loss_length + loss_smooth
     aux = {
-        "rewards": rewards,
         "mean_reward": mean_reward,
         "loss_vis": loss_vis,
         "loss_l2": loss_l2,

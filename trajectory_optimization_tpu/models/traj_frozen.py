@@ -48,8 +48,10 @@ import numpy as np
 
 from trajectory_optimization_tpu.models.traj import (
     TrajProblem,
+    logodds_from_minmax,
     observation_logodds,
     traj_criterion,
+    traj_criterion_from_mean,
 )
 from trajectory_optimization_tpu.ops.hpr import (
     _BIG_SOFT,
@@ -320,6 +322,7 @@ def build_traj_plan(
     min_t_big: int = 1,
     owner: Optional[Tuple[int, int]] = None,
     wp_active: Optional[np.ndarray] = None,
+    embed: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], PlanMeta]:
     """Build the frozen routing plan for the selected waypoints (host-side).
 
@@ -441,8 +444,11 @@ def build_traj_plan(
     qmask = np.zeros((w_sel, G, M), bool)
     align_fwd = np.empty((w_sel, G, M), np.int64)
     align_bwd = np.empty((w_sel, G, M), np.int64)
-    embed_fwd = np.empty((w_sel, M + n_emb), np.int64)
-    embed_bwd = np.empty((w_sel, M + n_emb), np.int64)
+    if embed:
+        embed_fwd = np.empty((w_sel, M + n_emb), np.int64)
+        embed_bwd = np.empty((w_sel, M + n_emb), np.int64)
+    ids_all = np.full((w_sel, M), -1, np.int64)  # grid-0 rows' local ids
+    n_q_arr = np.zeros(w_sel, np.int64)
     ar_m = np.arange(M)
     for w in range(w_sel):
         g_rows, g_coffs, g_bins, q_rel, _ = per_wp[w]
@@ -483,13 +489,18 @@ def build_traj_plan(
             inv[fwd] = ar_m
             align_bwd[w, g] = inv
 
+        # sparse-criterion bookkeeping: grid-0 query rows' local ids + count
+        loc0 = g0[qmask0] - lo_own  # owned query points' local ids
+        ids_all[w, ar_m[qmask0]] = loc0
+        n_q_arr[w] = int(qmask0.sum())
+        if not embed:
+            continue
         # plan(grid-0) → cloud embedding keys (see _make_perm_apply):
         # slots are [M plan rows, n_emb extension]; sort by fwd key, take
         # [:n_emb]. Only QUERY rows land at their canonical position —
         # coverer-only and padding rows sort past the end, so every
         # non-query point reads exactly 0 (the gate semantics). Canonical
         # positions are LOCAL under ``owner`` (global id − lo).
-        loc0 = g0[qmask0] - lo_own  # owned query points' local ids
         fwd = np.empty(M + n_emb, np.int64)
         fwd[ar_m[qmask0]] = loc0
         nonq_pts = np.ones(n_emb, bool)
@@ -553,6 +564,20 @@ def build_traj_plan(
                 okr = rows >= 0
                 c_bin_ext[w, g, k, : len(rows)][okr] = g_bins[g][rows[okr]]
 
+    # sparse criterion tail (traj_forward_frozen_mean): group every
+    # (w, grid-0 row) QUERY entry by canonical id — one stored permutation
+    # over the W·M entries (tiny next to the embed keys it replaces) plus
+    # a segment-head mask for the device-side O(log W) fused suffix-sum
+    flat = ids_all.reshape(-1)
+    wm = flat.shape[0]
+    order = np.argsort(np.where(flat >= 0, flat, n_emb), kind="stable")
+    combine_bwd = order
+    combine_fwd = np.empty(wm, np.int64)
+    combine_fwd[order] = np.arange(wm)
+    sorted_ids = flat[order]
+    seg_head = (sorted_ids >= 0) & np.concatenate(
+        [[True], sorted_ids[1:] != sorted_ids[:-1]])
+
     pad3 = np.full(3, _PAD_COORD)
     pts_ext = np.concatenate([pts, pad3[None]], axis=0)  # id -1 -> padding
     # self-exclusion on device compares LAYOUT ROWS (each point appears
@@ -570,11 +595,16 @@ def build_traj_plan(
         "qmask": qmask,
         "align_fwd": align_fwd.astype(np.int32),
         "align_bwd": align_bwd.astype(np.int32),
-        "embed_fwd": embed_fwd.astype(np.int32),
-        "embed_bwd": embed_bwd.astype(np.int32),
+        "combine_fwd": combine_fwd.astype(np.int32),
+        "combine_bwd": combine_bwd.astype(np.int32),
+        "seg_head": seg_head,
+        "n_q": n_q_arr.astype(np.int32),
         # host-only diagnostics (underscored keys never cross the link)
         "_q_id": q_id.astype(np.int32),
     }
+    if embed:
+        plan["embed_fwd"] = embed_fwd.astype(np.int32)
+        plan["embed_bwd"] = embed_bwd.astype(np.int32)
     return plan, meta
 
 
@@ -688,7 +718,7 @@ def _cam_planes_nd(xyz, R, tR):
     return jnp.stack([cx, cy, cz], axis=-1)
 
 
-def frozen_soft_hpr_scores(
+def _frozen_vis(
     plan: Dict[str, jnp.ndarray],
     meta: PlanMeta,
     quats_sel: jnp.ndarray,
@@ -699,32 +729,29 @@ def frozen_soft_hpr_scores(
     valid: Optional[jnp.ndarray] = None,
     *,
     norm_allreduce=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(W, N) occlusion-gated visibility scores hpr·p under the frozen plan.
+    need_score: bool = True,
+):
+    """Shared frozen-plan core: everything up to the per-query visibility.
 
-    Returns (gated_scores, hpr) — both (W_sel, N); points outside the
-    plan's active set get exactly 0 (their score is below the gate
-    threshold, see FrozenPlanConfig). Differentiable in (quats_sel,
-    poses_sel); reverse-mode only (the stored-permutation custom VJPs).
-
-    ``norm_allreduce`` (multi-chip composition): maps the per-waypoint max
-    point norm (W,) computed over the LOCAL ``points`` to the global
-    maximum — under shard_map, an all_gather+max over the point axis —
-    so the flip radius and sharpness scale match the single-chip values
-    exactly. None (default) = ``points`` is the whole cloud already.
+    Returns (vis (W, M) in grid-0 layout order, score (W, N) or None,
+    qcam0 (W, M, 3) grid-0 camera-frame coords). ``need_score=False``
+    skips the full-cloud score pass (the sparse training path recomputes
+    scores only at query rows from qcam0); the full-cloud camera planes
+    are still needed for the per-waypoint flip radius.
     """
     W, cap, T, M = meta.n_sel, meta.cap, meta.tiles, meta.rows
-    n = meta.n_points
     tau = _HPR_DEF["tau"]
     sharpness = _HPR_DEF["sharpness"]
     r_param = _HPR_DEF["r_param"]
 
     # full-cloud scores + per-waypoint flip radius (exact, every step)
     cxp, cyp, czp = camera_planes(points, quats_sel, poses_sel)
-    score = scores_from_planes(
-        cxp, cyp, czp, K, problem.img_width, problem.img_height,
-        min_dist=problem.min_dist, max_dist=problem.max_dist,
-        eps=problem.eps)  # (W, N)
+    score = None
+    if need_score:
+        score = scores_from_planes(
+            cxp, cyp, czp, K, problem.img_width, problem.img_height,
+            min_dist=problem.min_dist, max_dist=problem.max_dist,
+            eps=problem.eps)  # (W, N)
     n2 = cxp * cxp + cyp * cyp + czp * czp
     if valid is not None:
         n2 = jnp.where(valid[None, :] > 0, n2, 0.0)
@@ -798,9 +825,41 @@ def frozen_soft_hpr_scores(
     smax_all = jnp.max(smax0, axis=1)  # (W, M)
     vis = jax.nn.sigmoid(
         beta[:, None] * (q_rho[:, 0] + tau * scale[:, None] - smax_all))
+    return vis, score, qcam[:, 0]
 
+
+def frozen_soft_hpr_scores(
+    plan: Dict[str, jnp.ndarray],
+    meta: PlanMeta,
+    quats_sel: jnp.ndarray,
+    poses_sel: jnp.ndarray,
+    points: jnp.ndarray,
+    K: jnp.ndarray,
+    problem: TrajProblem,
+    valid: Optional[jnp.ndarray] = None,
+    *,
+    norm_allreduce=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(W, N) occlusion-gated visibility scores hpr·p under the frozen plan.
+
+    Returns (gated_scores, hpr) — both (W_sel, N); points outside the
+    plan's active set get exactly 0 (their score is below the gate
+    threshold, see FrozenPlanConfig). Differentiable in (quats_sel,
+    poses_sel); reverse-mode only (the stored-permutation custom VJPs).
+    Requires a plan built with ``embed=True`` (the default).
+
+    ``norm_allreduce`` (multi-chip composition): maps the per-waypoint max
+    point norm (W,) computed over the LOCAL ``points`` to the global
+    maximum — under shard_map, an all_gather+max over the point axis —
+    so the flip radius and sharpness scale match the single-chip values
+    exactly. None (default) = ``points`` is the whole cloud already.
+    """
+    vis, score, _ = _frozen_vis(
+        plan, meta, quats_sel, poses_sel, points, K, problem, valid,
+        norm_allreduce=norm_allreduce, need_score=True)
     # embed plan rows into the cloud; inactive/padding -> 0
-    hpr = perm_apply(plan["embed_fwd"], plan["embed_bwd"], vis, 0.0, n)
+    hpr = perm_apply(plan["embed_fwd"], plan["embed_bwd"], vis, 0.0,
+                     meta.n_points)
     return hpr * score, hpr
 
 
@@ -831,6 +890,90 @@ def traj_forward_frozen(
     return traj_criterion(lo_sum, params, poses0, problem, valid=valid)
 
 
+def traj_forward_frozen_mean(
+    params,
+    plan: Dict[str, jnp.ndarray],
+    meta: PlanMeta,
+    points: jnp.ndarray,
+    K: jnp.ndarray,
+    poses0: jnp.ndarray,
+    quats0: jnp.ndarray,
+    problem: TrajProblem,
+    *,
+    valid: Optional[jnp.ndarray] = None,
+):
+    """traj_forward_frozen WITHOUT materializing the (N,) rewards — the
+    production training step (the runner only consumes scalar aux).
+
+    Everything the criterion needs from the cloud reduces to the mean
+    reward, and every point outside the plan's query set contributes
+    exactly σ(0) = 1/2 to it. So the tail runs entirely in PLAN space:
+    scores recomputed at the (W, M) grid-0 query rows (not the full
+    cloud), per-waypoint min/max from query rows plus the closed-form
+    zero, the cross-waypoint log-odds fusion as a host-grouped
+    stored-permutation sort of the W·M query entries + a O(log W)
+    segmented Hillis-Steele suffix-sum — no (W, M+N) embedding sorts at
+    all. At the 1M-point scale those embeds were ~40% of the step and the
+    embed keys ~45% of the plan transfer. Parity with the dense tail is
+    f32 summation-order level (pinned in tests/test_traj_frozen.py).
+
+    Same loss as ``traj_forward_frozen``; aux carries the scalar terms
+    only (no 'rewards'). Requires a plan built by build_traj_plan (any
+    ``embed=`` setting — the sparse arrays are always present).
+    """
+    sel = slice(None, None, problem.wps_step)
+    quats_sel, poses_sel = params["quats"][sel], params["poses"][sel]
+    vis, _, qcam0 = _frozen_vis(
+        plan, meta, quats_sel, poses_sel, points, K, problem, valid,
+        need_score=False)
+    score_q = scores_from_planes(
+        qcam0[..., 0], qcam0[..., 1], qcam0[..., 2], K,
+        problem.img_width, problem.img_height,
+        min_dist=problem.min_dist, max_dist=problem.max_dist,
+        eps=problem.eps)  # (W, M)
+    qmask0 = plan["qmask"][:, 0]
+    gated_q = jnp.where(qmask0, vis * score_q, 0.0)
+
+    n_valid = (jnp.asarray(float(meta.n_points), jnp.float32)
+               if valid is None else jnp.sum(valid))
+    big = jnp.asarray(jnp.finfo(gated_q.dtype).max, gated_q.dtype)
+    min_g = jnp.min(jnp.where(qmask0, gated_q, big), axis=1)
+    max_g = jnp.max(jnp.where(qmask0, gated_q, -big), axis=1)
+    # non-query VALID points exist almost always; their gated score is an
+    # exact 0, which extends the min/max window (dense-path semantics)
+    has_other = plan["n_q"].astype(jnp.float32) < n_valid
+    pmin = jnp.where(has_other, jnp.minimum(min_g, 0.0), min_g)
+    pmax = jnp.where(has_other, jnp.maximum(max_g, 0.0), max_g)
+    lo_q = jnp.where(
+        qmask0,
+        logodds_from_minmax(gated_q, pmin[:, None], pmax[:, None],
+                            problem.eps),
+        0.0)
+
+    # cross-waypoint fusion: group the W·M grid-0 entries by canonical id
+    # (host-stored permutation), then a segmented suffix-sum — segments
+    # are ≤ W_sel long, so ceil(log2 W) shifted adds close the fusion
+    x = lo_q.reshape(1, -1)
+    wm = x.shape[-1]
+    grouped = perm_apply(plan["combine_fwd"][None],
+                         plan["combine_bwd"][None], x, 0.0, wm)[0]
+    head = plan["seg_head"]
+    seg_id = jnp.cumsum(head.astype(jnp.int32))
+    tot = grouped
+    k = 1
+    while k < max(meta.n_sel, 2):
+        sh = jnp.concatenate([tot[k:], jnp.zeros((k,), tot.dtype)])
+        sid = jnp.concatenate(
+            [seg_id[k:], jnp.full((k,), -1, seg_id.dtype)])
+        tot = tot + jnp.where(sid == seg_id, sh, 0.0)
+        k *= 2
+    # Σ_valid σ(lo_sum) = Σ_heads (σ − ½) + ½·n_valid (untouched points
+    # sit at exactly lo_sum = 0)
+    sum_sig = jnp.sum(jnp.where(head, jax.nn.sigmoid(tot) - 0.5, 0.0))
+    mean_reward = (sum_sig + 0.5 * n_valid) / jnp.maximum(n_valid, 1.0)
+    return traj_criterion_from_mean(mean_reward, params, poses0, problem)
+
+
 # ---------------------------------------------------------------------------
 # runner: refresh cadence + jit cache
 # ---------------------------------------------------------------------------
@@ -842,8 +985,12 @@ class FrozenTrajOptimizer:
     Drop-in peer of running Adam over ``traj_forward(soft_hpr=True)``:
     every ``cfg.refresh_every`` steps the routing plan is rebuilt on host
     for the current waypoints; in between, steps run the frozen-plan jitted
-    program (compiled once per PlanMeta, cached).
+    program (compiled once per PlanMeta, cached). The step itself runs the
+    SPARSE criterion tail (traj_forward_frozen_mean — no (N,)-rewards
+    embedding; the runner only consumes scalar aux anyway).
     """
+
+    _need_embed = False  # sparse step: skip building/transferring embeds
 
     def __init__(self, points, K, poses0, quats0, problem: TrajProblem,
                  opt_cfg=None, plan_cfg: FrozenPlanConfig = FrozenPlanConfig(),
@@ -888,7 +1035,8 @@ class FrozenTrajOptimizer:
         plan, meta = build_traj_plan(
             self.points_np, self.valid_np, poses_sel, quats_sel,
             self.K_np, self.problem, self.plan_cfg,
-            min_tiles=self._t_floor, min_t_big=self._tb_floor)
+            min_tiles=self._t_floor, min_t_big=self._tb_floor,
+            embed=self._need_embed)
         self._t_floor = max(self._t_floor, meta.tiles)
         self._tb_floor = max(self._tb_floor, meta.t_big)
         return plan, meta
@@ -932,7 +1080,7 @@ class FrozenTrajOptimizer:
         W, G, T, TB = meta.n_sel, meta.n_grids, meta.tiles, meta.t_big
         cap, M, n = meta.cap, meta.rows, meta.n_points
         z = jnp.zeros
-        return {
+        out = {
             "q_xyz": z((W, G, M, 3), jnp.float32),
             "c_xyz_ext": z((W, G, TB, cap, 3), jnp.float32),
             "q_bin": z((W, G, M), jnp.int16),
@@ -943,9 +1091,15 @@ class FrozenTrajOptimizer:
             "qmask": z((W, G, M), bool),
             "align_fwd": z((W, G, M), jnp.int32),
             "align_bwd": z((W, G, M), jnp.int32),
-            "embed_fwd": z((W, M + n), jnp.int32),
-            "embed_bwd": z((W, M + n), jnp.int32),
+            "combine_fwd": z((W * M,), jnp.int32),
+            "combine_bwd": z((W * M,), jnp.int32),
+            "seg_head": z((W * M,), bool),
+            "n_q": z((W,), jnp.int32),
         }
+        if self._need_embed:
+            out["embed_fwd"] = z((W, M + n), jnp.int32)
+            out["embed_bwd"] = z((W, M + n), jnp.int32)
+        return out
 
     def _dummy_args(self, meta: PlanMeta):
         plan = self._put_plan(self._dummy_plan_arrays(meta))
@@ -1048,7 +1202,7 @@ class FrozenTrajOptimizer:
                 import optax
 
                 def loss_fn(p):
-                    return traj_forward_frozen(
+                    return traj_forward_frozen_mean(
                         p, plan, meta, points, K, poses0, quats0, problem,
                         valid=valid)
 
@@ -1188,6 +1342,8 @@ class FrozenWpsOptimizer(FrozenTrajOptimizer):
     frozen path parts from models.wps_opt.init_wps_params. Two-group Adam
     (xy/yaw) like the single-chip engine path."""
 
+    _need_embed = True  # wps_forward_frozen materializes (W, N) gates
+
     def __init__(self, points, K, frozen, problem, opt_cfg=None,
                  plan_cfg: FrozenPlanConfig = FrozenPlanConfig(),
                  valid=None, occlusion_mask=None):
@@ -1255,6 +1411,8 @@ class FrozenWpsOptimizer(FrozenTrajOptimizer):
 class FrozenPoseOptimizer(FrozenTrajOptimizer):
     """Single-pose occlusion-aware optimization with host-refreshed
     routing (W = 1). Params are the pose {'trans','quat'} pytree."""
+
+    _need_embed = True  # pose_forward_frozen materializes the (N,) gate
 
     def __init__(self, points, K, problem, opt_cfg=None,
                  plan_cfg: FrozenPlanConfig = FrozenPlanConfig(),

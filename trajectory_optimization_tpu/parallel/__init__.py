@@ -16,12 +16,22 @@ from trajectory_optimization_tpu.parallel.traj_sharded import (
     make_sharded_traj_step,
     traj_soft_hpr_loss_sharded,
 )
+from trajectory_optimization_tpu.parallel.traj_frozen_sharded import (
+    FrozenShardedTrajOptimizer,
+    build_frozen_sharded_plan,
+    make_frozen_sharded_traj_step,
+    traj_frozen_loss_sharded,
+)
 from trajectory_optimization_tpu.parallel.wps_sharded import (
     make_sharded_wps_step,
     wps_loss_sharded,
 )
 
 __all__ = [
+    "FrozenShardedTrajOptimizer",
+    "build_frozen_sharded_plan",
+    "make_frozen_sharded_traj_step",
+    "traj_frozen_loss_sharded",
     "make_sharded_pose_step",
     "pose_loss_sharded",
     "make_sharded_traj_step",

@@ -142,10 +142,14 @@ def build_frozen_sharded_plan(
     built = [b if (b[1].tiles == T and b[1].t_big == TB) else _one(s, T, TB)
              for s, b in enumerate(built)]
     meta = built[0][1]
+    # the single-chip sparse-criterion arrays (combine_*/seg_head/n_q) are
+    # unused by the sharded loss (it embeds per shard) and their flat W·M
+    # layout doesn't follow the (pts, wps) sharding — drop them
+    skip = {"combine_fwd", "combine_bwd", "seg_head", "n_q"}
     plan = {
         k: np.stack([p[k] for p, _ in built])
         for k in built[0][0]
-        if not k.startswith("_")
+        if not k.startswith("_") and k not in skip
     }
     return plan, meta
 
@@ -295,6 +299,8 @@ class FrozenShardedTrajOptimizer(FrozenTrajOptimizer):
     sliced per point shard and the step running over the ('wps','pts')
     mesh. Drop-in peer of FrozenTrajOptimizer (same step()/run() API)."""
 
+    _need_embed = True  # the sharded loss embeds per shard (n_l-sized)
+
     def __init__(self, mesh: Mesh, points, K, poses0, quats0,
                  problem: TrajProblem, opt_cfg=None,
                  plan_cfg: FrozenPlanConfig = FrozenPlanConfig(),
@@ -337,9 +343,12 @@ class FrozenShardedTrajOptimizer(FrozenTrajOptimizer):
             self._plan_sh)
 
     def _dummy_plan_arrays(self, meta: PlanMeta):
-        # sharded plans carry a leading (d_pts,) shard axis
+        # sharded plans carry a leading (d_pts,) shard axis and drop the
+        # single-chip sparse-criterion arrays (see build_frozen_sharded_plan)
+        skip = {"combine_fwd", "combine_bwd", "seg_head", "n_q"}
         return {k: jnp.zeros((self._d_pts,) + v.shape, v.dtype)
-                for k, v in super()._dummy_plan_arrays(meta).items()}
+                for k, v in super()._dummy_plan_arrays(meta).items()
+                if k not in skip}
 
     def _get_step(self, meta: PlanMeta):
         if meta not in self._step_cache:
