@@ -242,14 +242,17 @@ def _local_mask(points_l, valid_l, gid0, *, r_param, sharpness, tau, cap,
             pair_ok = cok[None, :] & (qg[:, None] != cg[None, :])
             if stratified:
                 # each query follows ITS chunk's single-chip rule: global
-                # in-bin rank (searchsorted into the bin's merged keys,
-                # exact to the 4·cap_g candidate depth) < cap_g → the
-                # prefix columns (chunk 0 of the single-chip layout);
-                # deeper → the stratified columns
+                # in-bin rank < cap_g → the prefix columns (chunk 0 of the
+                # single-chip layout); deeper → the stratified columns.
+                # The rank test is ONE scalar compare against the bin's
+                # cap_g-th merged key (not a searchsorted — that lowers to
+                # log-m gather passes per tile on TPU); key ties at the
+                # boundary fall on one side, the documented quantized-key
+                # tie class.
                 qk = jax.lax.dynamic_slice(key_s, (qoff,), (cap_l,))
-                gkrow = jax.lax.dynamic_slice(gk_s, (b, 0), (1, m))[0]
-                qrank = jnp.searchsorted(gkrow, qk)
-                colmask = jnp.where((qrank >= cap_g)[:, None],
+                kth = jax.lax.dynamic_slice(
+                    gk_s, (b, min(cap_g, m) - 1), (1, 1))[0, 0]
+                colmask = jnp.where((qk > kth)[:, None],
                                     col_strat[None, :], col_prefix[None, :])
                 pair_ok = pair_ok & colmask
             dom = jnp.where(pair_ok, jnp.maximum(cos, 0.0) * cr[None, :],
