@@ -605,6 +605,80 @@ def bench_soft_hpr_traj_step(pts_np, poses_np, n_steps=12):
     return best, -(-len(poses_np) // stride)
 
 
+def bench_frozen_pose_long_range(n=262_144, n_steps=8):
+    """The frozen engine's winning regime for the POSE mode (VERDICT r4
+    item 4): a long-range scene (uniform ±40 m) against the reference
+    pose problem's 1-12 m distance band — the score gate prunes ~2/3 of
+    the cloud, so the host-planned tile tables beat per-step routing.
+    (The round-4 negative stands for in-band clouds: BASELINE.md.)
+    Returns (per_step_ms, frozen_ms)."""
+    import optax
+
+    from trajectory_optimization_tpu.models.pose import (
+        PoseProblem,
+        init_pose_params,
+        pose_forward,
+    )
+    from trajectory_optimization_tpu.models.traj_frozen import (
+        FrozenPlanConfig,
+        FrozenPoseOptimizer,
+    )
+    from trajectory_optimization_tpu.opt.engine import (
+        OptimizerConfig,
+        make_optimizer,
+    )
+    from trajectory_optimization_tpu.utils.intrinsics import default_intrinsics
+
+    import jax
+    import jax.numpy as jnp
+
+    intr = default_intrinsics()
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-40, 40, size=(n, 3)).astype(np.float32)
+    prob = PoseProblem(img_width=intr.width, img_height=intr.height,
+                       min_dist=1.0, max_dist=12.0, soft_hpr=True)
+    K = np.asarray(intr.matrix())
+    P = jnp.asarray(pts)
+    tx = make_optimizer(OptimizerConfig(lr_pose=0.02, lr_quat=0.02),
+                        pose_key="trans", quat_key="quat")
+
+    @jax.jit
+    def step(p, s):
+        (l, _), g = jax.value_and_grad(
+            lambda q: pose_forward(q, P, jnp.asarray(K), prob),
+            has_aux=True)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p = init_pose_params(np.zeros(3), np.asarray([1.0, 0, 0, 0]))
+    st = tx.init(p)
+    for _ in range(2):
+        p, st, _ = step(p, st)
+    np.asarray(p["trans"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        p, st, _ = step(p, st)
+    np.asarray(p["trans"])
+    per_step = (time.perf_counter() - t0) / n_steps * 1e3
+
+    opt = FrozenPoseOptimizer(
+        pts, K, prob, OptimizerConfig(lr_pose=0.02, lr_quat=0.02),
+        FrozenPlanConfig(refresh_every=10_000, async_refresh=False,
+                         prewarm=False))
+    pf = init_pose_params(np.zeros(3), np.asarray([1.0, 0, 0, 0]))
+    stf = opt.init(pf)
+    for _ in range(2):
+        pf, stf, _, _ = opt.step(pf, stf)
+    np.asarray(pf["trans"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        pf, stf, _, _ = opt.step(pf, stf)
+    np.asarray(pf["trans"])
+    frozen_ms = (time.perf_counter() - t0) / n_steps * 1e3
+    opt.close()
+    return per_step, frozen_ms
+
+
 def bench_occl_traj_worst_window(pts_np, poses_np, n_steps=500, window=20):
     """Serving-robustness of the frozen occl-traj engine: run n_steps with
     the PRODUCTION config (async refresh every 8, tile-ladder pre-warm) and
@@ -879,6 +953,20 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] soft-HPR pose step failed: {e}", file=sys.stderr)
+
+    try:
+        ps_lr, fr_lr = bench_frozen_pose_long_range()
+        print(
+            f"[bench] occl-pose LONG-RANGE regime (256k pts uniform ±40 m, "
+            f"band 1-12 m): per-step-routed {ps_lr:.0f} ms vs frozen engine "
+            f"{fr_lr:.0f} ms ({ps_lr / max(fr_lr, 1e-9):.1f}x — the gate "
+            f"prunes the out-of-band cloud; in-band clouds keep the "
+            f"per-step kernel, BASELINE.md)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] long-range frozen pose bench failed: {e}",
+              file=sys.stderr)
 
     try:
         ms_occl_t, n_sel = bench_soft_hpr_traj_step(pts, path)
